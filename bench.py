@@ -1,0 +1,180 @@
+"""Headline benchmark: one JSON line on stdout.
+
+Runs the engine's flagship workloads at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+- ``derive``       — transcripts→graph derivation over a deterministic
+                     synthetic transcript table sized ~600k turns
+                     (window + groupBy; the stage-0 pipeline).
+- ``pagerank``     — 10 fixed power iterations over a deterministic
+                     power-law graph (~2M edges); throughput metric is
+                     edge-traversals/sec.
+- ``motif_2path`` / ``motif_tri`` — motif-engine counts on the same
+                     graph (frontier-expansion joins).
+- ``components``   — HashMin to convergence.
+- ``events_graph`` — event-type transition graph from the sf dir's
+                     events.parquet + degree table (the SQL-checkable
+                     derivation path).
+- ``dedup_minhash`` / ``cosine_topk`` — training-data ops on the sf
+                     dir's documents/embeddings.
+
+Usage: ``python bench.py [--sf-dir DIR] [--cpus N] [--json-extra]``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from grandiso_networkx_spark.graph import HostGraph
+from grandiso_networkx_spark.operators.components import connected_components
+from grandiso_networkx_spark.operators.dedup import minhash_lsh_pairs
+from grandiso_networkx_spark.operators.derive import derive_edges
+from grandiso_networkx_spark.operators.match import find_motifs_df
+from grandiso_networkx_spark.operators.pagerank import pagerank
+from grandiso_networkx_spark.operators.similarity import cosine_topk
+from grandiso_networkx_spark.plans.motif import Motif
+from grandiso_networkx_spark.session import get_spark
+from grandiso_networkx_spark.sources.transcripts import synth_transcripts
+
+PR_ITERS = 10
+
+
+def powerlaw_graph(spark, n_vertices: int, n_edges: int, seed: int = 42):
+    """Deterministic skewed random digraph, pure Spark generation.
+
+    dst is Zipf-ish (hash^2 folding concentrates mass on low ids →
+    hub in-degree skew, the case salting/AQE must absorb), src ~
+    uniform.  Self-loops removed; parallel edges collapsed.
+    """
+    e = spark.range(n_edges).select(
+        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_vertices))).alias("src"),
+        F.pmod(
+            F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(n_vertices))
+            * F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(n_vertices)),
+            F.lit(n_vertices),
+        ).alias("dst"),
+    )
+    return (
+        e.where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    )
+
+
+def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+    )
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    timings: dict[str, float] = {}
+    counters: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. stage-0 derivation over ~600k synthetic turns (scaled).
+    n_convs = int(20000 * scale * (sf / 0.1))
+    n_convs = max(n_convs, 500)
+    tr = synth_transcripts(spark, n_convs=n_convs, partitions=cpus * 2)
+    counters["derive_rows"] = timed(
+        "derive", lambda: derive_edges(tr).agg(F.sum("weight")).collect()[0][0]
+    )
+
+    # 2. power-law graph workloads.
+    nv = int(100_000 * scale)
+    ne = int(2_000_000 * scale)
+    g = timed("graph_gen", lambda: powerlaw_graph(spark, nv, ne).persist())
+    n_edges_real = g.count()
+    counters["graph_edges"] = n_edges_real
+
+    timed(
+        "pagerank",
+        lambda: pagerank(g, fixed_iterations=PR_ITERS).agg(F.sum("rank")).collect(),
+    )
+    counters["pagerank_edge_traversals_per_sec"] = round(
+        n_edges_real * PR_ITERS / timings["pagerank"], 1
+    )
+
+    host = HostGraph(g, directed=True)
+    m2 = Motif(directed=True)
+    m2.add_edge("A", "B")
+    m2.add_edge("B", "C")
+    counters["motif_2path_matches"] = timed(
+        "motif_2path", lambda: find_motifs_df(m2, host).count()
+    )
+    counters["motif_2path_matches_per_sec"] = round(
+        counters["motif_2path_matches"] / timings["motif_2path"], 1
+    )
+    m3 = Motif(directed=True)
+    m3.add_edge("A", "B")
+    m3.add_edge("B", "C")
+    m3.add_edge("C", "A")
+    counters["motif_tri_matches"] = timed(
+        "motif_tri", lambda: find_motifs_df(m3, host).count()
+    )
+
+    timed("components", lambda: connected_components(g).groupBy("component").count().count())
+
+    # 3. sf-dir tables: events graph + training-data ops.
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    def _events_graph():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        e = (
+            ev.select(F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst"))
+            .where(F.col("src").isNotNull())
+            .groupBy("src", "dst")
+            .count()
+        )
+        return e.count()
+
+    counters["events_graph_edges"] = timed("events_graph", _events_graph)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    counters["minhash_pairs"] = timed(
+        "dedup_minhash", lambda: minhash_lsh_pairs(docs, threshold=0.5).count()
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    counters["cosine_topk_rows"] = timed(
+        "cosine_topk",
+        lambda: cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=10).count(),
+    )
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "e2e_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "counters": counters,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    for i, a in enumerate(sys.argv):
+        if a == "--sf-dir":
+            sf_dir = sys.argv[i + 1]
+        if a == "--cpus":
+            cpus = int(sys.argv[i + 1])
+        if a == "--scale":
+            scale = float(sys.argv[i + 1])
+    print(json.dumps(run(sf_dir, cpus, scale)))

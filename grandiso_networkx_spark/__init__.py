@@ -1,0 +1,25 @@
+"""grandiso_networkx_spark — a PySpark-native link-graph analytics engine.
+
+From-scratch re-expression of aplbrain/grandiso-networkx's motif
+(subgraph monomorphism/isomorphism) search as distributed frontier
+expansion over candidate-binding DataFrames, plus the north-rule
+iterative analytics passes (PageRank, connected components, label
+propagation, triangle counting) the reference does not have.
+"""
+
+__version__ = "0.1.0"
+
+from .graph import HostGraph
+from .plans.motif import Motif, compile_plan
+from .operators.match import find_motifs, find_motifs_df, find_motifs_iter
+from .session import get_spark
+
+__all__ = [
+    "HostGraph",
+    "Motif",
+    "compile_plan",
+    "find_motifs",
+    "find_motifs_df",
+    "find_motifs_iter",
+    "get_spark",
+]

@@ -1,0 +1,110 @@
+"""Checkpointed iteration state with per-partition lineage metrics.
+
+The north rule requires every iterative pass (motif frontier expansion,
+PageRank, components, LPA) to be *resumable from checkpoint with
+per-partition lineage + metrics*.  The reference's only analogue is the
+``ProfilingQueue`` size-history (``/root/reference/grandiso/queues.py:26-81``);
+here each round's state DataFrame is written to Parquet together with a
+JSON manifest recording the round number, row/partition counts, and
+per-partition row counts (skew visibility — the distributed analogue of
+the reference's RAM-bound queue growth, ``README.md:10-12``).
+
+Writing Parquet (rather than ``localCheckpoint``) both truncates the
+lineage — without it, round N's plan nests N joins and Catalyst
+analysis time grows superlinearly — and makes the state durable: a new
+driver can resume from the last completed round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class CheckpointManager:
+    """Round-indexed Parquet checkpoints + a JSON manifest."""
+
+    def __init__(self, spark: SparkSession, path: str, job: str = "job") -> None:
+        self.spark = spark
+        self.path = path
+        self.job = job
+        os.makedirs(path, exist_ok=True)
+        self.manifest_path = os.path.join(path, "manifest.json")
+        self.manifest = self._load_manifest()
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {"job": self.job, "rounds": []}
+
+    def _save_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    @property
+    def last_round(self) -> int | None:
+        rounds = [r["round"] for r in self.manifest["rounds"] if r.get("complete")]
+        return max(rounds) if rounds else None
+
+    def round_path(self, rnd: int) -> str:
+        return os.path.join(self.path, f"round={rnd:05d}")
+
+    def save(self, rnd: int, df: DataFrame, extra: dict | None = None) -> DataFrame:
+        """Write round state, record per-partition metrics, reload.
+
+        Returns the reloaded DataFrame (fresh lineage rooted at the
+        Parquet scan).  Metrics come from one pass over the written
+        files — no extra job over the live plan.
+        """
+        t0 = time.time()
+        p = self.round_path(rnd)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+        df.write.mode("overwrite").parquet(p)
+        reloaded = self.spark.read.parquet(p)
+        part_counts = [
+            r["n"]
+            for r in reloaded.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        rows = sum(part_counts)
+        entry = {
+            "round": rnd,
+            "rows": rows,
+            "partitions": len(part_counts),
+            "max_partition_rows": max(part_counts) if part_counts else 0,
+            "min_partition_rows": min(part_counts) if part_counts else 0,
+            "skew_ratio": (
+                max(part_counts) * len(part_counts) / rows
+                if rows and part_counts
+                else 0.0
+            ),
+            "write_secs": round(time.time() - t0, 3),
+            "complete": True,
+        }
+        if extra:
+            entry.update(extra)
+        self.manifest["rounds"] = [
+            r for r in self.manifest["rounds"] if r["round"] != rnd
+        ] + [entry]
+        self.manifest["rounds"].sort(key=lambda r: r["round"])
+        self._save_manifest()
+        return reloaded
+
+    def load(self, rnd: int) -> DataFrame:
+        return self.spark.read.parquet(self.round_path(rnd))
+
+    def resume(self) -> tuple[int, DataFrame] | None:
+        """(last completed round, its state) or None if nothing saved."""
+        last = self.last_round
+        if last is None:
+            return None
+        return last, self.load(last)

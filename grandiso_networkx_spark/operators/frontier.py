@@ -1,0 +1,186 @@
+"""Distributed frontier expansion — the engine's single physical operator.
+
+The reference's ``get_next_backbone_candidates``
+(``/root/reference/grandiso/__init__.py:113-342``) takes ONE partial
+map and returns its one-node-larger extensions.  Here the unit of work
+is the whole frontier: a **bindings DataFrame** with one column per
+bound motif node and one row per partial match.  One call =
+one level-synchronous round over every partial match at once:
+
+    bindings ⋈ adjacency  (per required motif edge; the reference's
+                           candidate generation at :229-281)
+    → injectivity filters (``c not in backbone.values()``, :286)
+    → candidate-domain semi-join (node attrs + degree prune, :287-289)
+    → optional self-loop semi-join
+
+Set-intersection over k required edges (:248-273) becomes one inner
+join (producing the candidate column) followed by k-1 left-semi joins —
+successive inner/semi joins on a simple graph are exactly set
+intersection, with no row multiplication.
+
+Edge-attribute predicates are applied *during* the join rather than on
+complete maps as the reference does (:300-319): strictly smaller
+intermediates, identical final result set.
+"""
+
+from __future__ import annotations
+
+from typing import Hashable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..graph import HostGraph, attrs_subset_predicate
+from ..plans.motif import BindPlan, BindStep, RequiredEdge
+
+
+def _edge_frame(host: HostGraph, req: RequiredEdge) -> tuple[DataFrame, str]:
+    """Adjacency rows oriented as (__cand, __oth) for one required edge.
+
+    Returns the frame and the name of the physical join-key column on
+    the edges side (useful for partition-aware planning).
+    """
+    adj = host.adjacency
+    attrs = dict(req.attrs)
+    if attrs:
+        adj = adj.where(attrs_subset_predicate(F.col("attrs"), attrs))
+    if req.out:
+        # motif edge (new -> other): candidates are predecessors of the
+        # bound image of `other` (grandiso/__init__.py:242).
+        ef = adj.select(F.col("src").alias("__cand"), F.col("dst").alias("__oth"))
+        key = "dst"
+    else:
+        # motif edge (other -> new): candidates are successors
+        # (grandiso/__init__.py:239).
+        ef = adj.select(F.col("dst").alias("__cand"), F.col("src").alias("__oth"))
+        key = "src"
+    if host.hint_small:
+        ef = F.broadcast(ef)
+    return ef, key
+
+
+def seed_frontier(host: HostGraph, plan: BindPlan, col_of: dict) -> DataFrame:
+    """Round 0 without hints: the start node's candidate domain.
+
+    A filtered scan, no join (``grandiso/__init__.py:156-168``).
+    """
+    step = plan.start
+    dom = host.candidate_domain(dict(step.attrs), step.min_degree)
+    if step.self_loop_attrs is not None:
+        dom = _apply_self_loop(dom, F.col("id"), host, step.self_loop_attrs)
+    return dom.select(F.col("id").alias(col_of[step.node]))
+
+
+def _apply_self_loop(
+    df: DataFrame, cand: Column, host: HostGraph, loop_attrs: tuple
+) -> DataFrame:
+    loops = host.adjacency.where(F.col("src") == F.col("dst"))
+    attrs = dict(loop_attrs)
+    if attrs:
+        loops = loops.where(attrs_subset_predicate(F.col("attrs"), attrs))
+    loops = loops.select(F.col("src").alias("__loop_id"))
+    if host.hint_small:
+        loops = F.broadcast(loops)
+    return df.join(loops, cand == F.col("__loop_id"), "left_semi")
+
+
+def expand_step(
+    frontier: DataFrame,
+    step: BindStep,
+    host: HostGraph,
+    col_of: dict,
+    bound: list[Hashable],
+) -> DataFrame:
+    """One expansion round: bind ``step.node`` on every frontier row."""
+    new_col = col_of[step.node]
+    if not step.required:
+        raise ValueError(
+            f"Motif node {step.node!r} has no motif edges into the bound set."
+        )
+
+    # First required edge materializes the candidate column (inner join).
+    ef, _ = _edge_frame(host, step.required[0])
+    out = frontier.join(
+        ef, ef["__oth"] == frontier[col_of[step.required[0].other]], "inner"
+    )
+    out = out.withColumnRenamed("__cand", new_col).drop("__oth")
+
+    # Remaining required edges are set-intersection → left-semi joins.
+    for req in step.required[1:]:
+        ef, _ = _edge_frame(host, req)
+        out = out.join(
+            ef,
+            (ef["__oth"] == out[col_of[req.other]])
+            & (ef["__cand"] == out[new_col]),
+            "left_semi",
+        )
+
+    # Injectivity: the candidate differs from every bound image,
+    # including hint-seeded ones (grandiso/__init__.py:286).
+    for b in bound:
+        out = out.where(F.col(new_col) != F.col(col_of[b]))
+
+    # Node-attr + degree prune (grandiso/__init__.py:287-289).  When the
+    # motif node has no attrs and degree <= 1 the prune is vacuous: the
+    # candidate arrived via a host edge, so its degree is >= 1.
+    if step.attrs or step.min_degree > 1:
+        dom = host.candidate_domain(dict(step.attrs), step.min_degree)
+        if host.hint_small:
+            dom = F.broadcast(dom)
+        out = out.join(dom, out[new_col] == dom["id"], "left_semi")
+
+    if step.self_loop_attrs is not None:
+        out = _apply_self_loop(out, F.col(new_col), host, step.self_loop_attrs)
+
+    return out
+
+
+def isomorphism_filter(
+    bindings: DataFrame, plan: BindPlan, host: HostGraph, col_of: dict
+) -> DataFrame:
+    """Keep only induced matches (``isomorphisms_only=True``).
+
+    The reference re-scans every ordered node pair of each complete map
+    and rejects it if the host has an edge where the motif has none —
+    including self-pairs (``grandiso/__init__.py:327-342``).
+
+    Distributed formulation: a monomorphism already guarantees every
+    motif edge's image exists, so a binding is induced **iff** the
+    number of host adjacency rows among its image pairs equals the
+    number of motif adjacency pairs.  That is ONE explode + ONE join +
+    ONE aggregation instead of O(|non-edges|) anti-joins.
+    """
+    motif = plan.motif
+    nodes = list(motif.nodes)
+    cols = [col_of[n] for n in nodes]
+
+    # Expected adjacency-row matches per binding.
+    if plan.directed:
+        expected = len(motif.edges)
+    else:
+        loops = sum(1 for (u, v) in motif.edges if u == v)
+        expected = 2 * (len(motif.edges) - loops) + loops
+
+    pairs = F.array(
+        *[
+            F.struct(F.col(col_of[u]).alias("u"), F.col(col_of[v]).alias("v"))
+            for u in nodes
+            for v in nodes
+        ]
+    )
+    exploded = bindings.withColumn("__pair", F.explode(pairs))
+    adj = host.adjacency.select(
+        F.col("src").alias("__psrc"), F.col("dst").alias("__pdst")
+    )
+    if host.hint_small:
+        adj = F.broadcast(adj)
+    matched = exploded.join(
+        adj,
+        (F.col("__pair.u") == F.col("__psrc"))
+        & (F.col("__pair.v") == F.col("__pdst")),
+        "inner",
+    )
+    group_cols = [c for c in bindings.columns]
+    counted = matched.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__nadj"))
+    return counted.where(F.col("__nadj") == F.lit(expected)).drop("__nadj").select(
+        *bindings.columns
+    )

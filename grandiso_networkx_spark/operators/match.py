@@ -1,0 +1,208 @@
+"""Motif search drivers — the engine's query executors.
+
+API parity with the reference's three entry points:
+
+- :func:`find_motifs_df`   — the Spark-native surface: returns the
+  complete-bindings DataFrame (one column per motif node).
+- :func:`find_motifs_iter` — generator of ``{motif_id: host_id}`` dicts
+  (``/root/reference/grandiso/__init__.py:356-427``).
+- :func:`find_motifs`      — materializing wrapper with ``count_only``
+  and ``limit`` (``grandiso/__init__.py:430-493``).
+
+Semantics reproduced exactly (SURVEY.md §2.4): monomorphism by default
+with no symmetry breaking (all automorphic images counted),
+``isomorphisms_only`` induced check, hint seeds expanded independently
+and concatenated (overlapping hints double-count), disconnected/empty
+motif → ``ValueError``, ``limit``/``count_only`` interplay
+(``limit=0``/None = unlimited, results = min(limit, total)).
+"""
+
+from __future__ import annotations
+
+from typing import Generator, Hashable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..graph import HostGraph
+from ..plans.motif import Motif, compile_plan
+from .frontier import expand_step, isomorphism_filter, seed_frontier
+
+SEED_COL = "__seed"
+
+
+def _as_motif(motif) -> Motif:
+    if isinstance(motif, Motif):
+        return motif
+    # nx motifs go through the adapter so attribute values get the same
+    # repr-encoding as nx-loaded hosts (1 and "1" must stay distinct).
+    from ..sources.nx_adapter import nx_to_motif
+
+    return nx_to_motif(motif)
+
+
+def _encode(host: HostGraph, value: Hashable) -> str:
+    enc = getattr(host, "id_encoder", None)
+    if enc is not None:
+        return enc(value)
+    return str(value)
+
+
+def _group_hints(hints: list[dict]) -> dict[tuple, list[tuple[int, dict]]]:
+    """Group hint seeds by their key-set; keep the original seed index.
+
+    The reference expands each seed independently and concatenates
+    results (``grandiso/__init__.py:402-403``, ``:426-427``) — the same
+    complete map reached from two seeds is counted twice
+    (``test_grandiso.py:412-421``).  The seed index column preserves
+    that multiplicity through distinct-free DataFrame plans.
+    """
+    groups: dict[tuple, list[tuple[int, dict]]] = {}
+    for i, h in enumerate(hints):
+        key = tuple(sorted(h.keys(), key=str))
+        groups.setdefault(key, []).append((i, h))
+    return groups
+
+
+def find_motifs_df(
+    motif,
+    host: HostGraph,
+    directed: bool | None = None,
+    isomorphisms_only: bool = False,
+    hints: list[dict] | None = None,
+    interestingness: dict | None = None,
+    checkpoint: "CheckpointManager | None" = None,
+    keep_seed_col: bool = False,
+) -> DataFrame:
+    """Build the complete-bindings DataFrame (lazy unless checkpointed).
+
+    Output columns are the stringified motif node ids, in motif
+    insertion order, plus ``__seed`` when ``keep_seed_col`` and hints
+    are present.  Rows are NOT deduplicated — multiplicity from
+    overlapping hints is part of the reference's contract.
+    """
+    motif = _as_motif(motif)
+    if directed is None:
+        directed = motif.directed
+    if directed != motif.directed:
+        # Re-root the motif under the requested directedness (the
+        # reference keys all adjacency logic off the `directed` flag,
+        # grandiso/__init__.py:394-400).
+        m2 = Motif(directed=directed)
+        for n, attrs in motif.nodes.items():
+            m2.add_node(n, **attrs)
+        for (u, v), attrs in motif.edges.items():
+            m2.add_edge(u, v, **attrs)
+        motif = m2
+
+    if host.directed and not directed:
+        raise ValueError(
+            "Undirected matching over a directed-stored host is ambiguous; "
+            "symmetrize the host first (HostGraph(directed=False))."
+        )
+
+    spark = host.edges.sparkSession
+    nodes = list(motif.nodes)
+    col_of = {n: f"m{i}" for i, n in enumerate(nodes)}
+    out_cols = [F.col(col_of[n]).alias(str(n)) for n in nodes]
+
+    def _run_group(hint_keys: tuple, seeds: list[tuple[int, dict]] | None) -> DataFrame:
+        plan = compile_plan(motif, hint_keys, interestingness)
+        if seeds is None:
+            frontier = seed_frontier(host, plan, col_of).withColumn(
+                SEED_COL, F.lit(-1)
+            )
+        else:
+            rows = [
+                tuple([_encode(host, h[k]) for k in hint_keys] + [i])
+                for i, h in seeds
+            ]
+            schema = T.StructType(
+                [T.StructField(col_of[k], T.StringType(), False) for k in hint_keys]
+                + [T.StructField(SEED_COL, T.IntegerType(), False)]
+            )
+            frontier = spark.createDataFrame(rows, schema)
+        bound = list(hint_keys)
+        if plan.start is not None:
+            bound.append(plan.start.node)
+        for rnd, step in enumerate(plan.steps):
+            frontier = expand_step(frontier, step, host, col_of, bound)
+            bound.append(step.node)
+            if checkpoint is not None:
+                frontier = checkpoint.save(rnd, frontier, {"step": str(step.node)})
+        if isomorphisms_only:
+            frontier = isomorphism_filter(frontier, plan, host, col_of)
+        return frontier.select(*out_cols, SEED_COL)
+
+    if hints:
+        parts = []
+        for hint_keys, seeds in _group_hints(hints).items():
+            if len(hint_keys) == len(motif):
+                # A complete hint is yielded as-is, unverified — the
+                # reference's walk() short-circuits before any expansion
+                # or check runs (grandiso/__init__.py:406-409).
+                rows = [
+                    tuple([_encode(host, h[n]) for n in nodes] + [i])
+                    for i, h in seeds
+                ]
+                schema = T.StructType(
+                    [T.StructField(str(n), T.StringType(), False) for n in nodes]
+                    + [T.StructField(SEED_COL, T.IntegerType(), False)]
+                )
+                parts.append(spark.createDataFrame(rows, schema))
+            else:
+                parts.append(_run_group(hint_keys, seeds))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+    else:
+        # `hints=[]` means full search (test_grandiso.py:374-382).
+        result = _run_group((), None)
+
+    if not keep_seed_col:
+        result = result.drop(SEED_COL)
+    return result
+
+
+def find_motifs_iter(
+    motif,
+    host: HostGraph,
+    **kwargs,
+) -> Generator[dict, None, None]:
+    """Stream complete mappings as ``{motif_id: host_id}`` dicts."""
+    m = _as_motif(motif)
+    df = find_motifs_df(m, host, **kwargs)
+    decoder = getattr(host, "id_decoder", None) or (lambda s: s)
+    nodes = list(m.nodes)
+    for row in df.toLocalIterator():
+        yield {n: decoder(row[i]) for i, n in enumerate(nodes)}
+
+
+def find_motifs(
+    motif,
+    host: HostGraph,
+    count_only: bool = False,
+    limit: int | None = None,
+    **kwargs,
+):
+    """Materialize matches: list of dicts, or an exact count.
+
+    ``limit`` semantics follow the reference (``grandiso/__init__.py:
+    479-487``): falsy limit = unlimited; both modes return
+    min(limit, total).  On Spark the limit short-circuits inside the
+    final collect instead of per-result driver checks.
+    """
+    m = _as_motif(motif)
+    df = find_motifs_df(m, host, **kwargs)
+    limit = limit or None
+    if count_only:
+        if limit is not None:
+            return df.limit(limit).count()
+        return df.count()
+    if limit is not None:
+        df = df.limit(limit)
+    decoder = getattr(host, "id_decoder", None) or (lambda s: s)
+    nodes = list(m.nodes)
+    return [
+        {n: decoder(row[i]) for i, n in enumerate(nodes)} for row in df.collect()
+    ]

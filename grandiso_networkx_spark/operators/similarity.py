@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k, pure column
+  expressions (``zip_with`` dot product inside whole-stage codegen).
+  The correctness baseline and fine for |queries| × |corpus| that fits
+  a broadcast.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
+  buckets both sides, candidates only meet in-bucket, then exact
+  cosine re-rank in-bucket.  Recall < 1 by construction; bits/tables
+  trade recall for candidate count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    ac = F.transform(F.col(a), lambda x: x.cast("double"))
+    bc = F.transform(F.col(b), lambda x: x.cast("double"))
+    return df.withColumn(
+        out,
+        _dot(ac, bc) / (F.greatest(_norm(ac) * _norm(bc), F.lit(1e-30))),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: ``(query_id, vec_id, cosine)``.
+
+    Cross join with the (small) query side broadcast; ranks via a
+    per-query window.  Deterministic tie-break: cosine desc, vec_id asc.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    scored = with_cosine(
+        c.crossJoin(F.broadcast(q)), "__qv", "__cv"
+    ).where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_signs(
+    df: DataFrame, vec_col: str, dim: int, bits: int, seed: int, out: str = "bucket"
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (one long per row).
+
+    The hyperplanes are a driver-side (bits × dim) matrix folded into
+    literal arrays — tiny, broadcast with the plan, no join.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((bits, dim))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for i in range(bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        d = _dot(v, plane)
+        bucket = bucket.bitwiseOR(
+            F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn(out, bucket)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of per-table bucket-local exact rerank.
+
+    Each of ``tables`` independent sign-LSH codes buckets both sides;
+    a pair is scored iff it collides in at least one table.  The final
+    window dedups and keeps the best k per query.
+    """
+    parts = []
+    for t in range(tables):
+        cb = hyperplane_signs(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")),
+            "__cv", dim, bits, seed + 131 * t,
+        )
+        qb = hyperplane_signs(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+            "__qv", dim, bits, seed + 131 * t,
+        )
+        parts.append(cb.join(qb, "bucket").drop("bucket"))
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.dropDuplicates(["query_id", "vec_id"]).where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = with_cosine(cands, "__qv", "__cv")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions (whole-stage
+codegen friendly, pushdown-safe) — no UDFs at all.  Every op is also
+expressible in ANSI SQL, so each has a DuckDB oracle in
+``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny stopword marker sets per language — heuristic langid by marker
+# hit counts (deterministic, SQL-parity).
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " y "],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation
+    (a BPE-ish regex proxy — counts runs of letters in chunks of ~4,
+    digit runs, and individual punctuation marks)."""
+    words = F.regexp_count(text, F.lit(r"[A-Za-z]{1,4}"))
+    digits = F.regexp_count(text, F.lit(r"[0-9]+"))
+    punct = F.regexp_count(text, F.lit(r"[^\sA-Za-z0-9]"))
+    return (words + digits + punct).cast("long")
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token count, mean word
+    length, punctuation/uppercase/digit ratios, stopword ratio."""
+    t = F.col(text_col)
+    length = F.length(t)
+    toks = token_count(t)
+    safe_len = F.greatest(length, F.lit(1)).cast("double")
+    punct = F.regexp_count(t, F.lit(r"[^\sA-Za-z0-9]")).cast("double")
+    upper = F.regexp_count(t, F.lit(r"[A-Z]")).cast("double")
+    digit = F.regexp_count(t, F.lit(r"[0-9]")).cast("double")
+    stop = F.regexp_count(
+        F.concat(F.lit(" "), F.lower(t), F.lit(" ")),
+        F.lit(r" (the|and|of|to|a|in|is|it) "),
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        length.alias("n_chars"),
+        toks.alias("n_tokens"),
+        F.round(length.cast("double") / F.greatest(toks, F.lit(1)), 6).alias(
+            "mean_token_len"
+        ),
+        F.round(punct / safe_len, 6).alias("punct_ratio"),
+        F.round(upper / safe_len, 6).alias("upper_ratio"),
+        F.round(digit / safe_len, 6).alias("digit_ratio"),
+        F.round(stop / F.greatest(toks, F.lit(1)).cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-based language ID: argmax of per-language marker counts,
+    'und' when nothing hits.  Ties break by language code order."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
+            / len(m)
+            for m in markers
+        ).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    guess = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        guess = F.when(
+            (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(guess)
+    return docs.select("doc_id", guess.alias("lang_guess"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic 64-bit content fingerprint of normalized text
+    (whitespace-collapsed, lowercased) — a rolling-hash stand-in built
+    from xxhash64, stable across partitionings."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select(
+        "doc_id", F.xxhash64(norm).alias("fp"), F.md5(norm).alias("fp_md5")
+    )

@@ -1,0 +1,152 @@
+"""North-rule iterative analytics vs networkx oracles (SURVEY.md §2.6):
+PageRank allclose 1e-6, components exact, LPA exact under the pinned
+tie-break, triangle count exact + grandiso automorphism cross-check."""
+
+import networkx as nx
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from grandiso_networkx_spark.operators.components import connected_components
+from grandiso_networkx_spark.operators.derive import derive_edges, derive_host_graph
+from grandiso_networkx_spark.operators.label_propagation import (
+    label_propagation,
+    lpa_oracle,
+)
+from grandiso_networkx_spark.operators.match import find_motifs
+from grandiso_networkx_spark.operators.pagerank import pagerank
+from grandiso_networkx_spark.operators.triangles import (
+    per_vertex_triangles,
+    triangle_count,
+)
+from grandiso_networkx_spark.sources.nx_adapter import nx_to_host
+from grandiso_networkx_spark.sources.transcripts import synth_transcripts
+
+
+def _edges_df(spark, g, symmetric=False):
+    rows = [(str(u), str(v)) for u, v in g.edges()]
+    if symmetric:
+        rows = rows + [(str(v), str(u)) for u, v in g.edges() if str(u) != str(v)]
+    return spark.createDataFrame(rows, "src string, dst string").distinct()
+
+
+@pytest.fixture(scope="module")
+def transcript_graph(spark):
+    t = synth_transcripts(spark, n_convs=120, seed=42)
+    edges = derive_edges(t).persist()
+    g = nx.DiGraph()
+    for r in edges.collect():
+        g.add_edge(r.src, r.dst, weight=float(r.weight))
+    yield edges, g
+    edges.unpersist()
+
+
+class TestPageRank:
+    def test_directed_random(self, spark):
+        g = nx.fast_gnp_random_graph(60, 0.08, directed=True, seed=11)
+        got = {
+            r.id: r.rank for r in pagerank(_edges_df(spark, g), tol=1e-10).collect()
+        }
+        want = nx.pagerank(g, alpha=0.85, tol=1e-10)
+        assert set(got) == {str(k) for k in want if g.degree(k) > 0}
+        for k, v in want.items():
+            if str(k) in got:
+                assert abs(got[str(k)] - v) < 1e-6, k
+
+    def test_with_dangling_nodes(self, spark):
+        g = nx.DiGraph([("a", "b"), ("b", "c"), ("a", "c"), ("d", "c")])
+        # c and (nothing from) c: c is dangling
+        got = {r.id: r.rank for r in pagerank(_edges_df(spark, g), tol=1e-12).collect()}
+        want = nx.pagerank(g, tol=1e-12)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-6
+
+    def test_undirected_via_symmetrize(self, spark):
+        g = nx.karate_club_graph()
+        got = {
+            r.id: r.rank
+            for r in pagerank(_edges_df(spark, g, symmetric=True), tol=1e-10).collect()
+        }
+        want = nx.pagerank(g, tol=1e-10)
+        for k, v in want.items():
+            assert abs(got[str(k)] - v) < 1e-6
+
+    def test_weighted_transcript_graph(self, spark, transcript_graph):
+        edges, g = transcript_graph
+        got = {
+            r.id: r.rank
+            for r in pagerank(edges, weight_col="weight", tol=1e-10).collect()
+        }
+        want = nx.pagerank(g, weight="weight", tol=1e-10)
+        assert np.allclose(
+            [got[k] for k in sorted(want)],
+            [want[k] for k in sorted(want)],
+            atol=1e-6,
+        )
+
+
+class TestConnectedComponents:
+    def test_exact_partition(self, spark):
+        g = nx.Graph()
+        g.add_edges_from([("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")])
+        got = connected_components(_edges_df(spark, g)).collect()
+        by_comp = {}
+        for r in got:
+            by_comp.setdefault(r.component, set()).add(r.id)
+        want = {frozenset(c) for c in nx.connected_components(g)}
+        assert {frozenset(v) for v in by_comp.values()} == want
+        # canonical-min labels
+        for comp, members in by_comp.items():
+            assert comp == min(members)
+
+    def test_random_graph(self, spark):
+        g = nx.random_geometric_graph(80, 0.12, seed=3)
+        g = nx.relabel_nodes(g, str)
+        got = connected_components(_edges_df(spark, g)).collect()
+        by_comp = {}
+        for r in got:
+            by_comp.setdefault(r.component, set()).add(r.id)
+        want = {frozenset(c) for c in nx.connected_components(g) if len(c) > 1}
+        got_sets = {frozenset(v) for v in by_comp.values()}
+        # isolated vertices have no edges → not in the edge table
+        assert got_sets == want
+
+
+class TestLabelPropagation:
+    @pytest.mark.parametrize("seed", [1, 5])
+    def test_matches_pinned_oracle(self, spark, seed):
+        g = nx.fast_gnp_random_graph(40, 0.1, seed=seed)
+        g = nx.relabel_nodes(g, str)
+        edge_list = [(u, v) for u, v in g.edges()]
+        got = {r.id: r.label for r in label_propagation(_edges_df(spark, g), max_iter=8).collect()}
+        want = lpa_oracle(edge_list, max_iter=8)
+        assert got == want
+
+
+class TestTriangles:
+    def test_karate(self, spark):
+        g = nx.karate_club_graph()
+        e = _edges_df(spark, g)
+        want_total = sum(nx.triangles(g).values()) // 3
+        assert triangle_count(e) == want_total
+        got_pv = {r.id: r.tri_count for r in per_vertex_triangles(e).collect()}
+        for k, v in nx.triangles(g).items():
+            if v:
+                assert got_pv.get(str(k), 0) == v
+
+    def test_cross_check_with_motif_engine(self, spark):
+        g = nx.fast_gnp_random_graph(14, 0.35, seed=9)
+        tri = triangle_count(_edges_df(spark, g))
+        k3 = find_motifs(nx.complete_graph(3), nx_to_host(spark, g), count_only=True)
+        assert k3 == 6 * tri  # automorphism factor, test_grandiso.py:191-204
+
+
+class TestOnDerivedGraph:
+    def test_pipeline_end_to_end(self, spark, transcript_graph):
+        edges, g = transcript_graph
+        comp = connected_components(edges)
+        got = {}
+        for r in comp.collect():
+            got.setdefault(r.component, set()).add(r.id)
+        want = {frozenset(c) for c in nx.connected_components(g.to_undirected())}
+        assert {frozenset(v) for v in got.values()} == want

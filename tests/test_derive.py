@@ -1,0 +1,65 @@
+"""Stage-0 derivation: transcripts → link graph (SURVEY.md §3.0)."""
+
+from pyspark.sql import functions as F
+
+from grandiso_networkx_spark.operators.derive import (
+    derive_edges,
+    derive_host_graph,
+    derive_vertices,
+    transcript_invariant_violations,
+)
+from grandiso_networkx_spark.sources.transcripts import synth_transcripts
+
+
+def test_synth_is_deterministic(spark):
+    a = synth_transcripts(spark, n_convs=20).orderBy("conv_id", "turn_idx").collect()
+    b = synth_transcripts(spark, n_convs=20).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    assert [f.name for f in synth_transcripts(spark, 1).schema.fields] == [
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    ]
+
+
+def test_invariant_holds(spark):
+    t = synth_transcripts(spark, n_convs=30)
+    assert transcript_invariant_violations(t).count() == 0
+
+
+def test_reply_edges_follow_turn_order(spark):
+    rows = [
+        ("c1", 0, "user", "t0", None),
+        ("c1", 1, "assistant", "t1", "bash"),
+        ("c1", 2, "user", "t2", None),
+        ("c2", 0, "user", "t0", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    edges = {(r.src, r.dst, r.etype): r.weight for r in derive_edges(t).collect()}
+    assert edges == {
+        ("role:user", "role:assistant", "reply"): 1,
+        ("role:assistant", "role:user", "reply"): 1,
+        ("role:assistant", "tool:bash", "invoke"): 1,
+    }
+    verts = {(r.id, r.vtype) for r in derive_vertices(derive_edges(t)).collect()}
+    assert verts == {
+        ("role:user", "participant"),
+        ("role:assistant", "participant"),
+        ("tool:bash", "tool"),
+    }
+
+
+def test_derived_host_graph_is_simple(spark):
+    t = synth_transcripts(spark, n_convs=50)
+    host = derive_host_graph(t)
+    edges = host.edges
+    assert edges.groupBy("src", "dst").count().where(F.col("count") > 1).count() == 0
+    # weights preserved in attrs
+    row = edges.limit(1).collect()[0]
+    assert "weight" in row.attrs and "etype" in row.attrs
+    host.unpersist()

@@ -1,0 +1,112 @@
+"""Golden small-graph motif counts, ported from the reference suite
+(/root/reference/grandiso/test_grandiso.py — cited per test)."""
+
+import networkx as nx
+import pytest
+
+from grandiso_networkx_spark.operators.match import (
+    find_motifs,
+    find_motifs_iter,
+)
+from grandiso_networkx_spark.sources.nx_adapter import nx_to_host
+
+
+def _tri(cls):
+    g = cls()
+    g.add_edge("A", "B")
+    g.add_edge("B", "C")
+    g.add_edge("C", "A")
+    return g
+
+
+def _rect(cls):
+    g = cls()
+    g.add_edge("A", "B")
+    g.add_edge("B", "C")
+    g.add_edge("C", "D")
+    g.add_edge("D", "A")
+    return g
+
+
+class TestDirectedGolden:
+    # test_grandiso.py:11-22
+    def test_no_triangles_in_path(self, spark):
+        host = nx.DiGraph([("A", "B"), ("B", "C")])
+        assert len(list(find_motifs_iter(_tri(nx.DiGraph), nx_to_host(spark, host)))) == 0
+
+    # test_grandiso.py:24-37
+    def test_no_rect_in_path(self, spark):
+        host = nx.DiGraph([("A", "B"), ("B", "C"), ("C", "D")])
+        assert len(find_motifs(_rect(nx.DiGraph), nx_to_host(spark, host))) == 0
+
+    # test_grandiso.py:39-52
+    def test_no_triangles_with_context(self, spark):
+        motif = _tri(nx.DiGraph)
+        motif.add_edge("C", "D")
+        motif.add_edge("C", "E")
+        host = nx.DiGraph([("A", "B"), ("B", "C")])
+        assert len(list(find_motifs_iter(motif, nx_to_host(spark, host)))) == 0
+
+    # test_grandiso.py:54-63
+    def test_no_motifs_in_small_graph(self, spark):
+        motif = nx.DiGraph([("A", "B"), ("B", "C")])
+        host = nx.DiGraph([("A", "B")])
+        assert len(find_motifs(motif, nx_to_host(spark, host))) == 0
+
+    # test_grandiso.py:65-77
+    def test_triangle_in_triangle(self, spark):
+        assert len(find_motifs(_tri(nx.DiGraph), nx_to_host(spark, _tri(nx.DiGraph)))) == 3
+
+    # test_grandiso.py:79-91
+    def test_triangle_count_only(self, spark):
+        assert (
+            find_motifs(
+                _tri(nx.DiGraph), nx_to_host(spark, _tri(nx.DiGraph)), count_only=True
+            )
+            == 3
+        )
+
+    # test_grandiso.py:93-107
+    def test_rect_in_rect(self, spark):
+        assert len(find_motifs(_rect(nx.DiGraph), nx_to_host(spark, _rect(nx.DiGraph)))) == 4
+
+    # test_grandiso.py:176-188
+    def test_falsy_node_names(self, spark):
+        motif = nx.DiGraph([(0, 1), (1, 2), (2, 0)])
+        host = nx.DiGraph([(0, 1), (1, 2), (2, 0)])
+        res = find_motifs(motif, nx_to_host(spark, host))
+        assert len(res) == 3
+        assert all(isinstance(v, int) for m in res for v in m.values())
+
+
+class TestUndirectedGolden:
+    # test_grandiso.py:192-204
+    def test_triangle_in_triangle(self, spark):
+        assert len(find_motifs(_tri(nx.Graph), nx_to_host(spark, _tri(nx.Graph)))) == 6
+
+    # test_grandiso.py:206-220
+    def test_rect_in_rect(self, spark):
+        assert len(find_motifs(_rect(nx.Graph), nx_to_host(spark, _rect(nx.Graph)))) == 8
+
+    # test_grandiso.py:425-428 (K3 in K8)
+    def test_k3_in_k8(self, spark):
+        host = nx.complete_graph(8)
+        motif = nx.complete_graph(3)
+        assert find_motifs(motif, nx_to_host(spark, host), count_only=True) == 336
+
+
+class TestErrors:
+    # test_grandiso.py:541-548
+    def test_disconnected_motif(self, spark):
+        host = nx_to_host(spark, nx.complete_graph(8, nx.DiGraph()))
+        motif = nx.DiGraph()
+        motif.add_node("a")
+        motif.add_node("b")
+        with pytest.raises(ValueError):
+            find_motifs(motif, host)
+
+    # test_grandiso.py:550-554
+    def test_empty_motif(self, spark):
+        host = nx_to_host(spark, nx.complete_graph(8, nx.DiGraph()))
+        with pytest.raises(ValueError):
+            find_motifs(nx.DiGraph(), host)
