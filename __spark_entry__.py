@@ -319,7 +319,7 @@ SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
 
 def q_pagerank_invoke_graph(spark, sf_dir):
     e = _event_invoke_edges(spark, sf_dir).select("src", "dst", "weight")
-    pr = pagerank(e, weight_col="weight", tol=1e-8)
+    pr = pagerank(e, weight_col="weight", tol=1e-6)
     return pr.select("id", F.round("rank", 8).alias("rank")).orderBy(
         F.desc("rank"), F.asc("id")
     ).limit(50)

@@ -1,0 +1,48 @@
+"""Single-node oracles for the iterative analytics passes.
+
+``networkx.pagerank`` delegates to scipy (absent in this environment),
+so the oracle here re-implements the exact published power-iteration
+semantics of networkx's ``_pagerank_scipy`` (damping alpha, uniform
+teleport, uniform dangling redistribution, L1 convergence with
+``err < N * tol``) in pure Python dicts — small test graphs only.
+"""
+
+from __future__ import annotations
+
+
+def pagerank_oracle(
+    edges: list[tuple[str, str, float]],
+    nodes: set[str] | None = None,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> dict[str, float]:
+    """Edge list is directed ``(src, dst, weight)``; symmetrize first
+    for undirected semantics (as networkx's to_directed does)."""
+    nodes = set(nodes or set())
+    out_w: dict[str, float] = {}
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for u, v, w in edges:
+        nodes.add(u)
+        nodes.add(v)
+        out_w[u] = out_w.get(u, 0.0) + w
+        adj.setdefault(u, []).append((v, w))
+    n = len(nodes)
+    if n == 0:
+        return {}
+    x = {v: 1.0 / n for v in nodes}
+    p = 1.0 / n
+    for _ in range(max_iter):
+        xlast = x
+        x = {v: 0.0 for v in nodes}
+        danglesum = sum(xlast[u] for u in nodes if out_w.get(u, 0.0) == 0.0)
+        for u, nbrs in adj.items():
+            share = xlast[u] / out_w[u]
+            for v, w in nbrs:
+                x[v] += alpha * share * w
+        for v in nodes:
+            x[v] += alpha * danglesum * p + (1.0 - alpha) * p
+        err = sum(abs(x[v] - xlast[v]) for v in nodes)
+        if err < n * tol:
+            return x
+    raise RuntimeError("oracle pagerank failed to converge")

@@ -21,6 +21,7 @@ from grandiso_networkx_spark.operators.triangles import (
 )
 from grandiso_networkx_spark.sources.nx_adapter import nx_to_host
 from grandiso_networkx_spark.sources.transcripts import synth_transcripts
+from tests.oracles import pagerank_oracle
 
 
 def _edges_df(spark, g, symmetric=False):
@@ -42,34 +43,58 @@ def transcript_graph(spark):
 
 
 class TestPageRank:
-    def test_directed_random(self, spark):
+    # oracle = tests.oracles.pagerank_oracle (nx formula; scipy absent)
+
+    @pytest.mark.parametrize("kernel", ["jvm", "arrow"])
+    def test_directed_random(self, spark, kernel):
         g = nx.fast_gnp_random_graph(60, 0.08, directed=True, seed=11)
+        edge_list = [(str(u), str(v), 1.0) for u, v in g.edges()]
         got = {
-            r.id: r.rank for r in pagerank(_edges_df(spark, g), tol=1e-10).collect()
+            r.id: r.rank
+            for r in pagerank(_edges_df(spark, g), tol=1e-10, kernel=kernel).collect()
         }
-        want = nx.pagerank(g, alpha=0.85, tol=1e-10)
-        assert set(got) == {str(k) for k in want if g.degree(k) > 0}
+        want = pagerank_oracle(edge_list, tol=1e-10)
+        assert set(got) == set(want)
         for k, v in want.items():
-            if str(k) in got:
-                assert abs(got[str(k)] - v) < 1e-6, k
+            assert abs(got[k] - v) < 1e-6, k
 
     def test_with_dangling_nodes(self, spark):
         g = nx.DiGraph([("a", "b"), ("b", "c"), ("a", "c"), ("d", "c")])
-        # c and (nothing from) c: c is dangling
         got = {r.id: r.rank for r in pagerank(_edges_df(spark, g), tol=1e-12).collect()}
-        want = nx.pagerank(g, tol=1e-12)
+        want = pagerank_oracle(
+            [(u, v, 1.0) for u, v in g.edges()], tol=1e-12
+        )
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-6
+
+    def test_isolated_vertices_via_vertex_table(self, spark):
+        g = nx.DiGraph([("a", "b"), ("b", "c")])
+        verts = spark.createDataFrame([("a",), ("b",), ("c",), ("iso",)], "id string")
+        got = {
+            r.id: r.rank
+            for r in pagerank(_edges_df(spark, g), tol=1e-12, vertices=verts).collect()
+        }
+        want = pagerank_oracle(
+            [(u, v, 1.0) for u, v in g.edges()],
+            nodes={"a", "b", "c", "iso"},
+            tol=1e-12,
+        )
+        assert set(got) == set(want)
         for k, v in want.items():
             assert abs(got[k] - v) < 1e-6
 
     def test_undirected_via_symmetrize(self, spark):
         g = nx.karate_club_graph()
+        sym = [(str(u), str(v), 1.0) for u, v in g.edges()] + [
+            (str(v), str(u), 1.0) for u, v in g.edges()
+        ]
         got = {
             r.id: r.rank
             for r in pagerank(_edges_df(spark, g, symmetric=True), tol=1e-10).collect()
         }
-        want = nx.pagerank(g, tol=1e-10)
+        want = pagerank_oracle(sym, tol=1e-10)
         for k, v in want.items():
-            assert abs(got[str(k)] - v) < 1e-6
+            assert abs(got[k] - v) < 1e-6
 
     def test_weighted_transcript_graph(self, spark, transcript_graph):
         edges, g = transcript_graph
@@ -77,7 +102,9 @@ class TestPageRank:
             r.id: r.rank
             for r in pagerank(edges, weight_col="weight", tol=1e-10).collect()
         }
-        want = nx.pagerank(g, weight="weight", tol=1e-10)
+        want = pagerank_oracle(
+            [(u, v, d["weight"]) for u, v, d in g.edges(data=True)], tol=1e-10
+        )
         assert np.allclose(
             [got[k] for k in sorted(want)],
             [want[k] for k in sorted(want)],

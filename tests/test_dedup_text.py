@@ -1,0 +1,125 @@
+"""Training-data ops: dedup, text stats, similarity search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from grandiso_networkx_spark.operators import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (3, "le renard brun rapide saute par dessus le chien"),
+        (4, "der schnelle braune fuchs springt und der hund"),
+        (5, "completely unrelated text about spark engines"),
+        (6, ""),
+        (7, "  "),
+        (8, "el zorro y los perros y el gato"),
+        (9, "numbers 123 456 789 !!! ??? ..."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs):
+        got = {r.keep_id: r.n_dups for r in dedup.exact_duplicates(docs).collect()}
+        assert got[0] == 2  # docs 0 and 1
+        assert sum(got.values()) == 10
+        kept = dedup.dedup_exact(docs)
+        assert kept.count() == 9
+        assert kept.where(F.col("doc_id") == 1).count() == 0
+
+
+class TestMinhash:
+    def test_exact_dups_have_jaccard_one(self, spark, docs):
+        pairs = {
+            (r.a, r.b): r.est_jaccard
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.0).collect()
+        }
+        assert pairs.get((0, 1)) == 1.0
+        # near dup scores high, unrelated pair absent or low
+        assert pairs.get((0, 2), 0.0) > 0.5
+        assert pairs.get((0, 5), 0.0) < 0.5
+
+    def test_signatures_deterministic(self, spark, docs):
+        a = dedup.minhash_signatures(docs).orderBy("doc_id").collect()
+        b = dedup.minhash_signatures(docs).orderBy("doc_id").collect()
+        assert [r.sig for r in a] == [r.sig for r in b]
+
+
+class TestSimhash:
+    def test_exact_dups_collide(self, spark, docs):
+        got = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+        assert got[0] == got[1]
+        ham = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 12  # near dup → small hamming distance
+        pairs = {(r.a, r.b) for r in dedup.simhash_near_pairs(docs, max_hamming=12).collect()}
+        assert (0, 1) in pairs
+
+
+class TestNgramJaccard:
+    def test_pairs(self, spark, docs):
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+        }
+        assert got[(0, 1)] == 1.0
+        assert 0.3 <= got[(0, 2)] < 1.0
+        assert (0, 5) not in got
+
+
+class TestTextStats:
+    def test_token_count(self, spark, docs):
+        got = {
+            r.doc_id: r.n
+            for r in docs.select(
+                "doc_id", textstats.token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        assert got[0] == 9
+        assert got[6] == 0 and got[7] == 0
+
+    def test_lang_guess(self, spark, docs):
+        got = {r.doc_id: r.lang_guess for r in textstats.language_guess(docs).collect()}
+        assert got[0] == "en"
+        assert got[3] == "fr"
+        assert got[4] == "de"
+        assert got[8] == "es"
+        assert got[6] == "und"
+
+    def test_quality_and_fingerprint(self, spark, docs):
+        q = {r.doc_id: r for r in textstats.quality_features(docs).collect()}
+        assert q[9].digit_ratio > 0.2
+        assert q[9].punct_ratio > 0.2
+        assert q[0].stopword_ratio > 0.2
+        fp = {r.doc_id: r.fp for r in textstats.fingerprint(docs).collect()}
+        assert fp[0] == fp[1]
+        assert fp[6] == fp[7]  # whitespace-normalized
+        assert fp[0] != fp[2]
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal((40, 16)).astype(np.float32)
+        base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_bruteforce_topk(self, spark, emb):
+        got = similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+        assert got[0].vec_id == 1 and got[0].cosine > 0.99
+        assert len(got) == 3
+
+    def test_lsh_recall_of_near_neighbor(self, spark, emb):
+        got = similarity.lsh_bucketed_topk(
+            emb, emb.where(F.col("vec_id") == 0), dim=16, k=3, bits=6, tables=6
+        ).collect()
+        assert any(r.vec_id == 1 for r in got)  # near-identical vector found
+        # approx results are a subset of candidates with exact rerank
+        assert all(-1.0 <= r.cosine <= 1.0 for r in got)
