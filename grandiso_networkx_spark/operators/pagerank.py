@@ -188,44 +188,55 @@ def pagerank(
         resumed = checkpoint.resume()
         if resumed is not None:
             start_iter, ranks = resumed
+            ranks = ranks.select("id", "has_out", "rank")
             start_iter += 1
 
     for it in range(start_iter, max_iter):
-        danglesum = (
-            ranks.where(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0
+        # Dangling mass as an in-plan broadcast 1-row aggregate: no
+        # driver collect, so each iteration is ONE materializing job
+        # (the checkpoint) plus — in convergence mode — one cheap agg
+        # over the materialized state.
+        dangle = F.broadcast(
+            ranks.where(~F.col("has_out")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangle")
+            )
         )
         contribs = _scatter(blocks, ranks, kernel)
         gathered = contribs.groupBy("dst").agg(F.sum("contrib").alias("gathered"))
-        new_ranks = verts.join(
-            gathered, verts["id"] == gathered["dst"], "left"
-        ).select(
-            "id",
-            "has_out",
-            (
-                F.lit(alpha)
-                * (F.coalesce("gathered", F.lit(0.0)) + F.lit(danglesum / n))
-                + F.lit((1.0 - alpha) / n)
-            ).alias("rank"),
+        new_rank = (
+            F.lit(alpha)
+            * (
+                F.coalesce("gathered", F.lit(0.0))
+                + F.col("__dangle") / F.lit(float(n))
+            )
+            + F.lit((1.0 - alpha) / n)
+        )
+        new_ranks = (
+            ranks.join(gathered, ranks["id"] == gathered["dst"], "left")
+            .crossJoin(dangle)
+            .select(
+                "id",
+                "has_out",
+                new_rank.alias("__new"),
+                F.abs(new_rank - F.col("rank")).alias("__diff"),
+            )
+            .withColumnRenamed("__new", "rank")
         )
         if checkpoint is not None and (it % checkpoint_every == 0):
-            new_ranks = checkpoint.save(it, new_ranks, {"danglesum": danglesum})
+            new_ranks = checkpoint.save(it, new_ranks)
         else:
             new_ranks = new_ranks.localCheckpoint()
         if fixed_iterations is None:
-            err = (
-                new_ranks.join(
-                    ranks.select(F.col("id"), F.col("rank").alias("__old")), "id"
-                )
-                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
-                .collect()[0][0]
-            )
-            ranks = new_ranks
+            # L1 delta from the already-materialized frame — a scan +
+            # partial agg, no join, no recompute.
+            err = new_ranks.agg(F.sum("__diff")).collect()[0][0]
+            ranks = new_ranks.select("id", "has_out", "rank")
             if err < n * tol:
                 blocks.unpersist()
                 verts.unpersist()
                 return ranks.select("id", "rank")
         else:
-            ranks = new_ranks
+            ranks = new_ranks.select("id", "has_out", "rank")
 
     blocks.unpersist()
     verts.unpersist()
