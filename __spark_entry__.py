@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from grandiso_networkx_spark.operators import dedup, derive, similarity, textstats
+from grandiso_networkx_spark.operators import dedup, multimodal, similarity, textstats
 from grandiso_networkx_spark.operators.match import find_motifs_df
 from grandiso_networkx_spark.operators.pagerank import pagerank
 from grandiso_networkx_spark.operators.components import connected_components
@@ -289,6 +289,117 @@ FROM documents
 """
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (≥0.5) — the
+    verification stage LSH candidates feed at scale."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS gram
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS ni
+  FROM grams ga JOIN grams gb USING (gram)
+  WHERE ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+"""
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionize events per user (30-min inactivity gap) — window-fn
+    coverage over the raw interaction log."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.col("ts") - prev) > F.expr("INTERVAL '1800' SECOND")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_s.alias("new_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_s").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+_EVENT_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+
+# HashMin components are SQL-checkable on this graph via transitive
+# closure (the event-type vertex set is tiny; the closure is the
+# textbook oracle, ours is the scalable formulation).
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL})),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Approximate top-k neighbors via sign-LSH bucketing + in-bucket
+    exact rerank (the scale path next to brute-force cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(
+        emb, emb.where(F.col("vec_id") < 8), dim=64, k=10, bits=8, tables=4
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: Arrow-batched feature extraction over a
+    deterministic synthetic media table (decode stubbed — no codecs in
+    this environment; schema/batch shape/partitioning are real)."""
+    media = multimodal.synth_media(spark, n=240)
+    feats = multimodal.extract_features(media, feat_dim=16)
+    return feats.select(
+        "media_id",
+        F.round(
+            F.aggregate(
+                F.transform("feature", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("feat_sum"),
+        F.size("feature").alias("feat_dim"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -408,13 +519,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lang_guess": q_lang_guess,
+        "ngram_jaccard": q_ngram_jaccard,
+        "event_sessions": q_event_sessions,
+        "connected_components": q_connected_components,
         # iterative / hash-seeded ops: rows-only driver checks; exactness
         # is covered by the networkx-oracle pytest suite instead.
         "pagerank_invoke_graph": q_pagerank_invoke_graph,
-        "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "minhash_dedup_pairs": q_minhash_dedup,
         "simhash_near_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -434,4 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "cosine_topk": _COSINE_SQL,
         "lang_guess": _LANG_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "event_sessions": _EVENT_SESSIONS_SQL,
+        "connected_components": _COMPONENTS_SQL,
     }
