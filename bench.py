@@ -51,7 +51,9 @@ def powerlaw_graph(spark, n_vertices: int, n_edges: int, seed: int = 42):
 
     dst is Zipf-ish (hash^2 folding concentrates mass on low ids →
     hub in-degree skew, the case salting/AQE must absorb), src ~
-    uniform.  Self-loops removed; parallel edges collapsed.
+    uniform.  Self-loops removed; parallel edges collapsed.  Ids are
+    longs — pagerank's surrogate-id fast path applies; HostGraph
+    canonicalizes to strings itself for the motif engine.
     """
     e = spark.range(n_edges).select(
         (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_vertices))).alias("src"),
@@ -61,11 +63,7 @@ def powerlaw_graph(spark, n_vertices: int, n_edges: int, seed: int = 42):
             F.lit(n_vertices),
         ).alias("dst"),
     )
-    return (
-        e.where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .select(F.col("src").cast("string"), F.col("dst").cast("string"))
-    )
+    return e.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
 
 
 def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
@@ -92,20 +90,26 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
         "derive", lambda: derive_edges(tr).agg(F.sum("weight")).collect()[0][0]
     )
 
-    # 2. power-law graph workloads.
+    # 2. power-law graph workloads.  PageRank gets its own 10x-larger
+    # graph (throughput metric amortizes fixed per-round costs); the
+    # motif/components graph stays at frontier-explosion-safe size.
     nv = int(100_000 * scale)
     ne = int(2_000_000 * scale)
     g = timed("graph_gen", lambda: powerlaw_graph(spark, nv, ne).persist())
     n_edges_real = g.count()
     counters["graph_edges"] = n_edges_real
 
+    pr_g = powerlaw_graph(spark, nv * 10, ne * 10, seed=5).persist()
+    pr_edges = pr_g.count()
+    counters["pagerank_graph_edges"] = pr_edges
     timed(
         "pagerank",
-        lambda: pagerank(g, fixed_iterations=PR_ITERS).agg(F.sum("rank")).collect(),
+        lambda: pagerank(pr_g, fixed_iterations=PR_ITERS).agg(F.sum("rank")).collect(),
     )
     counters["pagerank_edge_traversals_per_sec"] = round(
-        n_edges_real * PR_ITERS / timings["pagerank"], 1
+        pr_edges * PR_ITERS / timings["pagerank"], 1
     )
+    pr_g.unpersist()
 
     host = HostGraph(g, directed=True)
     m2 = Motif(directed=True)

@@ -174,7 +174,13 @@ class HostGraph:
                 self._adjacency = self._persist(sym)
         return self._adjacency
 
-    def candidate_domain(self, attrs: dict, min_degree: int) -> DataFrame:
+    def candidate_domain(
+        self,
+        attrs: dict,
+        min_degree: int,
+        attr_pred: Column | None = None,
+        structural_pred: Column | None = None,
+    ) -> DataFrame:
         """Vertices passing the node-attr subset match and degree bound.
 
         This is the distributed replacement for the reference's
@@ -183,12 +189,24 @@ class HostGraph:
         boolean calls we materialize the whole domain once per motif
         node and reuse it as a semi-join across every expansion round.
         Returns a single-column ``(id)`` DataFrame.
+
+        ``attr_pred`` / ``structural_pred`` override the default
+        subset-match / degree-lower-bound predicates (the P4 injection
+        surface, ``grandiso/__init__.py:120-122``): Column expressions
+        over ``attrs`` resp. ``degree`` of this graph's vertex/degree
+        tables.
         """
         dom = self.vertices
-        if attrs:
+        if attr_pred is not None:
+            dom = dom.where(attr_pred)
+        elif attrs:
             dom = dom.where(attrs_subset_predicate(F.col("attrs"), attrs))
         dom = dom.select("id")
-        if min_degree > 0:
+        if structural_pred is not None:
+            dom = dom.join(
+                self.degrees.where(structural_pred).select("id"), "id", "left_semi"
+            )
+        elif min_degree > 0:
             dom = dom.join(
                 self.degrees.where(F.col("degree") >= F.lit(min_degree)).select("id"),
                 "id",

@@ -25,7 +25,8 @@ intermediates, identical final result set.
 
 from __future__ import annotations
 
-from typing import Hashable
+from dataclasses import dataclass
+from typing import Callable, Hashable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -33,7 +34,52 @@ from ..graph import HostGraph, attrs_subset_predicate
 from ..plans.motif import BindPlan, BindStep, RequiredEdge
 
 
-def _edge_frame(host: HostGraph, req: RequiredEdge) -> tuple[DataFrame, str]:
+@dataclass(frozen=True)
+class MatchPredicates:
+    """P4 — caller-replaceable matching predicates.
+
+    The reference lets callers swap all three match functions via
+    kwargs (``grandiso/__init__.py:120-122``, ``:363-365``,
+    ``:436-438``).  Here each replacement is a *Column factory*
+    evaluated JVM-side inside the expansion joins — or, as the escape
+    hatch, a vectorized ``pandas_udf(BooleanType())`` call — never
+    per-row Python:
+
+    - ``node_attr(motif_node, motif_attrs, host_attrs_col) -> Column``
+      replaces ``_is_node_attr_match`` (``grandiso/__init__.py:29-55``).
+    - ``node_structural(motif_node, motif_degree, host_degree_col) ->
+      Column`` replaces ``_is_node_structural_match`` (``:58-78``);
+      evaluated against the precomputed degree table.
+    - ``edge_attr(motif_edge, motif_edge_attrs, host_attrs_col) ->
+      Column`` replaces ``_is_edge_attr_match`` (``:81-110``);
+      evaluated on adjacency rows during the binding join.
+    """
+
+    node_attr: Callable[[Hashable, dict, Column], Column] | None = None
+    node_structural: Callable[[Hashable, int, Column], Column] | None = None
+    edge_attr: Callable[[tuple, dict, Column], Column] | None = None
+
+    @property
+    def has_node_pred(self) -> bool:
+        return self.node_attr is not None or self.node_structural is not None
+
+
+def _domain(host: HostGraph, step: BindStep, preds: MatchPredicates | None) -> DataFrame:
+    ap = sp = None
+    if preds is not None:
+        if preds.node_attr is not None:
+            ap = preds.node_attr(step.node, dict(step.attrs), F.col("attrs"))
+        if preds.node_structural is not None:
+            sp = preds.node_structural(step.node, step.min_degree, F.col("degree"))
+    return host.candidate_domain(dict(step.attrs), step.min_degree, ap, sp)
+
+
+def _edge_frame(
+    host: HostGraph,
+    req: RequiredEdge,
+    node: Hashable,
+    preds: MatchPredicates | None = None,
+) -> tuple[DataFrame, str]:
     """Adjacency rows oriented as (__cand, __oth) for one required edge.
 
     Returns the frame and the name of the physical join-key column on
@@ -41,7 +87,10 @@ def _edge_frame(host: HostGraph, req: RequiredEdge) -> tuple[DataFrame, str]:
     """
     adj = host.adjacency
     attrs = dict(req.attrs)
-    if attrs:
+    motif_edge = (node, req.other) if req.out else (req.other, node)
+    if preds is not None and preds.edge_attr is not None:
+        adj = adj.where(preds.edge_attr(motif_edge, attrs, F.col("attrs")))
+    elif attrs:
         adj = adj.where(attrs_subset_predicate(F.col("attrs"), attrs))
     if req.out:
         # motif edge (new -> other): candidates are predecessors of the
@@ -58,24 +107,38 @@ def _edge_frame(host: HostGraph, req: RequiredEdge) -> tuple[DataFrame, str]:
     return ef, key
 
 
-def seed_frontier(host: HostGraph, plan: BindPlan, col_of: dict) -> DataFrame:
+def seed_frontier(
+    host: HostGraph,
+    plan: BindPlan,
+    col_of: dict,
+    preds: MatchPredicates | None = None,
+) -> DataFrame:
     """Round 0 without hints: the start node's candidate domain.
 
     A filtered scan, no join (``grandiso/__init__.py:156-168``).
     """
     step = plan.start
-    dom = host.candidate_domain(dict(step.attrs), step.min_degree)
+    dom = _domain(host, step, preds)
     if step.self_loop_attrs is not None:
-        dom = _apply_self_loop(dom, F.col("id"), host, step.self_loop_attrs)
+        dom = _apply_self_loop(
+            dom, F.col("id"), host, step.self_loop_attrs, step.node, preds
+        )
     return dom.select(F.col("id").alias(col_of[step.node]))
 
 
 def _apply_self_loop(
-    df: DataFrame, cand: Column, host: HostGraph, loop_attrs: tuple
+    df: DataFrame,
+    cand: Column,
+    host: HostGraph,
+    loop_attrs: tuple,
+    node: Hashable,
+    preds: MatchPredicates | None = None,
 ) -> DataFrame:
     loops = host.adjacency.where(F.col("src") == F.col("dst"))
     attrs = dict(loop_attrs)
-    if attrs:
+    if preds is not None and preds.edge_attr is not None:
+        loops = loops.where(preds.edge_attr((node, node), attrs, F.col("attrs")))
+    elif attrs:
         loops = loops.where(attrs_subset_predicate(F.col("attrs"), attrs))
     loops = loops.select(F.col("src").alias("__loop_id"))
     if host.hint_small:
@@ -89,6 +152,7 @@ def expand_step(
     host: HostGraph,
     col_of: dict,
     bound: list[Hashable],
+    preds: MatchPredicates | None = None,
 ) -> DataFrame:
     """One expansion round: bind ``step.node`` on every frontier row."""
     new_col = col_of[step.node]
@@ -98,7 +162,7 @@ def expand_step(
         )
 
     # First required edge materializes the candidate column (inner join).
-    ef, _ = _edge_frame(host, step.required[0])
+    ef, _ = _edge_frame(host, step.required[0], step.node, preds)
     out = frontier.join(
         ef, ef["__oth"] == frontier[col_of[step.required[0].other]], "inner"
     )
@@ -106,7 +170,7 @@ def expand_step(
 
     # Remaining required edges are set-intersection → left-semi joins.
     for req in step.required[1:]:
-        ef, _ = _edge_frame(host, req)
+        ef, _ = _edge_frame(host, req, step.node, preds)
         out = out.join(
             ef,
             (ef["__oth"] == out[col_of[req.other]])
@@ -121,15 +185,22 @@ def expand_step(
 
     # Node-attr + degree prune (grandiso/__init__.py:287-289).  When the
     # motif node has no attrs and degree <= 1 the prune is vacuous: the
-    # candidate arrived via a host edge, so its degree is >= 1.
-    if step.attrs or step.min_degree > 1:
-        dom = host.candidate_domain(dict(step.attrs), step.min_degree)
+    # candidate arrived via a host edge, so its degree is >= 1.  Custom
+    # node predicates (P4) are never vacuous — always applied.
+    if (
+        step.attrs
+        or step.min_degree > 1
+        or (preds is not None and preds.has_node_pred)
+    ):
+        dom = _domain(host, step, preds)
         if host.hint_small:
             dom = F.broadcast(dom)
         out = out.join(dom, out[new_col] == dom["id"], "left_semi")
 
     if step.self_loop_attrs is not None:
-        out = _apply_self_loop(out, F.col(new_col), host, step.self_loop_attrs)
+        out = _apply_self_loop(
+            out, F.col(new_col), host, step.self_loop_attrs, step.node, preds
+        )
 
     return out
 

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from ..graph import HostGraph
 from ..plans.motif import Motif, compile_plan
-from .frontier import expand_step, isomorphism_filter, seed_frontier
+from .frontier import MatchPredicates, expand_step, isomorphism_filter, seed_frontier
 
 SEED_COL = "__seed"
 
@@ -73,6 +73,9 @@ def find_motifs_df(
     interestingness: dict | None = None,
     checkpoint: "CheckpointManager | None" = None,
     keep_seed_col: bool = False,
+    is_node_attr_match=None,
+    is_node_structural_match=None,
+    is_edge_attr_match=None,
 ) -> DataFrame:
     """Build the complete-bindings DataFrame (lazy unless checkpointed).
 
@@ -80,6 +83,12 @@ def find_motifs_df(
     insertion order, plus ``__seed`` when ``keep_seed_col`` and hints
     are present.  Rows are NOT deduplicated — multiplicity from
     overlapping hints is part of the reference's contract.
+
+    ``is_node_attr_match`` / ``is_node_structural_match`` /
+    ``is_edge_attr_match`` mirror the reference's pluggable-predicate
+    kwargs (``grandiso/__init__.py:363-365``) as Column factories — see
+    :class:`~grandiso_networkx_spark.operators.frontier.MatchPredicates`
+    for the signatures.
     """
     motif = _as_motif(motif)
     if directed is None:
@@ -105,11 +114,18 @@ def find_motifs_df(
     nodes = list(motif.nodes)
     col_of = {n: f"m{i}" for i, n in enumerate(nodes)}
     out_cols = [F.col(col_of[n]).alias(str(n)) for n in nodes]
+    preds = None
+    if is_node_attr_match or is_node_structural_match or is_edge_attr_match:
+        preds = MatchPredicates(
+            node_attr=is_node_attr_match,
+            node_structural=is_node_structural_match,
+            edge_attr=is_edge_attr_match,
+        )
 
     def _run_group(hint_keys: tuple, seeds: list[tuple[int, dict]] | None) -> DataFrame:
         plan = compile_plan(motif, hint_keys, interestingness)
         if seeds is None:
-            frontier = seed_frontier(host, plan, col_of).withColumn(
+            frontier = seed_frontier(host, plan, col_of, preds).withColumn(
                 SEED_COL, F.lit(-1)
             )
         else:
@@ -126,7 +142,7 @@ def find_motifs_df(
         if plan.start is not None:
             bound.append(plan.start.node)
         for rnd, step in enumerate(plan.steps):
-            frontier = expand_step(frontier, step, host, col_of, bound)
+            frontier = expand_step(frontier, step, host, col_of, bound, preds)
             bound.append(step.node)
             if checkpoint is not None:
                 frontier = checkpoint.save(rnd, frontier, {"step": str(step.node)})

@@ -6,31 +6,47 @@ damping ``alpha``, uniform teleport/dangling distribution, L1
 convergence test ``err < N * tol`` — so per-vertex scores are
 ``allclose 1e-6`` against the oracle at convergence).
 
-Scale design
-------------
+Scale design (each point measured on the 20M-edge bench graph)
+--------------------------------------------------------------
+- **Dictionary-encoded vertex ids** (SURVEY.md §1.2): external ids are
+  arbitrary strings (``role:assistant``); iterating on them makes every
+  hash/compare/shuffle pay string cost.  A one-time surrogate-id map
+  (``monotonically_increasing_id`` — no global sort, scale-safe)
+  converts the hot loop to long keys (+~30% throughput); results are
+  decoded back on exit.  Inputs that are already integral skip the map.
 - **Adjacency prep (once):** out-strength per source, then edges are
   grouped into *salted chunks* — ``chunk = hash(src, dst) %
   ceil(out_deg / chunk_size)`` — before ``collect_list``.  A hub vertex
   with 10^8 out-edges never produces one giant array row or one
   overloaded reducer: its adjacency is spread across ~deg/chunk_size
   hash-balanced rows.  This is the salted repartitioning the north rule
-  mandates for hub skew.  Blocks are then hash-partitioned by ``src``
-  and persisted, so the per-iteration ranks⋈blocks join re-shuffles
-  NEITHER side (ranks come out of the previous round partitioned by
-  id ≡ src).
-- **Scatter kernels** (measured at 2M edges, local[8]):
-  ``jvm`` (default) — ``explode(arrays_zip(dsts, ws))`` inside
-  whole-stage codegen, 2.8 s/iter; ``arrow`` — zero-copy
-  ``mapInArrow`` CSR kernel (flatten list buffers + ``np.repeat``),
-  the mandated pandas/Arrow SpMV formulation; the old pandas-object
-  path measured 13.6 s/iter and was dropped.  Both are vectorized —
-  no per-row Python anywhere.
+  mandates for hub skew.
+- **Partition-aligned iteration state with flat lineage:** blocks are
+  hash-partitioned by ``src`` once; each round's ranks frame is
+  materialized with an eager ``localCheckpoint`` (each iteration
+  references ranks THREE times — dangle, scatter, update join — so an
+  un-truncated logical plan grows 3^rounds and OOMs the driver just
+  *naming* the cache) and then re-aligned with an explicit
+  ``repartition(P, vid).persist()``.  The realign exchange moves only
+  |V| rows of longs+doubles; the CSR blocks (|E|-scale arrays) never
+  move after build.  Net per-iteration exchanges: the gather transpose
+  (inherent) + the tiny realign.
+- **AQE partition coalescing is disabled inside the loop**: the gather
+  shuffle is small in *bytes* (longs + doubles) but expensive in *CPU*
+  (hash-agg over E rows), so the 64MB advisory target collapses it to a
+  handful of tasks and serializes the stage (measured 2×).
+- **Scatter kernels**: ``jvm`` (default) — ``explode(arrays_zip)``
+  inside whole-stage codegen; ``arrow`` — zero-copy ``mapInArrow`` CSR
+  kernel (flatten list buffers + ``np.repeat``), the mandated
+  pandas/Arrow SpMV formulation.  Both vectorized — no per-row Python.
 - **Gather:** ``groupBy(dst).sum`` with map-side partial aggregation
   (hub in-degree combines locally before the exchange).
-- **State:** the ranks DataFrame is the only iteration state; each
-  round is checkpointed (lineage truncation + resumability + per-
-  partition metrics) via :class:`~grandiso_networkx_spark.checkpoint.
-  CheckpointManager` or ``localCheckpoint``.
+- **Dangling mass** is an in-plan broadcast 1-row aggregate — no
+  per-iteration driver collect.
+- **State / resume:** each ``checkpoint_every`` rounds the ranks frame
+  is written (decoded to external ids, so a new driver with a fresh
+  surrogate map resumes exactly) via :class:`~grandiso_networkx_spark.
+  checkpoint.CheckpointManager`, with per-partition lineage metrics.
 """
 
 from __future__ import annotations
@@ -40,10 +56,12 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from ..checkpoint import CheckpointManager
 
-SCATTER_SCHEMA = "dst string, contrib double"
+_INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+_COAL_KEY = "spark.sql.adaptive.coalescePartitions.enabled"
 
 
 def _scatter_arrow(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -81,35 +99,52 @@ def build_adjacency_blocks(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Salted-chunk CSR blocks ``(src, out_w, dsts array, ws array)``,
-    hash-partitioned by ``src``.  Built once per graph; caller persists."""
+    hash-partitioned by ``src``.  Built once per graph; caller persists.
+
+    Kept id-type-generic (used directly by callers); :func:`pagerank`
+    builds its own long-keyed blocks internally.
+    """
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select("src", "dst", w.alias("w"))
-    outs = e.groupBy("src").agg(
+    return _blocks_from(e, chunk_size, num_partitions, "src", "dst")
+
+
+def _blocks_from(
+    e: DataFrame,
+    chunk_size: int,
+    num_partitions: int | None,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    outs = e.groupBy(src).agg(
         F.sum("w").alias("out_w"), F.count(F.lit(1)).alias("out_deg")
     )
     n_chunks = F.greatest(F.ceil(F.col("out_deg") / F.lit(chunk_size)), F.lit(1))
-    salted = e.join(outs, "src").withColumn(
-        "chunk", F.pmod(F.xxhash64("src", "dst"), n_chunks)
+    salted = e.join(outs, src).withColumn(
+        "chunk", F.pmod(F.xxhash64(src, dst), n_chunks)
     )
-    blocks = salted.groupBy("src", "chunk").agg(
+    blocks = salted.groupBy(src, "chunk").agg(
         F.first("out_w").alias("out_w"),
-        F.collect_list("dst").alias("dsts"),
+        F.collect_list(dst).alias("dsts"),
         F.collect_list("w").alias("ws"),
     )
     if num_partitions:
-        return blocks.repartition(num_partitions, "src")
-    return blocks.repartition("src")
+        return blocks.repartition(num_partitions, src)
+    return blocks.repartition(src)
 
 
-def _scatter(blocks: DataFrame, ranks: DataFrame, kernel: str) -> DataFrame:
+def _scatter(
+    blocks: DataFrame, ranks: DataFrame, kernel: str, dst_type: str = "long"
+) -> DataFrame:
     if kernel not in ("jvm", "arrow"):
         raise ValueError(f"Unknown scatter kernel {kernel!r}; use 'jvm' or 'arrow'.")
+    key = blocks.columns[0]  # 'src' or 'vid'-keyed alias
     joined = blocks.join(
-        ranks.select(F.col("id").alias("src"), "rank"), "src", "inner"
+        ranks.select(F.col(ranks.columns[0]).alias(key), "rank"), key, "inner"
     )
     if kernel == "arrow":
         return joined.select("rank", "out_w", "dsts", "ws").mapInArrow(
-            _scatter_arrow, schema=SCATTER_SCHEMA
+            _scatter_arrow, schema=f"dst {dst_type}, contrib double"
         )
     # jvm: explode inside whole-stage codegen; arrays_zip keeps dst/w
     # pairs aligned without materializing structs in Python.
@@ -134,6 +169,7 @@ def pagerank(
     fixed_iterations: int | None = None,
     vertices: DataFrame | None = None,
     kernel: str = "jvm",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge DataFrame ``(src, dst[, weight])``.
 
@@ -142,9 +178,9 @@ def pagerank(
     ``vertices`` (optional ``(id)`` DataFrame) adds isolated vertices,
     which share teleport/dangling mass exactly as networkx's N does.
 
-    Returns ``(id string, rank double)``; raises ``RuntimeError`` if the
-    iteration does not converge within ``max_iter`` (mirroring
-    ``nx.PowerIterationFailedConvergence``).
+    Returns ``(id, rank double)`` with ``id`` in the input's id type;
+    raises ``RuntimeError`` if the iteration does not converge within
+    ``max_iter`` (mirroring ``nx.PowerIterationFailedConvergence``).
 
     ``fixed_iterations`` runs exactly that many power iterations with
     no convergence test (deterministic benchmark workload; skips one
@@ -153,93 +189,199 @@ def pagerank(
     if fixed_iterations is not None:
         max_iter = fixed_iterations
     spark = edges.sparkSession
-    blocks = build_adjacency_blocks(edges, weight_col, chunk_size).persist()
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    endpoint_ids = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct()
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("w"))
+
+    # -- surrogate-id encoding (skipped for already-integral ids) ----------
+    schema = {f.name: f.dataType for f in e.schema.fields}
+    integral = isinstance(schema["src"], _INTEGRAL) and isinstance(
+        schema["dst"], _INTEGRAL
     )
     if vertices is not None:
-        # Isolated vertices share teleport/dangling mass (nx counts
-        # them in N), so an explicit vertex table changes every score.
-        endpoint_ids = vertices.select("id").unionAll(endpoint_ids).distinct()
+        vtype = dict((f.name, f.dataType) for f in vertices.schema.fields)["id"]
+        integral = integral and isinstance(vtype, _INTEGRAL)
+
+    persisted: list[DataFrame] = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        persisted.append(df)
+        return df
+
+    if integral:
+        vmap = None
+        e2 = e.select(
+            F.col("src").cast("long").alias("s"),
+            F.col("dst").cast("long").alias("d"),
+            "w",
+        )
+        ids = e2.select(F.col("s").alias("vid")).unionAll(
+            e2.select(F.col("d").alias("vid"))
+        )
+        if vertices is not None:
+            ids = ids.unionAll(vertices.select(F.col("id").cast("long").alias("vid")))
+        endpoint_vids = ids.distinct()
+    else:
+        ids = e.select(F.col("src").alias("id")).unionAll(
+            e.select(F.col("dst").alias("id"))
+        )
+        if vertices is not None:
+            ids = ids.unionAll(vertices.select("id"))
+        # persist() is disk-backed on eviction, so the surrogate ids are
+        # stable for the lifetime of this job (mono ids must never be
+        # recomputed after first materialization).
+        vmap = _persist(
+            ids.distinct().select("id", F.monotonically_increasing_id().alias("vid"))
+        )
+        e2 = (
+            e.join(
+                vmap.select(F.col("id").alias("src"), F.col("vid").alias("s")), "src"
+            )
+            .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("d")), "dst")
+            .select("s", "d", "w")
+        )
+        endpoint_vids = vmap.select("vid")
+
+    blocks = _persist(_blocks_from(e2, chunk_size, P, "s", "d"))
+
     # Dangling flag computed once: no out-edges → rank mass teleports.
-    verts = (
-        endpoint_ids.join(
-            blocks.select(F.col("src").alias("id"))
+    verts = _persist(
+        endpoint_vids.join(
+            blocks.select(F.col("s").alias("vid"))
             .distinct()
             .withColumn("__has_out", F.lit(True)),
-            "id",
+            "vid",
             "left",
         )
-        .select("id", F.coalesce("__has_out", F.lit(False)).alias("has_out"))
-        .persist()
+        .select("vid", F.coalesce("__has_out", F.lit(False)).alias("has_out"))
+        .repartition(P, "vid")
     )
     n = verts.count()
-    if n == 0:
-        return spark.createDataFrame([], "id string, rank double")
 
-    ranks = verts.select("id", "has_out", F.lit(1.0 / n).alias("rank"))
-    ranks = ranks.localCheckpoint()
+    def _decode(df: DataFrame, cols: list[str]) -> DataFrame:
+        if vmap is not None:
+            return df.join(vmap, "vid").select("id", *cols)
+        return df.select(F.col("vid").alias("id"), *cols)
+
+    def _encode(df: DataFrame) -> DataFrame:
+        if vmap is not None:
+            return df.join(vmap, "id").select("vid", "has_out", "rank")
+        return df.select(
+            F.col("id").cast("long").alias("vid"), "has_out", "rank"
+        )
+
+    def _cleanup() -> None:
+        for df in persisted:
+            df.unpersist()
+
+    if n == 0:
+        _cleanup()
+        out_t = "string" if not integral else "long"
+        return spark.createDataFrame([], f"id {out_t}, rank double")
+
+    ranks = _persist(
+        verts.select("vid", "has_out", F.lit(1.0 / n).alias("rank"))
+    )
 
     start_iter = 0
     if checkpoint is not None:
         resumed = checkpoint.resume()
         if resumed is not None:
-            start_iter, ranks = resumed
-            ranks = ranks.select("id", "has_out", "rank")
+            start_iter, saved = resumed
+            ranks = _persist(_encode(saved).repartition(P, "vid"))
             start_iter += 1
 
-    for it in range(start_iter, max_iter):
-        # Dangling mass as an in-plan broadcast 1-row aggregate: no
-        # driver collect, so each iteration is ONE materializing job
-        # (the checkpoint) plus — in convergence mode — one cheap agg
-        # over the materialized state.
-        dangle = F.broadcast(
-            ranks.where(~F.col("has_out")).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangle")
-            )
-        )
-        contribs = _scatter(blocks, ranks, kernel)
-        gathered = contribs.groupBy("dst").agg(F.sum("contrib").alias("gathered"))
-        new_rank = (
-            F.lit(alpha)
-            * (
-                F.coalesce("gathered", F.lit(0.0))
-                + F.col("__dangle") / F.lit(float(n))
-            )
-            + F.lit((1.0 - alpha) / n)
-        )
-        new_ranks = (
-            ranks.join(gathered, ranks["id"] == gathered["dst"], "left")
-            .crossJoin(dangle)
-            .select(
-                "id",
-                "has_out",
-                new_rank.alias("__new"),
-                F.abs(new_rank - F.col("rank")).alias("__diff"),
-            )
-            .withColumnRenamed("__new", "rank")
-        )
-        if checkpoint is not None and (it % checkpoint_every == 0):
-            new_ranks = checkpoint.save(it, new_ranks)
-        else:
-            new_ranks = new_ranks.localCheckpoint()
-        if fixed_iterations is None:
-            # L1 delta from the already-materialized frame — a scan +
-            # partial agg, no join, no recompute.
-            err = new_ranks.agg(F.sum("__diff")).collect()[0][0]
-            ranks = new_ranks.select("id", "has_out", "rank")
-            if err < n * tol:
-                blocks.unpersist()
-                verts.unpersist()
-                return ranks.select("id", "rank")
-        else:
-            ranks = new_ranks.select("id", "has_out", "rank")
+    # The realign exchange is only worth a persist on graphs where the
+    # blocks side is big enough to matter; tiny graphs skip it (fewer
+    # per-round jobs is what dominates there).
+    realign = n >= 200_000
 
-    blocks.unpersist()
-    verts.unpersist()
+    old_coal = spark.conf.get(_COAL_KEY, "true")
+    spark.conf.set(_COAL_KEY, "false")
+    prev: list[DataFrame] = [ranks]
+    try:
+        for it in range(start_iter, max_iter):
+            # Dangling mass as an in-plan broadcast 1-row aggregate: no
+            # driver collect; the whole iteration is ONE materializing
+            # job plus one cheap agg over the cached result.
+            dangle = F.broadcast(
+                ranks.where(~F.col("has_out")).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangle")
+                )
+            )
+            contribs = _scatter(
+                blocks.select(
+                    F.col("s").alias("vid"), "chunk", "out_w", "dsts", "ws"
+                ).drop("chunk"),
+                ranks,
+                kernel,
+            )
+            gathered = contribs.groupBy("dst").agg(
+                F.sum("contrib").alias("gathered")
+            )
+            new_rank = (
+                F.lit(alpha)
+                * (
+                    F.coalesce("gathered", F.lit(0.0))
+                    + F.col("__dangle") / F.lit(float(n))
+                )
+                + F.lit((1.0 - alpha) / n)
+            )
+            new_ranks = (
+                ranks.join(gathered, ranks["vid"] == gathered["dst"], "left")
+                .crossJoin(dangle)
+                .select(
+                    "vid",
+                    "has_out",
+                    new_rank.alias("__new"),
+                    F.abs(new_rank - F.col("rank")).alias("__diff"),
+                )
+                .withColumnRenamed("__new", "rank")
+            )
+            if checkpoint is not None and (it % checkpoint_every == 0):
+                # Saved state is DECODED so a fresh driver (with a fresh
+                # surrogate map) resumes exactly.  The reloaded Parquet
+                # frame is the flat-lineage state for the next round.
+                saved = checkpoint.save(
+                    it, _decode(new_ranks, ["has_out", "rank", "__diff"])
+                )
+                err_frame = saved
+                flat = _encode(saved.drop("__diff")).withColumn("__diff", F.lit(0.0))
+            else:
+                # Eager materialization + flat lineage (see module doc:
+                # the logical plan otherwise grows 3^rounds).
+                flat = new_ranks.localCheckpoint()
+                err_frame = flat
+            if fixed_iterations is None:
+                # L1 delta from the already-materialized frame (single
+                # scan, no join, no recompute).
+                err = err_frame.agg(F.sum("__diff")).collect()[0][0]
+            else:
+                err = None
+            if realign:
+                # Re-align with the blocks partitioning so the next
+                # scatter join moves |V| rows instead of the |E|-scale
+                # CSR arrays; persisted because three consumers read it.
+                new_state = flat.repartition(P, "vid").persist()
+            else:
+                new_state = flat
+            for p_df in prev:
+                p_df.unpersist()
+            prev = [new_state]
+            ranks = new_state
+            if err is not None and err < n * tol:
+                out = _decode(ranks.select("vid", "rank"), ["rank"])
+                out = out.localCheckpoint()  # detach from caches
+                _cleanup()
+                return out
+    finally:
+        spark.conf.set(_COAL_KEY, old_coal)
+
     if fixed_iterations is not None:
-        return ranks.select("id", "rank")
+        out = _decode(ranks.select("vid", "rank"), ["rank"]).localCheckpoint()
+        _cleanup()
+        return out
+    _cleanup()
     raise RuntimeError(f"PageRank failed to converge in {max_iter} iterations.")
