@@ -318,6 +318,13 @@ def pagerank(
                 ranks,
                 kernel,
             )
+            # Map-side partial aggregation here is load-bearing for hub
+            # skew: a hub dst's contributions combine locally before the
+            # exchange, so the reduce side never sees a hot key.  (A
+            # pre-repartition(dst) of the raw contribs — attractive
+            # because it keeps per-task agg maps small — was measured
+            # 5x WORSE on the Zipf bench graph: it ships every raw hub
+            # row to one partition.)
             gathered = contribs.groupBy("dst").agg(
                 F.sum("contrib").alias("gathered")
             )

@@ -49,10 +49,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deliberately modest heap: with a large heap Spark keeps every
+        # persisted/localCheckpointed block as live heap objects and the
+        # iterative workloads spend their time in GC scans (measured:
+        # the 20M-edge PageRank bench went 166s -> 700s+ just by
+        # raising this to 40g).  A small heap spills cold blocks to
+        # spark.local.dir (tmpfs here) as serialized bytes instead —
+        # the same discipline a real executor with many tasks enforces.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Local-mode only: shuffle files on tmpfs.  On a real cluster
+    # spark.local.dir is the executors' NVMe scratch; in this single-box
+    # sandbox the overlay FS serializes 32 concurrent shuffle writers
+    # (measured 150s -> 109s on the calibration groupBy).
+    shm = "/dev/shm/spark-graft"
+    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
