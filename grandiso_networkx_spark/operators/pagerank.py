@@ -51,6 +51,7 @@ Scale design (each point measured on the 20M-edge bench graph)
 
 from __future__ import annotations
 
+import time
 from typing import Iterator
 
 import numpy as np
@@ -170,6 +171,8 @@ def pagerank(
     vertices: DataFrame | None = None,
     kernel: str = "jvm",
     num_partitions: int | None = None,
+    iter_seconds: list | None = None,
+    stop_after_seconds: float | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge DataFrame ``(src, dst[, weight])``.
 
@@ -185,6 +188,17 @@ def pagerank(
     ``fixed_iterations`` runs exactly that many power iterations with
     no convergence test (deterministic benchmark workload; skips one
     aggregation job per round).
+
+    ``iter_seconds``: caller-supplied list; each round's wall seconds
+    (covering that round's materializing jobs) is appended — the
+    instrumentation the scaling bench uses to time steady-state rounds
+    without cross-run subtraction.
+
+    ``stop_after_seconds`` (benchmark-only, requires
+    ``fixed_iterations``): stop after the first round that finishes
+    past this wall-clock budget and return the current ranks — the
+    fixed-wall-window throughput mode the scaling bench pairs across
+    parallelism levels.
     """
     if fixed_iterations is not None:
         max_iter = fixed_iterations
@@ -293,24 +307,48 @@ def pagerank(
             ranks = _persist(_encode(saved).repartition(P, "vid"))
             start_iter += 1
 
-    # The realign exchange is only worth a persist on graphs where the
-    # blocks side is big enough to matter; tiny graphs skip it (fewer
-    # per-round jobs is what dominates there).
-    realign = n >= 200_000
+    # Measured per-round cost knobs (defaults are the winners on the
+    # 10M-edge pinned-core bench; env-overridable for A/B):
+    # - realign OFF: the update join already hash-partitions the new
+    #   ranks by vid into P partitions and localCheckpoint preserves
+    #   that, so the explicit repartition+persist is a redundant |V|-row
+    #   exchange + an extra job per round. Worst case without it the
+    #   scatter join re-exchanges the |V|-row ranks side — never the
+    #   |E|-scale CSR blocks (their persisted partitioning satisfies
+    #   the join).
+    # - dangle as literal ON: one tiny collect over the cached ranks
+    #   frame per round, injected as a literal, instead of a broadcast
+    #   1-row subquery (broadcast build + exchange inside the main job).
+    import os as _os
+
+    realign = n >= 200_000 and _os.environ.get("GISPARK_PR_REALIGN", "0") == "1"
+    dangle_literal = _os.environ.get("GISPARK_PR_DANGLE_LITERAL", "1") == "1"
 
     old_coal = spark.conf.get(_COAL_KEY, "true")
     spark.conf.set(_COAL_KEY, "false")
     prev: list[DataFrame] = [ranks]
+    _t_loop = time.monotonic()
     try:
         for it in range(start_iter, max_iter):
+            _t_round = time.monotonic()
             # Dangling mass as an in-plan broadcast 1-row aggregate: no
             # driver collect; the whole iteration is ONE materializing
             # job plus one cheap agg over the cached result.
-            dangle = F.broadcast(
-                ranks.where(~F.col("has_out")).agg(
-                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangle")
+            if dangle_literal:
+                dm = (
+                    ranks.where(~F.col("has_out"))
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0]
                 )
-            )
+                dangle = None
+                dangle_col = F.lit(float(dm))
+            else:
+                dangle = F.broadcast(
+                    ranks.where(~F.col("has_out")).agg(
+                        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangle")
+                    )
+                )
+                dangle_col = F.col("__dangle")
             contribs = _scatter(
                 blocks.select(
                     F.col("s").alias("vid"), "chunk", "out_w", "dsts", "ws"
@@ -332,13 +370,15 @@ def pagerank(
                 F.lit(alpha)
                 * (
                     F.coalesce("gathered", F.lit(0.0))
-                    + F.col("__dangle") / F.lit(float(n))
+                    + dangle_col / F.lit(float(n))
                 )
                 + F.lit((1.0 - alpha) / n)
             )
+            joined = ranks.join(gathered, ranks["vid"] == gathered["dst"], "left")
+            if dangle is not None:
+                joined = joined.crossJoin(dangle)
             new_ranks = (
-                ranks.join(gathered, ranks["vid"] == gathered["dst"], "left")
-                .crossJoin(dangle)
+                joined
                 .select(
                     "vid",
                     "has_out",
@@ -378,6 +418,14 @@ def pagerank(
                 p_df.unpersist()
             prev = [new_state]
             ranks = new_state
+            if iter_seconds is not None:
+                iter_seconds.append(time.monotonic() - _t_round)
+            if (
+                stop_after_seconds is not None
+                and fixed_iterations is not None
+                and time.monotonic() - _t_loop > stop_after_seconds
+            ):
+                break
             if err is not None and err < n * tol:
                 out = _decode(ranks.select("vid", "rank"), ["rank"])
                 out = out.localCheckpoint()  # detach from caches

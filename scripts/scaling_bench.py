@@ -10,22 +10,28 @@ for both so the physical work is identical), and reporting
 
 per workload.
 
-Measurement design — this box's throughput swings 3-4x on a minutes
-timescale (shared tenancy; the identical command measured 42s and
-112s two minutes apart), so sequential legs are meaningless. Instead:
+Measurement design. This box's effective CPU swings 3-4x on a
+minutes timescale (shared tenancy: the identical job measured 42s and
+112s two minutes apart; a plain spin-loop swings +-35% seconds apart),
+so neither sequential legs nor merely-concurrent legs give meaningful
+ratios — phases drift and one leg's noise window differs from the
+other's. Instead:
 
-- **Paired-concurrent legs.** Each trial runs the N leg and the 4N leg
-  AT THE SAME TIME, pinned (``taskset``) to disjoint core sets (2 + 8
-  of the box's 32 — no mutual contention). Both legs therefore see the
-  same external-noise window, and the ratio cancels it. This is also
-  the closest local-mode analogue of two independent clusters.
-- **Steady-state timing.** JVM startup, input generation, adjacency
-  build, and first-iteration cache warming are excluded: each leg
-  builds + warms first, then times the measured phase only (PageRank:
-  ``PR_WARM`` untimed iterations then ``PR_ITERS`` timed; motif: one
-  untimed single-edge warm query, then the timed 2-path count).
-- **Median of per-pair efficiencies** across ``TRIALS`` pairs; all raw
-  trials are reported in BENCH/scaling.json.
+- **Pinned disjoint cores.** The N leg is ``taskset``-pinned to 2
+  cores, the 4N leg to 8 different cores (of 32); each leg's JVM, GC,
+  and Python workers all live inside its allocation — the same budget
+  discipline a real executor has — and the legs cannot contend with
+  each other.
+- **Barrier-synchronized fixed wall-clock windows.** Both legs build
+  + warm up, then rendezvous (file barrier), then run the SAME
+  workload for the SAME fixed wall-clock window, counting work
+  completed (PageRank: full power iterations, work = |E| per
+  iteration; motif: complete 2-path match counts, work = matches per
+  run). The two legs' windows cover the same instants, so
+  box-level noise hits both and the throughput ratio cancels it by
+  construction.
+- **Median over trials** of per-trial efficiency; all raw trials are
+  in BENCH/scaling.json.
 
 A ``local[32]`` leg is reported as well for absolute single-box
 throughput, but it is NOT the efficiency pair: beyond ~8-16 threads a
@@ -34,9 +40,8 @@ multi-executor cluster (separate JVMs, separate disks, separate memory
 pools) does not share.
 
 Usage:
-  python scripts/scaling_bench.py                # full run + report
-  python scripts/scaling_bench.py --leg 8        # one leg, prints JSON
-  python scripts/scaling_bench.py --leg 8 --cores 8-15
+  python scripts/scaling_bench.py                 # full run + report
+  python scripts/scaling_bench.py --leg 8         # one leg, no barrier
 """
 
 from __future__ import annotations
@@ -46,25 +51,44 @@ import os
 import statistics
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PR_ITERS = 8
+def _env(name: str, default, cast):
+    return cast(os.environ.get(name, default))
+
+
 PR_WARM = 2
-PR_VERTICES = 500_000
-PR_EDGES = 10_000_000
-MOTIF_VERTICES = 1_500_000
-MOTIF_EDGES = 6_000_000
+PR_VERTICES = _env("SCALING_PR_VERTICES", 1_000_000, int)
+PR_EDGES = _env("SCALING_PR_EDGES", 20_000_000, int)
+PR_WINDOW = _env("SCALING_PR_WINDOW", 180.0, float)
+MOTIF_VERTICES = _env("SCALING_MOTIF_VERTICES", 1_500_000, int)
+MOTIF_EDGES = _env("SCALING_MOTIF_EDGES", 6_000_000, int)
+MOTIF_WINDOW = _env("SCALING_MOTIF_WINDOW", 150.0, float)
 N_LEG = 2
 N4_LEG = 8
-TRIALS = 3
-# Disjoint pinned core sets: N on 0-1, 4N on 8-15 (leaves 2-7 and
-# 16-31 for OS/noise so the pinned sets stay comparatively clean).
+TRIALS = _env("SCALING_TRIALS", 3, int)
+# Disjoint pinned core sets: N on 0-1, 4N on 8-15 (2-7 and 16-31 stay
+# free for the OS and any external load).
 CORES = {N_LEG: "0-1", N4_LEG: "8-15", 32: "0-31"}
 
 
-def run_leg(cpus: int) -> dict:
+def _barrier(sync_dir: str | None, cpus: int, phase: str) -> None:
+    """File barrier: mark this leg ready, wait for the parent's go.
+    Bounded wait — if the sibling leg died the go never comes; proceed
+    unsynchronized rather than hang (the parent discards the trial)."""
+    if not sync_dir:
+        return
+    open(os.path.join(sync_dir, f"ready_{phase}_{cpus}"), "w").close()
+    go = os.path.join(sync_dir, f"go_{phase}")
+    deadline = time.monotonic() + 900
+    while not os.path.exists(go) and time.monotonic() < deadline:
+        time.sleep(0.2)
+
+
+def run_leg(cpus: int, sync_dir: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     import bench
@@ -78,64 +102,110 @@ def run_leg(cpus: int) -> dict:
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=64,
+        # On a 2-core pinned leg the heartbeat thread can starve >120s
+        # during the adjacency build (observed: 144s -> Spark removed
+        # its own local executor). Bench-only timeout relaxation.
+        extra_conf={
+            "spark.network.timeout": "600s",
+            "spark.executor.heartbeatInterval": "60s",
+        },
     )
     out: dict = {"cpus": cpus}
 
+    # ---- PageRank: fixed wall window, count completed iterations ----
     g = bench.powerlaw_graph(spark, PR_VERTICES, PR_EDGES).persist()
     n_edges = g.count()
     out["pr_edges"] = n_edges
-    # Warm: JIT, shuffle paths, cached input. Timed: PR_ITERS fixed
-    # iterations (each pays the full scatter/gather/update pipeline —
-    # adjacency build happens inside both runs and is warm for the
-    # second by OS/cache effects only, so the timed run still includes
-    # one blocks build; subtract it by timing a 0-extra-work baseline).
+    # Warm: blocks build + JIT + caches (untimed, outside the window).
     pagerank(g, fixed_iterations=PR_WARM).agg(F.sum("rank")).collect()
-    t0 = time.time()
-    pagerank(g, fixed_iterations=PR_WARM).agg(F.sum("rank")).collect()
-    t_base = time.time() - t0
-    t0 = time.time()
-    pagerank(g, fixed_iterations=PR_WARM + PR_ITERS).agg(F.sum("rank")).collect()
-    t_full = time.time() - t0
-    # Marginal cost of PR_ITERS steady-state iterations.
-    out["pagerank_sec"] = round(max(t_full - t_base, 1e-3), 2)
-    out["pagerank_tput"] = round(n_edges * PR_ITERS / out["pagerank_sec"], 1)
+    _barrier(sync_dir, cpus, "pr")
+    iter_s: list = []
+    t0 = time.monotonic()
+    pagerank(
+        g,
+        fixed_iterations=10_000,
+        stop_after_seconds=PR_WINDOW,
+        iter_seconds=iter_s,
+    ).agg(F.sum("rank")).collect()
+    # Steady-state tput over the window: drop PR_WARM in-window warm
+    # rounds (this call rebuilt its blocks inside round 0).
+    steady_iters = max(len(iter_s) - PR_WARM, 1)
+    steady_sec = sum(iter_s[PR_WARM:]) if len(iter_s) > PR_WARM else sum(iter_s)
+    out["pagerank_iters_in_window"] = len(iter_s)
+    out["pagerank_iter_sec"] = [round(s, 2) for s in iter_s]
+    out["pagerank_sec"] = round(steady_sec, 2)
+    out["pagerank_tput"] = round(n_edges * steady_iters / steady_sec, 1)
+    out["pagerank_window_sec"] = round(time.monotonic() - t0, 2)
     g.unpersist()
 
+    # ---- Motif: fixed wall window, count completed match jobs ----
     gm = bench.powerlaw_graph(spark, MOTIF_VERTICES, MOTIF_EDGES, seed=7).persist()
     m_edges = gm.count()
     out["motif_edges"] = m_edges
     host = HostGraph(gm, directed=True)
-    warm = Motif(directed=True)
-    warm.add_edge("A", "B")
-    find_motifs_df(warm, host).count()  # warm: degree tables, caches, JIT
     m = Motif(directed=True)
     m.add_edge("A", "B")
     m.add_edge("B", "C")
-    t0 = time.time()
-    out["motif_matches"] = find_motifs_df(m, host).count()
-    out["motif_sec"] = round(time.time() - t0, 2)
-    out["motif_tput"] = round(out["motif_matches"] / out["motif_sec"], 1)
+    matches = find_motifs_df(m, host).count()  # warm: degrees, caches, JIT
+    out["motif_matches"] = matches
+    _barrier(sync_dir, cpus, "motif")
+    t0 = time.monotonic()
+    runs = 0
+    elapsed_at_last = 0.0
+    while True:
+        find_motifs_df(m, host).count()
+        runs += 1
+        elapsed_at_last = time.monotonic() - t0
+        if elapsed_at_last >= MOTIF_WINDOW:
+            break
+    out["motif_runs_in_window"] = runs
+    out["motif_sec"] = round(elapsed_at_last, 2)
+    out["motif_tput"] = round(matches * runs / elapsed_at_last, 1)
 
     spark.stop()
     return out
 
 
-def _spawn_leg(cpus: int) -> subprocess.Popen:
+def _spawn_leg(cpus: int, tag: str, sync_dir: str | None) -> tuple:
+    """Output goes to files, NOT pipes: Spark's progress chatter fills a
+    64KB pipe buffer and blocks the child if the parent isn't draining
+    it (which it can't be, while waiting on the other concurrent leg)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--leg", str(cpus)]
+    if sync_dir:
+        cmd += ["--sync-dir", sync_dir]
     cores = CORES.get(cpus)
     if cores:
         cmd = ["taskset", "-c", cores] + cmd
-    return subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
-    )
+    out_path = f"/tmp/scaling_leg_{tag}.out"
+    out_f = open(out_path, "w")
+    proc = subprocess.Popen(cmd, stdout=out_f, stderr=subprocess.STDOUT)
+    return proc, out_path
 
 
-def _collect(proc: subprocess.Popen, cpus: int) -> dict:
-    stdout, stderr = proc.communicate()
+def _release_barriers(sync_dir: str, procs: list, cpus_list: list[int]) -> None:
+    """Parent side: for each phase, wait until every leg is ready, then
+    drop the go file (or bail if a leg died)."""
+    for phase in ("pr", "motif"):
+        while True:
+            ready = all(
+                os.path.exists(os.path.join(sync_dir, f"ready_{phase}_{c}"))
+                for c in cpus_list
+            )
+            if ready:
+                break
+            if any(p.poll() is not None for p in procs):
+                return  # a leg died; _collect will surface its output
+            time.sleep(0.3)
+        open(os.path.join(sync_dir, f"go_{phase}"), "w").close()
+
+
+def _collect(proc: subprocess.Popen, out_path: str, cpus: int) -> dict:
+    proc.wait()
+    with open(out_path) as f:
+        stdout = f.read()
     line = [l for l in stdout.splitlines() if l.startswith("LEGJSON:")]
     if not line:
         print(stdout[-2000:])
-        print(stderr[-2000:])
         raise SystemExit(f"leg {cpus} failed")
     return json.loads(line[0][len("LEGJSON:"):])
 
@@ -143,15 +213,26 @@ def _collect(proc: subprocess.Popen, cpus: int) -> dict:
 def main() -> None:
     if "--leg" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--leg") + 1])
-        print("LEGJSON:" + json.dumps(run_leg(cpus)))
+        sync_dir = None
+        if "--sync-dir" in sys.argv:
+            sync_dir = sys.argv[sys.argv.index("--sync-dir") + 1]
+        print("LEGJSON:" + json.dumps(run_leg(cpus, sync_dir)))
         return
 
     pairs: list[dict] = []
     for t in range(TRIALS):
-        pn = _spawn_leg(N_LEG)
-        p4 = _spawn_leg(N4_LEG)
-        legN = _collect(pn, N_LEG)
-        leg4 = _collect(p4, N4_LEG)
+        with tempfile.TemporaryDirectory(prefix="scaling_sync_") as sync_dir:
+            pn, pn_out = _spawn_leg(N_LEG, f"N_{t}", sync_dir)
+            p4, p4_out = _spawn_leg(N4_LEG, f"4N_{t}", sync_dir)
+            _release_barriers(sync_dir, [pn, p4], [N_LEG, N4_LEG])
+            try:
+                legN = _collect(pn, pn_out, N_LEG)
+                leg4 = _collect(p4, p4_out, N4_LEG)
+            except SystemExit:
+                for p in (pn, p4):  # don't orphan the sibling leg
+                    if p.poll() is None:
+                        p.kill()
+                raise
         pair = {
             "trial": t,
             "N": legN,
@@ -164,24 +245,31 @@ def main() -> None:
         pairs.append(pair)
         print(json.dumps(pair), flush=True)
 
-    leg32 = _collect(_spawn_leg(32), 32)
+    p32, p32_out = _spawn_leg(32, "32", None)
+    leg32 = _collect(p32, p32_out, 32)
     print(json.dumps(leg32), flush=True)
 
     eff_pr = statistics.median(p["pagerank_eff"] for p in pairs)
     eff_mo = statistics.median(p["motif_eff"] for p in pairs)
-    med_pr = statistics.median(p["4N"]["pagerank_tput"] for p in pairs)
-    med_mo = statistics.median(p["4N"]["motif_tput"] for p in pairs)
-    medN_pr = statistics.median(p["N"]["pagerank_tput"] for p in pairs)
-    medN_mo = statistics.median(p["N"]["motif_tput"] for p in pairs)
     report = {
         "N_cpus": N_LEG,
         "4N_cpus": N4_LEG,
+        "pr_window_sec": PR_WINDOW,
+        "motif_window_sec": MOTIF_WINDOW,
         "pairs": pairs,
         "local32": leg32,
-        "median_N_pagerank_tput": medN_pr,
-        "median_4N_pagerank_tput": med_pr,
-        "median_N_motif_tput": medN_mo,
-        "median_4N_motif_tput": med_mo,
+        "median_N_pagerank_tput": statistics.median(
+            p["N"]["pagerank_tput"] for p in pairs
+        ),
+        "median_4N_pagerank_tput": statistics.median(
+            p["4N"]["pagerank_tput"] for p in pairs
+        ),
+        "median_N_motif_tput": statistics.median(
+            p["N"]["motif_tput"] for p in pairs
+        ),
+        "median_4N_motif_tput": statistics.median(
+            p["4N"]["motif_tput"] for p in pairs
+        ),
         "pagerank_scaling_efficiency": round(eff_pr, 3),
         "motif_scaling_efficiency": round(eff_mo, 3),
     }
@@ -190,15 +278,15 @@ def main() -> None:
         json.dump(report, f, indent=1)
 
     rows_pr = "\n".join(
-        f"| {p['trial']} | {p['N']['pagerank_sec']} | {p['N']['pagerank_tput']:,} "
-        f"| {p['4N']['pagerank_sec']} | {p['4N']['pagerank_tput']:,} "
-        f"| {p['pagerank_eff']} |"
+        f"| {p['trial']} | {p['N']['pagerank_iters_in_window']} "
+        f"| {p['N']['pagerank_tput']:,} | {p['4N']['pagerank_iters_in_window']} "
+        f"| {p['4N']['pagerank_tput']:,} | {p['pagerank_eff']} |"
         for p in pairs
     )
     rows_mo = "\n".join(
-        f"| {p['trial']} | {p['N']['motif_sec']} | {p['N']['motif_tput']:,} "
-        f"| {p['4N']['motif_sec']} | {p['4N']['motif_tput']:,} "
-        f"| {p['motif_eff']} |"
+        f"| {p['trial']} | {p['N']['motif_runs_in_window']} "
+        f"| {p['N']['motif_tput']:,} | {p['4N']['motif_runs_in_window']} "
+        f"| {p['4N']['motif_tput']:,} | {p['motif_eff']} |"
         for p in pairs
     )
     md = f"""# BENCH/BASELINE.md — measured throughput + scaling evidence
@@ -206,37 +294,38 @@ def main() -> None:
 Sandbox stand-in for the north rule's N -> 4N executor criterion
 (BASELINE.md): identical jobs, identical deterministic inputs,
 identical configs (64 shuffle partitions), at `local[{N_LEG}]` (N) vs
-`local[{N4_LEG}]` (4N). This box's throughput swings 3-4x on a minutes
-timescale (shared tenancy), so each trial runs BOTH legs concurrently
-on disjoint `taskset`-pinned core sets ({CORES[N_LEG]} vs
-{CORES[N4_LEG]} of 32) — both legs share the same noise window and the
-ratio cancels it — and timing is steady-state (JVM startup, input
-generation, adjacency build, and warm-up iterations excluded).
-Efficiency = median over {TRIALS} paired trials of
-`(tput_4N / tput_N) / 4`. A `local[32]` leg is reported for absolute
-throughput but is not the efficiency pair (beyond ~8-16 threads a
-single JVM serializes on shuffle/allocator paths that distinct
-executor JVMs on a real cluster do not share).
+`local[{N4_LEG}]` (4N). This box's effective CPU swings 3-4x on a
+minutes timescale (shared tenancy), so each trial pins the two legs to
+disjoint core sets ({CORES[N_LEG]} vs {CORES[N4_LEG]} of 32 — each
+leg's JVM/GC/Python workers live inside its allocation, like a real
+executor's core budget) and, after untimed build + warm-up, runs both
+legs' measured phases over BARRIER-SYNCHRONIZED identical wall-clock
+windows (PageRank {PR_WINDOW:.0f}s, motif {MOTIF_WINDOW:.0f}s),
+counting completed work: both legs see the same noise instants, so the
+throughput ratio cancels box noise by construction. Efficiency =
+median over {TRIALS} paired trials of `(tput_4N / tput_N) / 4`. A
+`local[32]` leg is reported for absolute throughput but is not the
+efficiency pair (beyond ~8-16 threads a single JVM serializes on
+shuffle/allocator paths that distinct executor JVMs on a real cluster
+do not share).
 
-## PageRank ({PR_ITERS} timed steady-state iterations after {PR_WARM} warm-up, {pairs[0]['N']['pr_edges']:,} edges, JVM scatter kernel)
+## PageRank ({pairs[0]['N']['pr_edges']:,} edges, JVM scatter kernel; work unit = 1 power iteration)
 
-| trial | N sec | N tput | 4N sec | 4N tput | efficiency |
+| trial | N iters | N tput | 4N iters | 4N tput | efficiency |
 |---|---|---|---|---|---|
 {rows_pr}
 
 **median scaling efficiency (N->4N) = {eff_pr:.3f}** (target >= 0.8);
-tput = edge-traversals/sec. local[32]: {leg32['pagerank_sec']}s,
-{leg32['pagerank_tput']:,}/s.
+tput = edge-traversals/sec. local[32]: {leg32['pagerank_tput']:,}/s.
 
-## Motif search (directed 2-path monomorphisms, {pairs[0]['N']['motif_edges']:,} edges, {pairs[0]['N']['motif_matches']:,} matches)
+## Motif search (directed 2-path monomorphisms, {pairs[0]['N']['motif_edges']:,} edges, {pairs[0]['N']['motif_matches']:,} matches; work unit = 1 full count)
 
-| trial | N sec | N tput | 4N sec | 4N tput | efficiency |
+| trial | N runs | N tput | 4N runs | 4N tput | efficiency |
 |---|---|---|---|---|---|
 {rows_mo}
 
 **median scaling efficiency (N->4N) = {eff_mo:.3f}** (target >= 0.8);
-tput = matches/sec. local[32]: {leg32['motif_sec']}s,
-{leg32['motif_tput']:,}/s.
+tput = matches/sec. local[32]: {leg32['motif_tput']:,}/s.
 
 Raw JSON: `BENCH/scaling.json`. Reproduce: `python scripts/scaling_bench.py`.
 """
