@@ -436,6 +436,42 @@ def q_pagerank_invoke_graph(spark, sf_dir):
     ).limit(50)
 
 
+def q_pagerank_fixed(spark, sf_dir):
+    """Fixed-iteration PageRank (6 power iterations) on the invoke
+    graph — SQL-expressible (unrolled CTE chain), so unlike the
+    convergence-mode variant this one is value-checked by the driver."""
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst", "weight")
+    pr = pagerank(e, weight_col="weight", fixed_iterations=6)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_fixed_sql(iters: int = 6) -> str:
+    """Unrolled power iteration: exactly pagerank()'s recurrence
+    rank' = a*(gather + dangle/n) + (1-a)/n, a=0.85, rank0 = 1/n."""
+    parts = [
+        f"""WITH e AS ({_INVOKE_EDGES_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS c FROM verts),
+outw AS (SELECT src, sum(weight * 1.0) AS w FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT c FROM nn) AS rank FROM verts)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i}
+         WHERE id NOT IN (SELECT src FROM outw)),
+g{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS g
+         FROM e JOIN r{i} r ON r.id = e.src JOIN outw o ON o.src = e.src
+         GROUP BY e.dst),
+r{i + 1} AS (SELECT v.id,
+    0.85 * (coalesce(g.g, 0) + (SELECT dm FROM d{i}) / (SELECT c FROM nn))
+    + 0.15 / (SELECT c FROM nn) AS rank
+  FROM verts v LEFT JOIN g{i} g ON v.id = g.id)"""
+        )
+    parts.append(f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
 def q_connected_components(spark, sf_dir):
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return connected_components(e)
@@ -522,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
+        "pagerank_fixed": q_pagerank_fixed,
         # iterative / hash-seeded ops: rows-only driver checks; exactness
         # is covered by the networkx-oracle pytest suite instead.
         "pagerank_invoke_graph": q_pagerank_invoke_graph,
@@ -552,4 +589,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "connected_components": _COMPONENTS_SQL,
+        "pagerank_fixed": _pagerank_fixed_sql(6),
     }
