@@ -482,6 +482,33 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(e, max_iter=8)
 
 
+def _lpa_sql(iters: int = 8) -> str:
+    """Unrolled synchronous LPA with the engine's pinned tie-break
+    (most frequent neighbor label, ties -> smallest label), over the
+    symmetrized reply graph — the exact dataflow of
+    operators/label_propagation.py, one CTE block per round."""
+    parts = [
+        f"""WITH re AS ({_REPLY_EDGES_SQL}),
+sym AS (SELECT src, dst FROM re UNION SELECT dst AS src, src AS dst FROM re),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+pick{i} AS (
+  SELECT id, label AS new_label FROM (
+    SELECT s.dst AS id, l.label,
+           row_number() OVER (PARTITION BY s.dst
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM sym s JOIN l{i} l ON l.id = s.src
+    GROUP BY s.dst, l.label) t WHERE rn = 1),
+l{i + 1} AS (SELECT l.id, coalesce(p.new_label, l.label) AS label
+             FROM l{i} l LEFT JOIN pick{i} p ON p.id = l.id)"""
+        )
+    parts.append(f"\nSELECT id, label FROM l{iters}")
+    return "".join(parts)
+
+
 def q_minhash_dedup(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.5
@@ -559,10 +586,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
         "pagerank_fixed": q_pagerank_fixed,
+        "label_propagation": q_label_propagation,
         # iterative / hash-seeded ops: rows-only driver checks; exactness
         # is covered by the networkx-oracle pytest suite instead.
         "pagerank_invoke_graph": q_pagerank_invoke_graph,
-        "label_propagation": q_label_propagation,
         "minhash_dedup_pairs": q_minhash_dedup,
         "simhash_near_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -590,4 +617,5 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _EVENT_SESSIONS_SQL,
         "connected_components": _COMPONENTS_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
+        "label_propagation": _lpa_sql(8),
     }

@@ -71,6 +71,11 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
+        # Fixed known-shape workloads over explicitly pre-sized
+        # partitioning: AQE's per-stage re-plan barrier is pure serial
+        # cost here (measured ~1.5s/query; see scripts/scaling_bench.py).
+        # Production sessions keep the get_spark default (AQE on).
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
     timings: dict[str, float] = {}

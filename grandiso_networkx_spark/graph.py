@@ -94,6 +94,7 @@ class HostGraph:
         self._degrees: DataFrame | None = None
         self._vertices: DataFrame | None = None
         self._adjacency: DataFrame | None = None
+        self._adjacency_deg: DataFrame | None = None
         self._persisted: list[DataFrame] = []
 
     # -- derived artifacts -------------------------------------------------
@@ -174,6 +175,37 @@ class HostGraph:
                 self._adjacency = self._persist(sym)
         return self._adjacency
 
+    @property
+    def adjacency_deg(self) -> DataFrame:
+        """Adjacency rows with both endpoints' total degrees attached
+        (``src, dst, attrs, src_deg, dst_deg``), built once, persisted.
+
+        This turns the reference's per-candidate degree prune
+        (``grandiso/__init__.py:58-78``, applied at every expansion
+        step ``:287-289``) into a *filter inside the expansion join*
+        instead of a per-round |frontier|-row semi-join: same pruning
+        power, no extra join, no extra shuffle.
+        """
+        if self._adjacency_deg is None:
+            deg = self.degrees
+            adj = (
+                self.adjacency.join(
+                    deg.select(
+                        F.col("id").alias("src"), F.col("degree").alias("src_deg")
+                    ),
+                    "src",
+                )
+                .join(
+                    deg.select(
+                        F.col("id").alias("dst"), F.col("degree").alias("dst_deg")
+                    ),
+                    "dst",
+                )
+                .select("src", "dst", "attrs", "src_deg", "dst_deg")
+            )
+            self._adjacency_deg = self._persist(adj)
+        return self._adjacency_deg
+
     def candidate_domain(
         self,
         attrs: dict,
@@ -228,6 +260,7 @@ class HostGraph:
         self._degrees = None
         self._vertices = None
         self._adjacency = None
+        self._adjacency_deg = None
 
 
 def empty_edges(spark: SparkSession) -> DataFrame:

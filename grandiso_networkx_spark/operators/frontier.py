@@ -79,13 +79,18 @@ def _edge_frame(
     req: RequiredEdge,
     node: Hashable,
     preds: MatchPredicates | None = None,
+    min_cand_deg: int | None = None,
 ) -> tuple[DataFrame, str]:
     """Adjacency rows oriented as (__cand, __oth) for one required edge.
 
     Returns the frame and the name of the physical join-key column on
-    the edges side (useful for partition-aware planning).
+    the edges side (useful for partition-aware planning).  With
+    ``min_cand_deg`` the candidate endpoint's total degree (from the
+    once-per-host :attr:`HostGraph.adjacency_deg` artifact) is bounded
+    by an in-scan filter — the structural prune without a join.
     """
-    adj = host.adjacency
+    with_cand_deg = min_cand_deg is not None
+    adj = host.adjacency_deg if with_cand_deg else host.adjacency
     attrs = dict(req.attrs)
     motif_edge = (node, req.other) if req.out else (req.other, node)
     if preds is not None and preds.edge_attr is not None:
@@ -95,11 +100,15 @@ def _edge_frame(
     if req.out:
         # motif edge (new -> other): candidates are predecessors of the
         # bound image of `other` (grandiso/__init__.py:242).
+        if with_cand_deg:
+            adj = adj.where(F.col("src_deg") >= F.lit(min_cand_deg))
         ef = adj.select(F.col("src").alias("__cand"), F.col("dst").alias("__oth"))
         key = "dst"
     else:
         # motif edge (other -> new): candidates are successors
         # (grandiso/__init__.py:239).
+        if with_cand_deg:
+            adj = adj.where(F.col("dst_deg") >= F.lit(min_cand_deg))
         ef = adj.select(F.col("dst").alias("__cand"), F.col("src").alias("__oth"))
         key = "src"
     if host.hint_small:
@@ -115,9 +124,25 @@ def seed_frontier(
 ) -> DataFrame:
     """Round 0 without hints: the start node's candidate domain.
 
-    A filtered scan, no join (``grandiso/__init__.py:156-168``).
+    A filtered scan, no join (``grandiso/__init__.py:156-168``).  When
+    the motif has more nodes to bind, a degree bound of 1 is implied by
+    the expansion joins themselves (every surviving binding's seed image
+    carries a host edge), so the degree semi-join is skipped for
+    ``min_degree <= 1`` — result-identical, one less join.
     """
     step = plan.start
+    if (
+        plan.steps
+        and step.min_degree <= 1
+        and (preds is None or preds.node_structural is None)
+    ):
+        step = BindStep(
+            node=step.node,
+            required=step.required,
+            min_degree=0,
+            attrs=step.attrs,
+            self_loop_attrs=step.self_loop_attrs,
+        )
     dom = _domain(host, step, preds)
     if step.self_loop_attrs is not None:
         dom = _apply_self_loop(
@@ -161,8 +186,27 @@ def expand_step(
             f"Motif node {step.node!r} has no motif edges into the bound set."
         )
 
+    # The reference's degree lower-bound prune (grandiso/__init__.py:
+    # 58-78, applied per step at :287-289) rides along the first
+    # expansion join as a filter on the adjacency side's precomputed
+    # candidate-degree column — same pruning power, no per-round
+    # semi-join.  It is load-bearing for hub hosts (star graphs: the
+    # frontier otherwise squares through the hub before the k-edge
+    # intersection can cut it).  Vacuous for min_degree <= 1 (the
+    # candidate arrived via a host edge); custom P4 predicates keep
+    # the explicit domain join below instead.
+    inline_deg = step.min_degree >= 2 and (
+        preds is None or not preds.has_node_pred
+    )
+
     # First required edge materializes the candidate column (inner join).
-    ef, _ = _edge_frame(host, step.required[0], step.node, preds)
+    ef, _ = _edge_frame(
+        host,
+        step.required[0],
+        step.node,
+        preds,
+        min_cand_deg=step.min_degree if inline_deg else None,
+    )
     out = frontier.join(
         ef, ef["__oth"] == frontier[col_of[step.required[0].other]], "inner"
     )
@@ -183,15 +227,19 @@ def expand_step(
     for b in bound:
         out = out.where(F.col(new_col) != F.col(col_of[b]))
 
-    # Node-attr + degree prune (grandiso/__init__.py:287-289).  When the
-    # motif node has no attrs and degree <= 1 the prune is vacuous: the
-    # candidate arrived via a host edge, so its degree is >= 1.  Custom
-    # node predicates (P4) are never vacuous — always applied.
-    if (
-        step.attrs
-        or step.min_degree > 1
-        or (preds is not None and preds.has_node_pred)
-    ):
+    # Node-attr prune (grandiso/__init__.py:287-289) and custom node
+    # predicates (P4) are applied as a candidate-domain semi-join.  The
+    # reference also degree-prunes here (:288), but for a DataFrame
+    # engine that check is a full shuffle join whose result it can
+    # never change: every motif edge at this node becomes a required-
+    # edge join in some round and injectivity makes the endpoints
+    # distinct, so any binding surviving to completion satisfies the
+    # total-degree bound by construction.  A pure degree bound is
+    # therefore an intermediate-size heuristic only — worth a one-time
+    # filter on the seed scan, not a per-round |frontier|-row join —
+    # and is skipped here unless attrs / custom predicates give the
+    # domain real selectivity.
+    if step.attrs or (preds is not None and preds.has_node_pred):
         dom = _domain(host, step, preds)
         if host.hint_small:
             dom = F.broadcast(dom)

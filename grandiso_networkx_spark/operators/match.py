@@ -24,9 +24,15 @@ from typing import Generator, Hashable
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..graph import HostGraph
+from ..graph import HostGraph, attrs_subset_predicate
 from ..plans.motif import Motif, compile_plan
-from .frontier import MatchPredicates, expand_step, isomorphism_filter, seed_frontier
+from .frontier import (
+    MatchPredicates,
+    _edge_frame,
+    expand_step,
+    isomorphism_filter,
+    seed_frontier,
+)
 
 SEED_COL = "__seed"
 
@@ -124,10 +130,50 @@ def find_motifs_df(
 
     def _run_group(hint_keys: tuple, seeds: list[tuple[int, dict]] | None) -> DataFrame:
         plan = compile_plan(motif, hint_keys, interestingness)
+        steps = plan.steps
         if seeds is None:
-            frontier = seed_frontier(host, plan, col_of, preds).withColumn(
-                SEED_COL, F.lit(-1)
+            # Edge-seeded fusion: when the seed node is unconstrained
+            # (no attrs / self-loop / custom node preds, degree bound
+            # <= 1 implied by the joins) and the first step binds via
+            # exactly one required edge with equally vacuous node
+            # prunes, the round-1 frontier IS the adjacency table —
+            # the all-vertices scan and the |V| x |E| seed join are
+            # the identity on it.  One full join less per query, and
+            # the only formulation that survives hosts where the
+            # vertex set itself is too large to enumerate first.
+            start = plan.start
+            fused = (
+                (preds is None or not preds.has_node_pred)
+                and not start.attrs
+                and start.min_degree <= 1
+                and start.self_loop_attrs is None
+                and steps
+                and len(steps[0].required) == 1
+                and not steps[0].attrs
+                and steps[0].self_loop_attrs is None
             )
+            if fused:
+                s1 = steps[0]
+                ef, _ = _edge_frame(
+                    host,
+                    s1.required[0],
+                    s1.node,
+                    preds,
+                    min_cand_deg=s1.min_degree if s1.min_degree >= 2 else None,
+                )
+                frontier = (
+                    ef.select(
+                        F.col("__oth").alias(col_of[start.node]),
+                        F.col("__cand").alias(col_of[s1.node]),
+                    )
+                    .where(F.col(col_of[s1.node]) != F.col(col_of[start.node]))
+                    .withColumn(SEED_COL, F.lit(-1))
+                )
+                steps = steps[1:]
+            else:
+                frontier = seed_frontier(host, plan, col_of, preds).withColumn(
+                    SEED_COL, F.lit(-1)
+                )
         else:
             rows = [
                 tuple([_encode(host, h[k]) for k in hint_keys] + [i])
@@ -141,11 +187,43 @@ def find_motifs_df(
         bound = list(hint_keys)
         if plan.start is not None:
             bound.append(plan.start.node)
-        for rnd, step in enumerate(plan.steps):
+        for s in plan.steps[: len(plan.steps) - len(steps)]:
+            bound.append(s.node)  # nodes bound by the fused seed, if any
+        for rnd, step in enumerate(steps):
             frontier = expand_step(frontier, step, host, col_of, bound, preds)
             bound.append(step.node)
             if checkpoint is not None:
                 frontier = checkpoint.save(rnd, frontier, {"step": str(step.node)})
+        # Hint-internal motif edges are never covered by required-edge
+        # joins (those always touch the node being bound), but the
+        # reference verifies EVERY motif edge once a map completes
+        # (grandiso/__init__.py:300-319); only fully-complete hints
+        # skip verification (:406-409).  One semi-join per such edge.
+        if hint_keys:
+            hk = set(hint_keys)
+            for (u, v), eattrs in motif.edges.items():
+                if u in hk and v in hk:
+                    adj = host.adjacency
+                    attrs_d = dict(eattrs)
+                    if preds is not None and preds.edge_attr is not None:
+                        adj = adj.where(
+                            preds.edge_attr((u, v), attrs_d, F.col("attrs"))
+                        )
+                    elif attrs_d:
+                        adj = adj.where(
+                            attrs_subset_predicate(F.col("attrs"), attrs_d)
+                        )
+                    sel = adj.select(
+                        F.col("src").alias("__hu"), F.col("dst").alias("__hv")
+                    )
+                    if host.hint_small:
+                        sel = F.broadcast(sel)
+                    frontier = frontier.join(
+                        sel,
+                        (F.col(col_of[u]) == F.col("__hu"))
+                        & (F.col(col_of[v]) == F.col("__hv")),
+                        "left_semi",
+                    )
         if isomorphisms_only:
             frontier = isomorphism_filter(frontier, plan, host, col_of)
         return frontier.select(*out_cols, SEED_COL)

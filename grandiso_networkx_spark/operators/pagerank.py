@@ -31,10 +31,14 @@ Scale design (each point measured on the 20M-edge bench graph)
   |V| rows of longs+doubles; the CSR blocks (|E|-scale arrays) never
   move after build.  Net per-iteration exchanges: the gather transpose
   (inherent) + the tiny realign.
-- **AQE partition coalescing is disabled inside the loop**: the gather
-  shuffle is small in *bytes* (longs + doubles) but expensive in *CPU*
-  (hash-agg over E rows), so the 64MB advisory target collapses it to a
-  handful of tasks and serializes the stage (measured 2×).
+- **AQE is disabled inside the loop** (restored on exit): the
+  iteration re-executes one fixed-shape plan over pre-partitioned
+  state, so adaptive replanning has nothing to learn but costs a
+  driver barrier per stage per round (serial, anti-scaling), and its
+  64MB advisory target would coalesce the CPU-dense gather shuffle
+  (small in bytes, expensive in hash-agg CPU) down to a few serialized
+  tasks (measured 2x).  Skew is handled structurally instead: salted
+  CSR chunks + map-side partial aggregation.
 - **Scatter kernels**: ``jvm`` (default) — ``explode(arrays_zip)``
   inside whole-stage codegen; ``arrow`` — zero-copy ``mapInArrow`` CSR
   kernel (flatten list buffers + ``np.repeat``), the mandated
@@ -62,7 +66,7 @@ from pyspark.sql import types as T
 from ..checkpoint import CheckpointManager
 
 _INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
-_COAL_KEY = "spark.sql.adaptive.coalescePartitions.enabled"
+_AQE_KEY = "spark.sql.adaptive.enabled"
 
 
 def _scatter_arrow(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -324,8 +328,17 @@ def pagerank(
     realign = n >= 200_000 and _os.environ.get("GISPARK_PR_REALIGN", "0") == "1"
     dangle_literal = _os.environ.get("GISPARK_PR_DANGLE_LITERAL", "1") == "1"
 
-    old_coal = spark.conf.get(_COAL_KEY, "true")
-    spark.conf.set(_COAL_KEY, "false")
+    # AQE is disabled for the whole loop, not just partition
+    # coalescing: every iteration re-executes the SAME fixed-shape
+    # plan over pre-sized, pre-partitioned state, so runtime replanning
+    # can discover nothing — but it materializes each stage as its own
+    # job with a driver barrier between, a per-iteration serial cost
+    # that caps scaling (measured on the 20M-edge pinned-core bench:
+    # 4.1s -> 3.25s per iteration at 8 cores, and N->4N efficiency
+    # 0.83 -> 0.90, AQE on -> off).  Skew is handled structurally
+    # (salted CSR chunks + map-side partial aggregation), not by AQE.
+    old_aqe = spark.conf.get(_AQE_KEY, "true")
+    spark.conf.set(_AQE_KEY, "false")
     prev: list[DataFrame] = [ranks]
     _t_loop = time.monotonic()
     try:
@@ -432,7 +445,7 @@ def pagerank(
                 _cleanup()
                 return out
     finally:
-        spark.conf.set(_COAL_KEY, old_coal)
+        spark.conf.set(_AQE_KEY, old_aqe)
 
     if fixed_iterations is not None:
         out = _decode(ranks.select("vid", "rank"), ["rank"]).localCheckpoint()

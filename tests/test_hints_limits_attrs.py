@@ -40,6 +40,27 @@ class TestHints:
             find_motifs(motif, host, count_only=True, hints=[{"A": "A", "B": "C"}]) == 0
         )
 
+    def test_hint_internal_edge_is_verified(self, spark):
+        """A motif edge between two hint-bound nodes must be checked
+        against the host even though no expansion round joins on it —
+        the reference verifies every motif edge on complete maps
+        (grandiso/__init__.py:300-319)."""
+        host_nx = nx.DiGraph([("S", "P"), ("Q", "R"), ("R", "T")])
+        host = nx_to_host(spark, host_nx)
+        motif = nx.DiGraph()
+        nx.add_path(motif, ["a", "b", "c"])
+        # No host edge P->Q: expansion from b=Q still finds c=R, but the
+        # hint-internal a->b edge is unsatisfied -> 0 matches.
+        assert (
+            find_motifs(motif, host, count_only=True, hints=[{"a": "P", "b": "Q"}])
+            == 0
+        )
+        # Positive control: Q->R exists, c binds to T -> exactly 1.
+        assert (
+            find_motifs(motif, host, count_only=True, hints=[{"a": "Q", "b": "R"}])
+            == 1
+        )
+
     # test_grandiso.py:396-410
     def test_some_hints_have_values(self, spark):
         host = nx_to_host(spark, _cycle3(nx.DiGraph, "ABC"))
