@@ -515,6 +515,99 @@ def q_minhash_dedup(spark, sf_dir):
     ).select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
+def q_minhash_portable(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on the portable (md5-affine) hash
+    family — the whole pipeline (shingle → signature → band bucket →
+    pair → estimate) is value-checked against an independent DuckDB
+    implementation; the default numpy/xxhash family is quality-
+    equivalent but engine-seeded, hence rows-only."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+        portable=True,
+    ).select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def _minhash_portable_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Independent DuckDB build of the portable MinHash+LSH pipeline;
+    the affine params are the same literals the Spark plan embeds."""
+    from grandiso_networkx_spark.operators.dedup import (
+        _PORTABLE_P,
+        _portable_params,
+    )
+
+    a, b = _portable_params(num_perm, seed)
+    lit_a = "[" + ",".join(map(str, a)) + "]"
+    lit_b = "[" + ",".join(map(str, b)) + "]"
+    r = num_perm // bands
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(length(coalesce(text, '')) - {shingle_k - 1}, 1) + 1),
+      i -> CAST('0x' || substring(md5(substr(coalesce(text, ''), i, {shingle_k})), 1, 7) AS BIGINT)
+    ) AS h
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+    list_transform(range(1, {num_perm} + 1),
+      k -> list_min(list_transform(h,
+             x -> (({lit_a})[k] * x + ({lit_b})[k]) % {_PORTABLE_P}))) AS sig
+  FROM hs
+),
+buckets AS (
+  SELECT doc_id, sig, band,
+         md5(array_to_string(sig[band * {r} + 1 : band * {r} + {r}], ',')) AS bucket
+  FROM sigs, (SELECT unnest(range(0, {bands})) AS band)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sig_a, r.sig AS sig_b
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+est AS (
+  SELECT a, b,
+         list_sum(list_transform(range(1, {num_perm} + 1),
+           k -> CASE WHEN sig_a[k] = sig_b[k] THEN 1 ELSE 0 END)) / {num_perm}.0 AS ej
+  FROM pairs
+)
+SELECT a, b, round(ej, 4) AS est_jaccard FROM est WHERE ej >= {threshold}
+"""
+
+
+def q_simhash_portable(spark, sf_dir):
+    """Per-document 60-bit portable SimHash fingerprints — value-checked
+    bit-for-bit against DuckDB's independent majority-vote build."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"), portable=True)
+
+
+_SIMHASH_PORTABLE_SQL = """
+WITH hs AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(length(lower(coalesce(text, ''))) - 3, 1) + 1),
+      i -> CAST('0x' || substring(md5(substr(lower(coalesce(text, '')), i, 4)), 1, 15) AS BIGINT)
+    ) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 60),
+    b -> CASE WHEN list_sum(list_transform(h,
+                x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+FROM hs
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
@@ -589,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         # iterative / hash-seeded ops: rows-only driver checks; exactness
         # is covered by the networkx-oracle pytest suite instead.
+        "minhash_portable_pairs": q_minhash_portable,
+        "simhash_portable": q_simhash_portable,
         "pagerank_invoke_graph": q_pagerank_invoke_graph,
         "minhash_dedup_pairs": q_minhash_dedup,
         "simhash_near_pairs": q_simhash_pairs,
@@ -618,4 +713,6 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _COMPONENTS_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "label_propagation": _lpa_sql(8),
+        "minhash_portable_pairs": _minhash_portable_sql(),
+        "simhash_portable": _SIMHASH_PORTABLE_SQL,
     }

@@ -51,6 +51,88 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 _MERSENNE = (1 << 61) - 1
 
+# Portable-hash family: every primitive below is expressible verbatim in
+# ANSI-ish SQL (DuckDB), so pipelines built on it are value-checkable
+# end-to-end against an independent engine.  Production keeps the faster
+# xxhash64/numpy family; quality is equivalent (both are uniform hashes).
+_PORTABLE_P = (1 << 31) - 1  # Mersenne modulus for the affine permutations
+
+
+def _portable_params(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation params from a pure-Python LCG —
+    embedded as literals in BOTH the Spark plan and the SQL oracle."""
+    x = (seed & 0x7FFFFFFF) or 1
+    a: list[int] = []
+    b: list[int] = []
+    for _ in range(num_perm):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a.append(x % (_PORTABLE_P - 1) + 1)
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b.append(x % _PORTABLE_P)
+    return a, b
+
+
+def _char_shingles(text_col, shingle_k: int):
+    """array<string> of character k-grams (the whole text if shorter),
+    1-based substr semantics shared by Spark and DuckDB."""
+    t = F.coalesce(text_col, F.lit(""))
+    n = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substr(t, i, F.lit(shingle_k))
+    )
+
+
+def _portable_hash28(col):
+    """28-bit portable string hash: first 7 hex chars of md5, both
+    engines parse the same hex → identical longs."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def _portable_hash60(col):
+    """60-bit variant (15 hex chars — stays inside signed BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """``(doc_id, sig array<long>)`` — MinHash with the portable hash
+    family, entirely JVM-side column expressions (no Python at all):
+    sig[i] = min over shingles s of (a_i * h28(s) + b_i) mod (2^31-1).
+
+    h28 < 2^28 and a_i < 2^31 keep every product inside a signed 64-bit
+    long on both engines — no overflow-semantics divergence.
+
+    Shape: explode shingles → hash ONCE per shingle → groupBy(doc_id)
+    with num_perm min-aggregates.  Catalyst does not CSE a shingle-hash
+    expression across num_perm higher-order-function lambdas, so the
+    one-row-per-doc array formulation pays num_perm× the md5 cost; the
+    explode pays it once, and map-side partial aggregation collapses
+    each doc back to one row per partition before the shuffle."""
+    a, b = _portable_params(num_perm, seed)
+    exploded = docs.select(
+        "doc_id",
+        F.explode(_char_shingles(F.col(text_col), shingle_k)).alias("__s"),
+    ).select("doc_id", _portable_hash28(F.col("__s")).alias("__h"))
+    aggs = [
+        F.min(
+            F.pmod(F.col("__h") * F.lit(ai) + F.lit(bi), F.lit(_PORTABLE_P))
+        ).alias(f"__m{i}")
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ]
+    return (
+        exploded.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"),
+        )
+    )
+
 
 def _minhash_kernel(num_perm: int, shingle_k: int, seed: int):
     rng = np.random.RandomState(seed)
@@ -110,24 +192,34 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs ``(a, b, est_jaccard)``.
 
     Bands of ``num_perm/bands`` rows; documents sharing any band bucket
     become candidates; estimated Jaccard = fraction of matching minhash
     positions; filtered at ``threshold``.
+
+    ``portable=True`` switches to the md5-affine hash family and md5
+    band buckets (both SQL-expressible — the driver value-checks this
+    path against DuckDB); default stays the faster numpy/xxhash family.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k, seed).persist()
+    if portable:
+        sigs = portable_minhash_signatures(
+            docs, text_col, num_perm, shingle_k, seed
+        ).persist()
+    else:
+        sigs = minhash_signatures(docs, text_col, num_perm, shingle_k, seed).persist()
+
+    def _bucket(i: int):
+        sl = F.slice("sig", i * rows_per_band + 1, rows_per_band)
+        if portable:
+            return F.md5(F.concat_ws(",", sl.cast("array<string>")))
+        return F.xxhash64(sl.cast("array<string>").cast("string"))
+
     band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(
-                F.slice("sig", i * rows_per_band + 1, rows_per_band).cast(
-                    "array<string>"
-                ).cast("string")
-            ).alias("bucket"),
-        )
+        F.struct(F.lit(i).alias("band"), _bucket(i).alias("bucket"))
         for i in range(bands)
     ]
     buckets = sigs.select(
@@ -158,34 +250,61 @@ def minhash_lsh_pairs(
 # -- simhash ----------------------------------------------------------------
 
 
-def simhash(docs: DataFrame, text_col: str = "text", shingle_k: int = 4) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 4,
+    portable: bool = False,
+) -> DataFrame:
     """``(doc_id, simhash long)`` — 64-bit SimHash over character
     shingles, entirely JVM-side: shingles via ``sequence``+``transform``,
-    per-bit majority vote via bitwise aggregation expressions."""
-    t = F.lower(F.col(text_col))
-    n = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substr(t, i, F.lit(shingle_k)))
-    )
-    # per-bit tally: sum over shingles of (bit set ? 1 : -1), sign → bit
-    def _tally(bit: int):
-        mask = 1 << bit if bit < 63 else -(1 << 63)
-        return F.aggregate(
-            shingles,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-        )
+    per-bit majority vote via bitwise aggregation expressions.
 
+    ``portable=True`` swaps the per-shingle xxhash64 for the 60-bit
+    md5-hex hash (SQL-expressible → driver value-checks against DuckDB);
+    the fingerprint then carries 60 informative bits, top 4 zero.
+
+    Shape: explode shingles → hash ONCE per shingle → groupBy(doc_id)
+    with one signed-tally sum per bit (bit set ? +1 : -1), then
+    assemble the code from the tally signs.  The one-row-per-doc
+    formulation (aggregate over a shingle array, one pass per bit)
+    recomputes the shingle hash `bits`× because Catalyst does not CSE
+    across higher-order-function lambdas — measured 60× slower."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
+    bits = 60 if portable else 64
+
+    def _hash(s):
+        return _portable_hash60(s) if portable else F.xxhash64(s)
+
+    shingles = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substr(t, i, F.lit(shingle_k))
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(shingles).alias("__s")
+    ).select("doc_id", _hash(F.col("__s")).alias("__h"))
+
+    def _mask(bit: int) -> int:
+        return 1 << bit if bit < 63 else -(1 << 63)
+
+    tallies = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("__h").bitwiseAND(F.lit(_mask(b)).cast("long")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"__t{b}")
+            for b in range(bits)
+        ]
+    )
     code = F.lit(0).cast("long")
-    for bit in range(64):
-        mask = 1 << bit if bit < 63 else -(1 << 63)
+    for bit in range(bits):
         code = code.bitwiseOR(
-            F.when(_tally(bit) > 0, F.lit(mask).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"__t{bit}") > 0, F.lit(_mask(bit)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         )
-    return docs.select("doc_id", code.alias("simhash"))
+    return tallies.select("doc_id", code.alias("simhash"))
 
 
 def simhash_near_pairs(
