@@ -83,9 +83,22 @@ class HostGraph:
             edges = edges.withColumn(
                 "attrs", F.create_map().cast("map<string,string>")
             )
+        # Native id type: integral endpoint columns stay integral
+        # (canonicalized to long) — long join/shuffle keys hash faster
+        # and pack 8 bytes fixed vs variable-width UTF8, a measurable
+        # win on every expansion join at scale.  Anything else (string,
+        # decimal, date, ...) canonicalizes to string, which also
+        # covers mixed-type unions from nx fixtures.
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if isinstance(edges.schema["src"].dataType, integral) and isinstance(
+            edges.schema["dst"].dataType, integral
+        ):
+            self.id_type = "long"
+        else:
+            self.id_type = "string"
         self.edges = edges.select(
-            F.col("src").cast("string").alias("src"),
-            F.col("dst").cast("string").alias("dst"),
+            F.col("src").cast(self.id_type).alias("src"),
+            F.col("dst").cast(self.id_type).alias("dst"),
             F.col("attrs"),
         )
         self._explicit_vertices = vertices
@@ -115,7 +128,7 @@ class HostGraph:
                         "attrs", F.create_map().cast("map<string,string>")
                     )
                 ev = ev.select(
-                    F.col("id").cast("string").alias("id"), F.col("attrs")
+                    F.col("id").cast(self.id_type).alias("id"), F.col("attrs")
                 )
                 only_from_edges = endpoint_ids.join(ev, "id", "left_anti")
                 verts = ev.unionByName(
@@ -247,6 +260,15 @@ class HostGraph:
         return dom
 
     # -- lifecycle ---------------------------------------------------------
+
+    def encode_id(self, value):
+        """Coerce a driver-side id literal (hint values) to this
+        graph's native id type."""
+        return int(value) if self.id_type == "long" else str(value)
+
+    @property
+    def id_spark_type(self) -> T.DataType:
+        return T.LongType() if self.id_type == "long" else T.StringType()
 
     def _persist(self, df: DataFrame) -> DataFrame:
         df = df.persist()

@@ -47,11 +47,11 @@ def _as_motif(motif) -> Motif:
     return nx_to_motif(motif)
 
 
-def _encode(host: HostGraph, value: Hashable) -> str:
+def _encode(host: HostGraph, value: Hashable):
     enc = getattr(host, "id_encoder", None)
     if enc is not None:
         return enc(value)
-    return str(value)
+    return host.encode_id(value)
 
 
 def _group_hints(hints: list[dict]) -> dict[tuple, list[tuple[int, dict]]]:
@@ -180,7 +180,10 @@ def find_motifs_df(
                 for i, h in seeds
             ]
             schema = T.StructType(
-                [T.StructField(col_of[k], T.StringType(), False) for k in hint_keys]
+                [
+                    T.StructField(col_of[k], host.id_spark_type, False)
+                    for k in hint_keys
+                ]
                 + [T.StructField(SEED_COL, T.IntegerType(), False)]
             )
             frontier = spark.createDataFrame(rows, schema)
@@ -240,7 +243,10 @@ def find_motifs_df(
                     for i, h in seeds
                 ]
                 schema = T.StructType(
-                    [T.StructField(str(n), T.StringType(), False) for n in nodes]
+                    [
+                        T.StructField(str(n), host.id_spark_type, False)
+                        for n in nodes
+                    ]
                     + [T.StructField(SEED_COL, T.IntegerType(), False)]
                 )
                 parts.append(spark.createDataFrame(rows, schema))

@@ -63,3 +63,31 @@ def test_derived_host_graph_is_simple(spark):
     row = edges.limit(1).collect()[0]
     assert "weight" in row.attrs and "etype" in row.attrs
     host.unpersist()
+
+
+def test_transcript_scan_roundtrip(spark, tmp_path):
+    from grandiso_networkx_spark.sources.tables import (
+        read_transcripts,
+        write_transcripts,
+    )
+
+    t = synth_transcripts(spark, n_convs=12)
+    path = str(tmp_path / "tr.parquet")
+    write_transcripts(t, path, partitions=2)
+    back = read_transcripts(spark, path)
+    assert back.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert back.count() == t.count()
+    pref = read_transcripts(spark, path, conv_prefix="conv-1")
+    assert pref.count() == pref.where(F.col("conv_id").startswith("conv-1")).count()
+    assert 0 < pref.count() < back.count()
+
+
+def test_iceberg_scan_gated(spark):
+    import pytest
+
+    from grandiso_networkx_spark.sources.tables import read_transcripts
+
+    with pytest.raises((RuntimeError, Exception)):
+        read_transcripts(spark, "nocat.db.tbl", fmt="iceberg")
+    with pytest.raises(ValueError):
+        read_transcripts(spark, "x", fmt="orc2")

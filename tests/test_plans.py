@@ -1,0 +1,87 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the answers right; these prove the PLANS right
+— the properties that decide whether the same code survives a 100×
+scale-up: projections reach the parquet scan (column pruning), filters
+reach the scan (predicate pushdown), small dimensions broadcast, and
+the motif expansion join keys stay native long on integral-id hosts.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+
+from grandiso_networkx_spark.graph import HostGraph
+from grandiso_networkx_spark.operators.match import find_motifs_df
+from grandiso_networkx_spark.plans.motif import Motif
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _formatted(docs.select("doc_id"))
+    scan = plan[plan.index("Scan parquet") :].split("(2)")[0]
+    assert "doc_id" in scan
+    assert "text" not in scan  # unprojected column must not be read
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    plan = _formatted(ev.where(F.col("user_id") == 7).select("event_id"))
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)" in plan
+
+
+def test_small_dimension_broadcasts(spark):
+    # orders⋈customer with the dim under the broadcast threshold must
+    # plan a broadcast hash join, not a shuffle — the default session
+    # keeps autoBroadcastJoinThreshold on; the test profile disables it,
+    # so assert on the explicitly hinted path used by q_top_customers.
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("c_name")
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_motif_join_keys_stay_long_on_integral_hosts(spark):
+    e = spark.range(200).select(
+        (F.col("id") % 50).alias("src"), ((F.col("id") * 7 + 1) % 50).alias("dst")
+    )
+    host = HostGraph(e, directed=True)
+    m = Motif(directed=True)
+    m.add_edge("A", "B")
+    m.add_edge("B", "C")
+    df = find_motifs_df(m, host)
+    # no string cast anywhere in the optimized expansion plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "cast(src" not in optimized and "cast(dst" not in optimized
+    host.unpersist()
+
+
+def test_motif_plan_has_no_cartesian_product(spark):
+    e = spark.range(100).select(
+        (F.col("id") % 30).alias("src"), ((F.col("id") * 3 + 1) % 30).alias("dst")
+    )
+    host = HostGraph(e, directed=True)
+    m = Motif(directed=True)
+    m.add_edge("A", "B")
+    m.add_edge("B", "C")
+    m.add_edge("C", "A")
+    plan = _plan(find_motifs_df(m, host))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    host.unpersist()
