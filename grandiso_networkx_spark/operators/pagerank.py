@@ -176,7 +176,7 @@ def pagerank(
     kernel: str = "jvm",
     num_partitions: int | None = None,
     iter_seconds: list | None = None,
-    stop_after_seconds: float | None = None,
+    round_hook=None,
 ) -> DataFrame:
     """PageRank over a directed edge DataFrame ``(src, dst[, weight])``.
 
@@ -198,11 +198,12 @@ def pagerank(
     instrumentation the scaling bench uses to time steady-state rounds
     without cross-run subtraction.
 
-    ``stop_after_seconds`` (benchmark-only, requires
-    ``fixed_iterations``): stop after the first round that finishes
-    past this wall-clock budget and return the current ranks — the
-    fixed-wall-window throughput mode the scaling bench pairs across
-    parallelism levels.
+    ``round_hook`` (benchmark-only, requires ``fixed_iterations``):
+    called after every completed round with the round index; return
+    False to stop and get the current ranks back.  The hook may block
+    (the scaling bench parks the loop at a cross-process barrier
+    between its measurement windows — iteration state, caches and CSR
+    blocks stay live, so a window never pays a rebuild).
     """
     if fixed_iterations is not None:
         max_iter = fixed_iterations
@@ -340,7 +341,6 @@ def pagerank(
     old_aqe = spark.conf.get(_AQE_KEY, "true")
     spark.conf.set(_AQE_KEY, "false")
     prev: list[DataFrame] = [ranks]
-    _t_loop = time.monotonic()
     try:
         for it in range(start_iter, max_iter):
             _t_round = time.monotonic()
@@ -434,9 +434,9 @@ def pagerank(
             if iter_seconds is not None:
                 iter_seconds.append(time.monotonic() - _t_round)
             if (
-                stop_after_seconds is not None
+                round_hook is not None
                 and fixed_iterations is not None
-                and time.monotonic() - _t_loop > stop_after_seconds
+                and not round_hook(it)
             ):
                 break
             if err is not None and err < n * tol:
