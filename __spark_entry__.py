@@ -400,6 +400,22 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact O(n²) baseline — the
+    verification stage the LSH-bucketed variant delegates to at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_exact(emb, threshold=0.4)
+
+
+_EMBEDDING_DUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -674,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "lang_guess": q_lang_guess,
         "ngram_jaccard": q_ngram_jaccard,
         "event_sessions": q_event_sessions,
@@ -707,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_features": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "cosine_topk": _COSINE_SQL,
+        "embedding_dup_pairs": _EMBEDDING_DUP_SQL,
         "lang_guess": _LANG_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -70,6 +70,71 @@ def cosine_topk(
     )
 
 
+def cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(a, b, cosine >= τ)``.
+
+    Exact O(n²) self-join — the verification baseline the LSH path
+    (:func:`embedding_near_pairs`) is measured against, and the
+    in-bucket verifier it delegates to.  Fine up to ~10⁵ rows; beyond
+    that use the bucketed variant.
+    """
+    left = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    right = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    pairs = left.join(right, F.col("a") < F.col("b"))
+    return (
+        with_cosine(pairs, "__va", "__vb")
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 12,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: sign-LSH blocking.
+
+    Each of ``tables`` independent ``bits``-bit hyperplane codes
+    buckets the corpus; candidate pairs only ever meet inside a
+    bucket (|bucket|²-local work instead of n²), then the exact
+    cosine filter keeps true near-dups.  Recall < 1 by construction —
+    a pair is missed iff it collides in no table; more tables / fewer
+    bits raise recall at higher candidate cost.
+    """
+    parts = []
+    base = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    for t in range(tables):
+        b = hyperplane_signs(base, "__v", dim, bits, seed + 131 * t)
+        left = b.select(
+            "bucket", F.col("__id").alias("a"), F.col("__v").alias("__va")
+        )
+        right = b.select(
+            "bucket", F.col("__id").alias("b"), F.col("__v").alias("__vb")
+        )
+        parts.append(
+            left.join(right, "bucket").where(F.col("a") < F.col("b")).drop("bucket")
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    return (
+        with_cosine(cands.dropDuplicates(["a", "b"]), "__va", "__vb")
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def hyperplane_signs(
     df: DataFrame, vec_col: str, dim: int, bits: int, seed: int, out: str = "bucket"
 ) -> DataFrame:

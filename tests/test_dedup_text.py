@@ -123,3 +123,37 @@ class TestSimilarity:
         assert any(r.vec_id == 1 for r in got)  # near-identical vector found
         # approx results are a subset of candidates with exact rerank
         assert all(-1.0 <= r.cosine <= 1.0 for r in got)
+
+    def test_exact_cosine_pairs(self, spark, emb):
+        got = similarity.cosine_pairs_exact(emb, threshold=0.95).collect()
+        assert {(r.a, r.b) for r in got} == {(0, 1)}  # the planted near-dup
+        assert all(r.a < r.b for r in got)
+
+    def test_lsh_near_pairs_find_planted_dups(self, spark, emb):
+        # plant 5 near-dup pairs on top of the base fixture
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        base = np.array(
+            [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float32
+        )
+        rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+        for j in range(5):
+            dup = base[2 * j] + 0.01 * rng.standard_normal(16).astype(np.float32)
+            rows.append((100 + j, [float(x) for x in dup]))
+        big = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        exact = {
+            (r.a, r.b)
+            for r in similarity.cosine_pairs_exact(big, threshold=0.95).collect()
+        }
+        approx = {
+            (r.a, r.b)
+            for r in similarity.embedding_near_pairs(
+                big, dim=16, threshold=0.95, bits=6, tables=6
+            ).collect()
+        }
+        assert approx <= exact  # exact cosine filter: no false positives
+        assert len(exact) >= 5
+        # multi-table sign-LSH recall on near-identical vectors
+        assert len(approx) / len(exact) >= 0.8
