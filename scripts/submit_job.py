@@ -55,9 +55,9 @@ def build_session(app: str) -> SparkSession:
 
 def load_transcripts(spark: SparkSession, args) -> "DataFrame":
     if args.transcripts:
-        if args.format == "iceberg":
-            return spark.read.format("iceberg").load(args.transcripts)
-        return spark.read.parquet(args.transcripts)
+        from grandiso_networkx_spark.sources.tables import read_transcripts
+
+        return read_transcripts(spark, args.transcripts, fmt=args.format)
     from grandiso_networkx_spark.sources.transcripts import synth_transcripts
 
     return synth_transcripts(spark, n_convs=args.synth_convs)
