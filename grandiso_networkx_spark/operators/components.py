@@ -50,6 +50,7 @@ def connected_components(
         resumed = checkpoint.resume()
         if resumed is not None:
             start, labels = resumed
+            labels = labels.drop("__changed")  # saved frames carry the flag
             start += 1
 
     for it in range(start, max_iter):

@@ -48,6 +48,7 @@ def label_propagation(
         resumed = checkpoint.resume()
         if resumed is not None:
             start, labels = resumed
+            labels = labels.drop("__changed")  # saved frames carry the flag
             start += 1
 
     w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
@@ -61,19 +62,21 @@ def label_propagation(
             .where(F.col("__rn") == 1)
             .select("id", F.col("label").alias("new_label"))
         )
+        picked = F.coalesce("new_label", "label")
+        # Change flag rides in the materialized frame: the convergence
+        # test is a scan of the checkpointed state, not an old-vs-new
+        # re-join (one fewer shuffle per round).
         new_labels = labels.join(pick, "id", "left").select(
-            "id", F.coalesce("new_label", "label").alias("label")
+            "id",
+            picked.alias("label"),
+            (picked != F.col("label")).alias("__changed"),
         )
         if checkpoint is not None and it % checkpoint_every == 0:
             new_labels = checkpoint.save(it, new_labels)
         else:
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.join(labels.select("id", F.col("label").alias("__old")), "id")
-            .where(F.col("label") != F.col("__old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("__changed").count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     sym.unpersist()

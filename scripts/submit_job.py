@@ -135,7 +135,7 @@ def main(argv=None) -> int:
     elif args.op == "lpa":
         from grandiso_networkx_spark.operators.label_propagation import label_propagation
 
-        out = label_propagation(edges.select("src", "dst"))
+        out = label_propagation(edges.select("src", "dst"), checkpoint=ckpt)
     elif args.op == "triangles":
         from grandiso_networkx_spark.operators.triangles import per_vertex_triangles
 

@@ -52,6 +52,39 @@ class TestCheckpoint:
             assert abs(first[k] - v) < 1e-6
             assert abs(resumed[k] - v) < 1e-6
 
+    def test_components_lpa_resume_matches_fresh(self, spark, tmp_path):
+        from grandiso_networkx_spark.operators.components import connected_components
+        from grandiso_networkx_spark.operators.label_propagation import (
+            label_propagation,
+        )
+
+        g = nx.fast_gnp_random_graph(40, 0.05, seed=7)
+        rows = [(str(u), str(v)) for u, v in g.edges()]
+        e = spark.createDataFrame(rows, "src string, dst string")
+
+        fresh_cc = {r.id: r.component for r in connected_components(e).collect()}
+        cp = CheckpointManager(spark, str(tmp_path / "cc"), job="cc")
+        connected_components(e, checkpoint=cp, checkpoint_every=1).collect()
+        cp2 = CheckpointManager(spark, str(tmp_path / "cc"), job="cc")
+        assert cp2.last_round is not None
+        resumed_cc = {
+            r.id: r.component
+            for r in connected_components(
+                e, checkpoint=cp2, checkpoint_every=1
+            ).collect()
+        }
+        assert resumed_cc == fresh_cc
+
+        fresh_lpa = {r.id: r.label for r in label_propagation(e).collect()}
+        lp = CheckpointManager(spark, str(tmp_path / "lpa"), job="lpa")
+        label_propagation(e, checkpoint=lp, checkpoint_every=1).collect()
+        lp2 = CheckpointManager(spark, str(tmp_path / "lpa"), job="lpa")
+        resumed_lpa = {
+            r.id: r.label
+            for r in label_propagation(e, checkpoint=lp2, checkpoint_every=1).collect()
+        }
+        assert resumed_lpa == fresh_lpa
+
     def test_motif_checkpointed_rounds(self, spark, tmp_path):
         host = nx_to_host(spark, nx.complete_graph(8))
         motif = nx.complete_graph(3)
