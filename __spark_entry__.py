@@ -380,6 +380,40 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-partitioned ANN (deterministic k-means codebook, inverted
+    lists, nprobe routing, in-list exact rerank).  Run at full probe
+    (nprobe == n_centroids), where IVF provably equals the brute force
+    — so the whole IVF pipeline is value-checked against the same SQL
+    oracle; partial-probe recall is covered by pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 6),
+        k=10,
+        n_centroids=8,
+        nprobe=8,
+        lloyd_iters=1,
+    )
+
+
+_IVF_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 6),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: Arrow-batched feature extraction over a
     deterministic synthetic media table (decode stubbed — no codecs in
@@ -705,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup,
         "simhash_near_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "media_features": q_media_features,
     }
 
@@ -725,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "cosine_topk": _COSINE_SQL,
         "embedding_dup_pairs": _EMBEDDING_DUP_SQL,
+        "ivf_ann_topk": _IVF_SQL,
         "lang_guess": _LANG_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -4,10 +4,17 @@
   expressions (``zip_with`` dot product inside whole-stage codegen).
   The correctness baseline and fine for |queries| × |corpus| that fits
   a broadcast.
-- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
+- :func:`lsh_bucketed_topk` — a scale path: random-hyperplane LSH
   buckets both sides, candidates only meet in-bucket, then exact
   cosine re-rank in-bucket.  Recall < 1 by construction; bits/tables
   trade recall for candidate count.
+- :func:`ivf_topk` — the other scale path: IVF (inverted-file)
+  k-means partitioning; queries probe their ``nprobe`` nearest lists
+  and rerank exactly inside them.  ``nprobe == n_centroids``
+  degenerates to the exact brute force (pinned by tests).
+- :func:`cosine_pairs_exact` / :func:`embedding_near_pairs` —
+  embedding-cosine near-duplicate pairs (exact baseline / sign-LSH
+  blocked).
 """
 
 from __future__ import annotations
@@ -132,6 +139,102 @@ def embedding_near_pairs(
         with_cosine(cands.dropDuplicates(["a", "b"]), "__va", "__vb")
         .where(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _ivf_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table
+    against the corpus, keep the best ``cid`` per vector.  Work is
+    |corpus| × n_centroids — linear in the corpus, never corpus²."""
+    scored = with_cosine(base.crossJoin(F.broadcast(cents)), "__v", "__cv", "__sim")
+    w = Window.partitionBy("__id").orderBy(F.desc("__sim"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__id", "__v", "cid")
+    )
+
+
+def ivf_centroids(
+    base: DataFrame, n_centroids: int, lloyd_iters: int, seed: int
+) -> DataFrame:
+    """Deterministic IVF codebook ``(cid, __cv array<double>)``.
+
+    Seeds = the ``n_centroids`` corpus vectors with the smallest
+    ``xxhash64(id, seed)`` (a deterministic sample, no RNG state),
+    refined by ``lloyd_iters`` synchronous k-means steps — assignment
+    is a broadcast scoring pass, the new centroid is the element-wise
+    mean via ``posexplode``/``groupBy(cid, pos)`` (map-side partial
+    agg; JVM-side throughout).  Empty clusters drop out.
+    """
+    seeds = (
+        base.select("__id", "__v", F.xxhash64("__id", F.lit(seed)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_centroids)
+    )
+    cents = seeds.select(
+        F.row_number().over(Window.orderBy("__h")).alias("cid"),
+        F.transform("__v", lambda x: x.cast("double")).alias("__cv"),
+    ).localCheckpoint()
+    for _ in range(lloyd_iters):
+        assigned = _ivf_assign(base, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__s"))
+            .select("cid", F.transform("__s", lambda t: t["m"]).alias("__cv"))
+            .localCheckpoint()  # tiny; reused by assignment AND routing
+        )
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    The corpus is clustered into ``n_centroids`` inverted lists; each
+    query probes its ``nprobe`` nearest lists and reranks exactly
+    inside them (candidates meet through the ``cid`` equi-join only).
+    With ``nprobe == n_centroids`` every list is probed, so the result
+    is exactly :func:`cosine_topk` — the property the test suite pins.
+    Recall at ``nprobe < n_centroids`` depends on how cluster-shaped
+    the corpus is; raise ``nprobe`` to trade cost for recall.
+    """
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    cents = ivf_centroids(base, n_centroids, lloyd_iters, seed)
+    inv = _ivf_assign(base, cents)  # the inverted lists: (cid, __id, __v)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    routed = with_cosine(q.crossJoin(F.broadcast(cents)), "__qv", "__cv", "__sim")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cid"))
+    probes = (
+        routed.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "cid")
+    )
+
+    cands = probes.join(inv, "cid").where(F.col("query_id") != F.col("__id"))
+    scored = with_cosine(cands, "__qv", "__v")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("__id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            F.col("__id").alias("vec_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
     )
 
 

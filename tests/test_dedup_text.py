@@ -124,6 +124,32 @@ class TestSimilarity:
         # approx results are a subset of candidates with exact rerank
         assert all(-1.0 <= r.cosine <= 1.0 for r in got)
 
+    def test_ivf_full_probe_equals_bruteforce(self, spark, emb):
+        qs = emb.where(F.col("vec_id") < 4)
+        exact = {
+            (r.query_id, r.vec_id, r.cosine)
+            for r in similarity.cosine_topk(emb, qs, k=5).collect()
+        }
+        full_probe = {
+            (r.query_id, r.vec_id, r.cosine)
+            for r in similarity.ivf_topk(
+                emb, qs, k=5, n_centroids=4, nprobe=4, lloyd_iters=1
+            ).collect()
+        }
+        assert full_probe == exact  # probing every list == brute force
+
+    def test_ivf_partial_probe_finds_near_neighbor(self, spark, emb):
+        got = similarity.ivf_topk(
+            emb,
+            emb.where(F.col("vec_id") == 0),
+            k=3,
+            n_centroids=4,
+            nprobe=2,
+            lloyd_iters=1,
+        ).collect()
+        # vec 1 is near-identical to vec 0 → same cluster → found
+        assert any(r.vec_id == 1 and r.cosine > 0.99 for r in got)
+
     def test_exact_cosine_pairs(self, spark, emb):
         got = similarity.cosine_pairs_exact(emb, threshold=0.95).collect()
         assert {(r.a, r.b) for r in got} == {(0, 1)}  # the planted near-dup

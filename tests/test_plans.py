@@ -72,6 +72,18 @@ def test_motif_join_keys_stay_long_on_integral_hosts(spark):
     host.unpersist()
 
 
+def test_lsh_near_pairs_plan_is_bucket_equijoin(spark):
+    # The scale path for embedding near-dup must meet candidates ONLY
+    # through the bucket equi-join — an n² nested-loop anywhere means
+    # the blocking failed and the plan dies at 100× data.
+    from grandiso_networkx_spark.operators.similarity import embedding_near_pairs
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = _plan(embedding_near_pairs(emb, dim=16, bits=6, tables=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_motif_plan_has_no_cartesian_product(spark):
     e = spark.range(100).select(
         (F.col("id") % 30).alias("src"), ((F.col("id") * 3 + 1) % 30).alias("dst")
