@@ -289,6 +289,40 @@ FROM documents
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprint sets — the
+    partial-copy detector next to whole-document fingerprint()."""
+    return textstats.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, w=4
+    )
+
+
+_WINNOW_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, length(t) - 8 + 2),
+           i -> CAST('0x' || substring(md5(substr(t, i, 8)), 1, 15) AS BIGINT)
+         ) AS hl
+  FROM d WHERE length(t) >= 8
+),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(length(hl) - 4 + 2, 2)),
+           j -> list_min(hl[j:j+3])
+         )) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM w
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (≥0.5) — the
     verification stage LSH candidates feed at scale."""
@@ -723,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_features": q_quality,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lang_guess": q_lang_guess,
@@ -758,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_SQL,
         "quality_features": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
+        "winnow_fingerprints": _WINNOW_SQL,
         "cosine_topk": _COSINE_SQL,
         "embedding_dup_pairs": _EMBEDDING_DUP_SQL,
         "ivf_ann_topk": _IVF_SQL,

@@ -90,6 +90,55 @@ def language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", guess.alias("lang_guess"))
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): the rolling-hash fingerprint set.
+
+    Every ``k``-gram of the normalized text is hashed (portable 60-bit
+    md5 prefix, identical in DuckDB); each window of ``w`` consecutive
+    k-gram hashes contributes its minimum; the distinct minima are the
+    document's fingerprints ``(doc_id, fp)``.  Guarantee: any shared
+    substring of length ≥ ``k + w - 1`` yields at least one shared
+    fingerprint, so fingerprint overlap detects partial-copy near-dups
+    that whole-document hashing misses.  All JVM-side: explode + one
+    ``w``-row sliding window aggregate per doc — no shuffles beyond
+    the per-doc window sort.  Docs shorter than ``k`` emit nothing;
+    docs with fewer than ``w`` k-grams emit their global minimum.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    d = docs.select("doc_id", norm.alias("__t")).where(F.length("__t") >= k)
+    grams = d.select(
+        "doc_id",
+        (F.length("__t") - F.lit(k - 1)).alias("__ng"),
+        F.explode(F.sequence(F.lit(1), F.length("__t") - F.lit(k - 1))).alias("pos"),
+        F.col("__t"),
+    ).select(
+        "doc_id",
+        "__ng",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.col("__t").substr(F.col("pos"), F.lit(k))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("__h").over(win))
+        .where(F.col("pos") <= F.greatest(F.col("__ng") - F.lit(w - 1), F.lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 64-bit content fingerprint of normalized text
     (whitespace-collapsed, lowercased) — a rolling-hash stand-in built

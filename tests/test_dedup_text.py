@@ -102,6 +102,37 @@ class TestTextStats:
         assert fp[0] != fp[2]
 
 
+class TestWinnowing:
+    def test_guarantee_and_partial_copy(self, spark):
+        # winnowing guarantee: a shared substring of length >= k+w-1
+        # yields at least one shared fingerprint
+        shared = "this exact sentence is lifted verbatim from doc zero"
+        rows = [
+            (0, "intro words then " + shared + " and then an ending"),
+            (1, "totally different framing yet " + shared + " appears here"),
+            (2, "no overlap with the others whatsoever in any words"),
+            (3, ""),
+            (4, "tiny"),  # shorter than k=8 after norm → no fingerprints
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = textstats.winnow_fingerprints(docs, k=8, w=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc[0] & by_doc[1]  # partial copy detected
+        assert not (by_doc[0] & by_doc[2]) or len(by_doc[0] & by_doc[2]) < 2
+        assert 3 not in by_doc and 4 not in by_doc
+        # deterministic
+        again = textstats.winnow_fingerprints(docs, k=8, w=4).collect()
+        assert {(r.doc_id, r.fp) for r in fps} == {(r.doc_id, r.fp) for r in again}
+
+    def test_short_doc_emits_global_min(self, spark):
+        # 9 chars, k=8 → 2 k-grams < w windows → exactly one fp (the min)
+        docs = spark.createDataFrame([(0, "abcdefghi")], "doc_id long, text string")
+        fps = textstats.winnow_fingerprints(docs, k=8, w=4).collect()
+        assert len(fps) == 1
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):
