@@ -99,6 +99,16 @@ class CheckpointManager:
         self._save_manifest()
         return reloaded
 
+    def annotate(self, rnd: int, extra: dict) -> None:
+        """Merge convergence metrics (L1 delta, changed-label count, …)
+        into an already-saved round's manifest entry — they are only
+        known after the state frame is written and aggregated."""
+        for r in self.manifest["rounds"]:
+            if r["round"] == rnd:
+                r.update(extra)
+                self._save_manifest()
+                return
+
     def load(self, rnd: int) -> DataFrame:
         return self.spark.read.parquet(self.round_path(rnd))
 

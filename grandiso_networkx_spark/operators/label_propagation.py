@@ -76,6 +76,8 @@ def label_propagation(
         else:
             new_labels = new_labels.localCheckpoint()
         changed = new_labels.where("__changed").count()
+        if checkpoint is not None and it % checkpoint_every == 0:
+            checkpoint.annotate(it, {"labels_changed": changed})
         labels = new_labels.drop("__changed")
         if changed == 0:
             break

@@ -418,6 +418,8 @@ def pagerank(
                 # L1 delta from the already-materialized frame (single
                 # scan, no join, no recompute).
                 err = err_frame.agg(F.sum("__diff")).collect()[0][0]
+                if checkpoint is not None and (it % checkpoint_every == 0):
+                    checkpoint.annotate(it, {"l1_delta": err})
             else:
                 err = None
             if realign:

@@ -42,6 +42,7 @@ class TestCheckpoint:
         # simulate a dead driver: new manager on the same path resumes
         cp2 = CheckpointManager(spark, str(tmp_path / "pr"), job="pr")
         assert cp2.last_round is not None
+        assert all("l1_delta" in r for r in cp2.manifest["rounds"])
         resumed = {
             r.id: r.rank
             for r in pagerank(e, tol=1e-10, checkpoint=cp2, checkpoint_every=2).collect()
@@ -67,6 +68,9 @@ class TestCheckpoint:
         connected_components(e, checkpoint=cp, checkpoint_every=1).collect()
         cp2 = CheckpointManager(spark, str(tmp_path / "cc"), job="cc")
         assert cp2.last_round is not None
+        # convergence metrics ride in the manifest next to the
+        # per-partition lineage metrics (north rule)
+        assert all("labels_changed" in r for r in cp2.manifest["rounds"])
         resumed_cc = {
             r.id: r.component
             for r in connected_components(
