@@ -323,6 +323,46 @@ SELECT DISTINCT doc_id, fp FROM w
 """
 
 
+def q_winnow_near_pairs(spark, sf_dir):
+    """Partial-copy near-dup pairs via winnowing-fingerprint overlap
+    (candidates meet only in the fingerprint equi-join; stop-
+    fingerprint guard caps hot-bucket fan-out)."""
+    return textstats.winnow_near_pairs(
+        _t(spark, sf_dir, "documents"), k=8, w=4, min_shared=3, max_df=50
+    )
+
+
+_WINNOW_PAIRS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, length(t) - 8 + 2),
+           i -> CAST('0x' || substring(md5(substr(t, i, 8)), 1, 15) AS BIGINT)
+         ) AS hl
+  FROM d WHERE length(t) >= 8
+),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(length(hl) - 4 + 2, 2)),
+           j -> list_min(hl[j:j+3])
+         )) AS fp
+  FROM g
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM w),
+kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+f AS (SELECT fps.doc_id, fps.fp FROM fps JOIN kept USING (fp))
+SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fps
+FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (≥0.5) — the
     verification stage LSH candidates feed at scale."""
@@ -758,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality,
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_pairs": q_winnow_near_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lang_guess": q_lang_guess,
@@ -794,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_features": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "winnow_near_pairs": _WINNOW_PAIRS_SQL,
         "cosine_topk": _COSINE_SQL,
         "embedding_dup_pairs": _EMBEDDING_DUP_SQL,
         "ivf_ann_topk": _IVF_SQL,

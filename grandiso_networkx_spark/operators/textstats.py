@@ -139,6 +139,40 @@ def winnow_fingerprints(
     )
 
 
+def winnow_near_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Partial-copy near-dup pairs ``(a, b, shared_fps)`` by winnowing
+    fingerprint overlap.
+
+    Pairs meet only through the fingerprint equi-join (work is
+    Σ|bucket|², never corpus²).  ``max_df`` drops *stop-fingerprints*
+    — minima that occur in more than that many documents (boilerplate
+    k-grams) — before the self-join, the skew guard that keeps hot
+    buckets from going quadratic at corpus scale; exact pairs among
+    dropped fingerprints are still found through their other shared
+    fingerprints (winnowing emits many per document).
+    """
+    fps = winnow_fingerprints(docs, k, w, text_col)
+    if max_df is not None:
+        keep = fps.groupBy("fp").count().where(F.col("count") <= max_df)
+        fps = fps.join(keep.select("fp"), "fp")
+    a = fps.select(F.col("doc_id").alias("a"), "fp")
+    b = fps.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 64-bit content fingerprint of normalized text
     (whitespace-collapsed, lowercased) — a rolling-hash stand-in built

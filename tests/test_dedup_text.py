@@ -126,6 +126,29 @@ class TestWinnowing:
         again = textstats.winnow_fingerprints(docs, k=8, w=4).collect()
         assert {(r.doc_id, r.fp) for r in fps} == {(r.doc_id, r.fp) for r in again}
 
+    def test_near_pairs_detect_partial_copy(self, spark):
+        shared = "this exact sentence is lifted verbatim from doc zero"
+        rows = [
+            (0, "intro words then " + shared + " and then an ending"),
+            (1, "totally different framing yet " + shared + " appears here"),
+            (2, "no overlap with the others whatsoever in any words"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.a, r.b): r.shared_fps
+            for r in textstats.winnow_near_pairs(
+                docs, k=8, w=4, min_shared=2
+            ).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+        # stop-fingerprint guard: max_df=1 drops every fp shared by 2+
+        # docs, so no pair can form
+        none = textstats.winnow_near_pairs(
+            docs, k=8, w=4, min_shared=1, max_df=1
+        ).collect()
+        assert none == []
+
     def test_short_doc_emits_global_min(self, spark):
         # 9 chars, k=8 → 2 k-grams < w windows → exactly one fp (the min)
         docs = spark.createDataFrame([(0, "abcdefghi")], "doc_id long, text string")
