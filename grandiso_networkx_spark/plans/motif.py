@@ -196,6 +196,13 @@ def _make_step(motif: Motif, node: Hashable, bound: set) -> BindStep:
     )
 
 
+def uniform_node_interestingness(motif) -> dict:
+    """All-ones interestingness — the reference's default planner stats
+    (``grandiso/__init__.py:345-353``).  Accepts a :class:`Motif` or
+    any object with iterable ``.nodes`` (e.g. ``nx.Graph``)."""
+    return {n: 1.0 for n in motif.nodes}
+
+
 def compile_plan(
     motif: Motif,
     hint_keys: Iterable[Hashable] = (),
