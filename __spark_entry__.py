@@ -488,6 +488,17 @@ SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize plumbing: image-only pushdown filter + Arrow-
+    batched fixed-size resample (codec stubbed; rows-only check —
+    payload bytes are engine-seeded)."""
+    media = multimodal.synth_media(spark, n=240)
+    out = multimodal.resize_images(media, width=16, height=16)
+    return out.select(
+        "media_id", "width", "height", F.length("payload").alias("n_bytes")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: Arrow-batched feature extraction over a
     deterministic synthetic media table (decode stubbed — no codecs in
@@ -817,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
     }
 
 

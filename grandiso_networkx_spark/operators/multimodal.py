@@ -99,6 +99,50 @@ def extract_features(
     )
 
 
+def _resize_kernel(width: int, height: int, fake_decode: bool):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "Real image resize requires PIL, which is not available "
+                    "in this environment; pass fake_decode=True."
+                )
+            out = []
+            n = width * height
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload or b"\0", dtype=np.uint8)
+                # Deterministic fake 'decode→resize→encode': nearest-
+                # neighbor index into the byte stream at the target size
+                # (stands in for pixel resampling; vectorized numpy).
+                idx = (np.arange(n) * max(len(b), 1) // n) % max(len(b), 1)
+                out.append(b[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                }
+            )
+
+    return kernel
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake_decode: bool = True
+) -> DataFrame:
+    """``(media_id, payload binary, width, height)`` — images resized to
+    a fixed target via an Arrow-batched kernel (codec stubbed; schema,
+    batch shape and the image-only pushdown filter are real).  The
+    ``kind = 'image'`` filter is applied before the Python stage, so
+    non-image payload bytes never cross the Arrow boundary."""
+    sel = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return sel.mapInPandas(
+        _resize_kernel(width, height, fake_decode),
+        schema="media_id long, payload binary, width int, height int",
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Video frame-sampling *plan*: one row per sampled frame index,
     computed JVM-side from metadata (the decode itself is the stubbed

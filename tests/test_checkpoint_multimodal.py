@@ -115,6 +115,16 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|decoding"):
             multimodal.extract_features(media, fake_decode=False).collect()
 
+    def test_resize_plumbing(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        got = multimodal.resize_images(media, width=8, height=4).collect()
+        imgs = media.where(F.col("kind") == "image").count()
+        assert len(got) == imgs
+        assert all(len(r.payload) == 8 * 4 for r in got)
+        assert all(r.width == 8 and r.height == 4 for r in got)
+        again = multimodal.resize_images(media, width=8, height=4).collect()
+        assert sorted(map(str, got)) == sorted(map(str, again))  # deterministic
+
     def test_frame_sample_plan(self, spark):
         media = multimodal.synth_media(spark, n=30)
         plan = multimodal.frame_sample_plan(media, every_n=5)
