@@ -612,6 +612,18 @@ def q_connected_components(spark, sf_dir):
     return connected_components(e)
 
 
+def q_connected_components_star(spark, sf_dir):
+    """Large-star/small-star contraction — O(log n) rounds independent
+    of diameter (the scale path next to HashMin); identical canonical-
+    min output, so it shares the recursive-CTE oracle."""
+    from grandiso_networkx_spark.operators.components import (
+        connected_components_star,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return connected_components_star(e)
+
+
 def q_label_propagation(spark, sf_dir):
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return label_propagation(e, max_iter=8)
@@ -816,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
+        "connected_components_star": q_connected_components_star,
         "pagerank_fixed": q_pagerank_fixed,
         "label_propagation": q_label_propagation,
         # iterative / hash-seeded ops: rows-only driver checks; exactness
@@ -855,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "connected_components": _COMPONENTS_SQL,
+        "connected_components_star": _COMPONENTS_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "label_propagation": _lpa_sql(8),
         "minhash_portable_pairs": _minhash_portable_sql(),

@@ -139,6 +139,47 @@ class TestConnectedComponents:
         assert got_sets == want
 
 
+class TestStarContraction:
+    def _comp_map(self, rows):
+        return {r.id: r.component for r in rows}
+
+    def test_matches_hashmin_on_random(self, spark):
+        from grandiso_networkx_spark.operators.components import (
+            connected_components_star,
+        )
+
+        g = nx.random_geometric_graph(80, 0.12, seed=3)
+        g = nx.relabel_nodes(g, str)
+        e = _edges_df(spark, g)
+        assert self._comp_map(
+            connected_components_star(e).collect()
+        ) == self._comp_map(connected_components(e).collect())
+
+    def test_high_diameter_path(self, spark):
+        # a 300-node path: HashMin needs ~300 rounds, star contraction
+        # O(log n) — the case this algorithm exists for
+        from grandiso_networkx_spark.operators.components import (
+            connected_components_star,
+        )
+
+        rows = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(300)]
+        e = spark.createDataFrame(rows, "src string, dst string")
+        got = connected_components_star(e, max_iter=20).collect()
+        assert len(got) == 301
+        assert {r.component for r in got} == {"n0000"}
+
+    def test_self_loops_and_two_node_components(self, spark):
+        from grandiso_networkx_spark.operators.components import (
+            connected_components_star,
+        )
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("z", "z"), ("x", "y")], "src string, dst string"
+        )
+        got = self._comp_map(connected_components_star(e).collect())
+        assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "z"}
+
+
 class TestLabelPropagation:
     @pytest.mark.parametrize("seed", [1, 5])
     def test_matches_pinned_oracle(self, spark, seed):
