@@ -173,6 +173,7 @@ def pagerank(
     checkpoint_every: int = 5,
     fixed_iterations: int | None = None,
     vertices: DataFrame | None = None,
+    personalization: DataFrame | None = None,
     kernel: str = "jvm",
     num_partitions: int | None = None,
     iter_seconds: list | None = None,
@@ -184,6 +185,14 @@ def pagerank(
     orientations), matching how networkx converts a ``Graph``.
     ``vertices`` (optional ``(id)`` DataFrame) adds isolated vertices,
     which share teleport/dangling mass exactly as networkx's N does.
+
+    ``personalization`` (optional ``(id, weight)`` DataFrame) replaces
+    the uniform teleport/dangling distribution with the normalized
+    given weights — ``networkx.pagerank(personalization=...)``
+    semantics: ids absent from the table get weight 0, the dangling
+    distribution defaults to the personalization vector, and an
+    all-zero vector raises ``ValueError``.  The vector rides the state
+    frame as a ``tele`` column, so the hot loop's shape is unchanged.
 
     Returns ``(id, rank double)`` with ``id`` in the input's id type;
     raises ``RuntimeError`` if the iteration does not converge within
@@ -286,9 +295,9 @@ def pagerank(
 
     def _encode(df: DataFrame) -> DataFrame:
         if vmap is not None:
-            return df.join(vmap, "id").select("vid", "has_out", "rank")
+            return df.join(vmap, "id").select("vid", "has_out", "tele", "rank")
         return df.select(
-            F.col("id").cast("long").alias("vid"), "has_out", "rank"
+            F.col("id").cast("long").alias("vid"), "has_out", "tele", "rank"
         )
 
     def _cleanup() -> None:
@@ -300,8 +309,27 @@ def pagerank(
         out_t = "string" if not integral else "long"
         return spark.createDataFrame([], f"id {out_t}, rank double")
 
+    # Teleport/dangling distribution as a per-vertex state column.
+    if personalization is not None:
+        p = personalization.select("id", F.col("weight").cast("double").alias("__w"))
+        if vmap is not None:
+            p = p.join(vmap, "id").select("vid", "__w")
+        else:
+            p = p.select(F.col("id").cast("long").alias("vid"), "__w")
+        psum = p.agg(F.coalesce(F.sum("__w"), F.lit(0.0))).collect()[0][0]
+        if psum <= 0.0:
+            _cleanup()
+            raise ValueError("personalization weights must sum to a positive value")
+        tele_verts = verts.join(p, "vid", "left").select(
+            "vid",
+            "has_out",
+            F.coalesce(F.col("__w") / F.lit(float(psum)), F.lit(0.0)).alias("tele"),
+        )
+    else:
+        tele_verts = verts.select("vid", "has_out", F.lit(1.0 / n).alias("tele"))
+
     ranks = _persist(
-        verts.select("vid", "has_out", F.lit(1.0 / n).alias("rank"))
+        tele_verts.select("vid", "has_out", "tele", F.lit(1.0 / n).alias("rank"))
     )
 
     start_iter = 0
@@ -383,9 +411,9 @@ def pagerank(
                 F.lit(alpha)
                 * (
                     F.coalesce("gathered", F.lit(0.0))
-                    + dangle_col / F.lit(float(n))
+                    + dangle_col * F.col("tele")
                 )
-                + F.lit((1.0 - alpha) / n)
+                + F.lit(1.0 - alpha) * F.col("tele")
             )
             joined = ranks.join(gathered, ranks["vid"] == gathered["dst"], "left")
             if dangle is not None:
@@ -395,6 +423,7 @@ def pagerank(
                 .select(
                     "vid",
                     "has_out",
+                    "tele",
                     new_rank.alias("__new"),
                     F.abs(new_rank - F.col("rank")).alias("__diff"),
                 )
@@ -405,7 +434,7 @@ def pagerank(
                 # surrogate map) resumes exactly.  The reloaded Parquet
                 # frame is the flat-lineage state for the next round.
                 saved = checkpoint.save(
-                    it, _decode(new_ranks, ["has_out", "rank", "__diff"])
+                    it, _decode(new_ranks, ["has_out", "tele", "rank", "__diff"])
                 )
                 err_frame = saved
                 flat = _encode(saved.drop("__diff")).withColumn("__diff", F.lit(0.0))

@@ -16,9 +16,12 @@ def pagerank_oracle(
     alpha: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 100,
+    personalization: dict[str, float] | None = None,
 ) -> dict[str, float]:
     """Edge list is directed ``(src, dst, weight)``; symmetrize first
-    for undirected semantics (as networkx's to_directed does)."""
+    for undirected semantics (as networkx's to_directed does).
+    ``personalization`` follows networkx: weights normalized, missing
+    nodes 0, dangling distribution defaults to it."""
     nodes = set(nodes or set())
     out_w: dict[str, float] = {}
     adj: dict[str, list[tuple[str, float]]] = {}
@@ -31,7 +34,11 @@ def pagerank_oracle(
     if n == 0:
         return {}
     x = {v: 1.0 / n for v in nodes}
-    p = 1.0 / n
+    if personalization is None:
+        p = {v: 1.0 / n for v in nodes}
+    else:
+        s = sum(personalization.values())
+        p = {v: personalization.get(v, 0.0) / s for v in nodes}
     for _ in range(max_iter):
         xlast = x
         x = {v: 0.0 for v in nodes}
@@ -41,7 +48,7 @@ def pagerank_oracle(
             for v, w in nbrs:
                 x[v] += alpha * share * w
         for v in nodes:
-            x[v] += alpha * danglesum * p + (1.0 - alpha) * p
+            x[v] += alpha * danglesum * p[v] + (1.0 - alpha) * p[v]
         err = sum(abs(x[v] - xlast[v]) for v in nodes)
         if err < n * tol:
             return x

@@ -58,6 +58,33 @@ class TestPageRank:
         for k, v in want.items():
             assert abs(got[k] - v) < 1e-6, k
 
+    def test_personalized_matches_oracle(self, spark):
+        g = nx.fast_gnp_random_graph(50, 0.1, directed=True, seed=9)
+        pers = {str(n): (2.0 if n % 3 == 0 else 0.0) for n in g.nodes}
+        pdf = spark.createDataFrame(
+            list(pers.items()), "id string, weight double"
+        )
+        got = {
+            r.id: r.rank
+            for r in pagerank(
+                _edges_df(spark, g), tol=1e-10, personalization=pdf
+            ).collect()
+        }
+        want = pagerank_oracle(
+            [(str(u), str(v), 1.0) for u, v in g.edges()],
+            tol=1e-10,
+            personalization=pers,
+        )
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-6, k
+
+    def test_personalization_all_zero_raises(self, spark):
+        g = nx.DiGraph([("a", "b")])
+        zero = spark.createDataFrame([("a", 0.0)], "id string, weight double")
+        with pytest.raises(ValueError, match="personalization"):
+            pagerank(_edges_df(spark, g), personalization=zero)
+
     def test_with_dangling_nodes(self, spark):
         g = nx.DiGraph([("a", "b"), ("b", "c"), ("a", "c"), ("d", "c")])
         got = {r.id: r.rank for r in pagerank(_edges_df(spark, g), tol=1e-12).collect()}
