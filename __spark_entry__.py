@@ -159,6 +159,18 @@ def q_triangle_count(spark, sf_dir):
     return triangles(e).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def q_triangle_per_vertex(spark, sf_dir):
+    """Per-vertex triangle participation (``nx.triangles`` semantics,
+    vertices in ≥1 triangle) — value-checks the orientation join's
+    *membership*, not just the global count."""
+    from grandiso_networkx_spark.operators.triangles import per_vertex_triangles
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return per_vertex_triangles(e).select(
+        "id", F.col("tri_count").cast("long").alias("tri_count")
+    )
+
+
 _TRIANGLE_SQL = f"""
 WITH raw AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL}) WHERE src <> dst),
 und AS (
@@ -166,6 +178,22 @@ und AS (
 )
 SELECT count(*) AS n_triangles
 FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+_TRIANGLE_PER_VERTEX_SQL = f"""
+WITH raw AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL}) WHERE src <> dst),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM raw GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+stacked AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT id, count(*) AS tri_count FROM stacked GROUP BY id
 """
 
 
@@ -361,6 +389,36 @@ SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fps
 FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
 """
+
+
+def q_dedup_keep(spark, sf_dir):
+    """Near-dup keep/drop decision: winnowing pair graph → connected
+    components (the engine's own HashMin pass composing with the dedup
+    stack) → min-id representative per cluster, every doc covered."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = textstats.winnow_near_pairs(
+        docs, k=8, w=4, min_shared=25, max_df=50
+    )
+    return dedup.near_dedup_keep(docs, pairs)
+
+
+_DEDUP_KEEP_SQL = (
+    "WITH RECURSIVE p AS ("
+    + _WINNOW_PAIRS_SQL.replace("count(*) >= 3", "count(*) >= 25")
+    + """),
+und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+),
+comp AS (SELECT id, min(r) AS keep FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.keep, d.doc_id) AS keep_id,
+       coalesce(c.keep, d.doc_id) <> d.doc_id AS is_dup
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -656,6 +714,40 @@ l{i + 1} AS (SELECT l.id, coalesce(p.new_label, l.label) AS label
     return "".join(parts)
 
 
+def q_label_propagation_weighted(spark, sf_dir):
+    """Weighted LPA: neighbor-label score = summed undirected edge
+    weight (both orientations add), same min-label tie-break."""
+    e = q_reply_edges(spark, sf_dir)
+    return label_propagation(e, max_iter=8, weight_col="weight")
+
+
+def _lpa_weighted_sql(iters: int = 8) -> str:
+    """Unrolled weighted synchronous LPA (see _lpa_sql); scores are
+    exact because the weights are integer-valued doubles."""
+    parts = [
+        f"""WITH re AS ({_REPLY_EDGES_SQL}),
+bo AS (SELECT src, dst, weight * 1.0 AS w FROM re
+       UNION ALL SELECT dst AS src, src AS dst, weight * 1.0 AS w FROM re),
+sym AS (SELECT src, dst, sum(w) AS w FROM bo GROUP BY src, dst),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+pick{i} AS (
+  SELECT id, label AS new_label FROM (
+    SELECT s.dst AS id, l.label,
+           row_number() OVER (PARTITION BY s.dst
+                              ORDER BY sum(s.w) DESC, l.label ASC) AS rn
+    FROM sym s JOIN l{i} l ON l.id = s.src
+    GROUP BY s.dst, l.label) t WHERE rn = 1),
+l{i + 1} AS (SELECT l.id, coalesce(p.new_label, l.label) AS label
+             FROM l{i} l LEFT JOIN pick{i} p ON p.id = l.id)"""
+        )
+    parts.append(f"\nSELECT id, label FROM l{iters}")
+    return "".join(parts)
+
+
 def q_minhash_dedup(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.5
@@ -814,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_path_count": q_two_path_count,
         "triangle_motif_count": q_triangle_motif_count,
         "triangle_count": q_triangle_count,
+        "triangle_per_vertex": q_triangle_per_vertex,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "exact_dedup": q_exact_dedup,
@@ -822,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_pairs": q_winnow_near_pairs,
+        "dedup_keep": q_dedup_keep,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lang_guess": q_lang_guess,
@@ -831,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": q_connected_components_star,
         "pagerank_fixed": q_pagerank_fixed,
         "label_propagation": q_label_propagation,
+        "label_propagation_weighted": q_label_propagation_weighted,
         # iterative / hash-seeded ops: rows-only driver checks; exactness
         # is covered by the networkx-oracle pytest suite instead.
         "minhash_portable_pairs": q_minhash_portable,
@@ -853,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
         "two_path_count": _TWO_PATH_SQL,
         "triangle_motif_count": _TRIANGLE_MOTIF_SQL,
         "triangle_count": _TRIANGLE_SQL,
+        "triangle_per_vertex": _TRIANGLE_PER_VERTEX_SQL,
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
@@ -861,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
         "winnow_near_pairs": _WINNOW_PAIRS_SQL,
+        "dedup_keep": _DEDUP_KEEP_SQL,
         "cosine_topk": _COSINE_SQL,
         "embedding_dup_pairs": _EMBEDDING_DUP_SQL,
         "ivf_ann_topk": _IVF_SQL,
@@ -871,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_star": _COMPONENTS_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "label_propagation": _lpa_sql(8),
+        "label_propagation_weighted": _lpa_weighted_sql(8),
         "minhash_portable_pairs": _minhash_portable_sql(),
         "simhash_portable": _SIMHASH_PORTABLE_SQL,
     }

@@ -87,13 +87,20 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # 1. stage-0 derivation over ~600k synthetic turns (scaled).
+    # 1. stage-0 derivation over ~600k synthetic turns (scaled).  The
+    # synthetic table is materialized BEFORE the timed leg so "derive"
+    # measures the window+groupBy dataflow, not row synthesis.
     n_convs = int(20000 * scale * (sf / 0.1))
     n_convs = max(n_convs, 500)
-    tr = synth_transcripts(spark, n_convs=n_convs, partitions=cpus * 2)
+    tr = synth_transcripts(spark, n_convs=n_convs, partitions=cpus * 2).persist()
+    counters["transcript_turns"] = tr.count()
     counters["derive_rows"] = timed(
         "derive", lambda: derive_edges(tr).agg(F.sum("weight")).collect()[0][0]
     )
+    counters["derive_turns_per_sec"] = round(
+        counters["transcript_turns"] / timings["derive"], 1
+    )
+    tr.unpersist()
 
     # 2. power-law graph workloads.  PageRank gets its own 10x-larger
     # graph (throughput metric amortizes fixed per-round costs); the

@@ -47,6 +47,36 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
+def near_dedup_keep(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Turn a near-duplicate *pair* table into a keep/drop decision.
+
+    Near-dup relations are not transitive, but dedup policies treat
+    them as if they were (a≈b and b≈c ⇒ drop all but one of {a,b,c}),
+    so the equivalence classes are the connected components of the
+    pair graph — computed with the engine's own HashMin pass, which
+    composes here because its ``min``-label contract is type-generic.
+    The representative kept is the smallest id in each class.
+
+    Returns ``(id_col, keep_id, is_dup)`` covering EVERY input doc
+    (docs in no pair keep themselves).  Scale shape: the pair table is
+    sparse output of a bucketed join (winnowing / MinHash-LSH), the
+    component pass is O(pair-diameter) rounds of narrow-key shuffles,
+    and the final left join is doc-partitioned — nothing quadratic.
+    """
+    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    from .components import connected_components
+
+    comp = connected_components(e).withColumnRenamed("id", id_col)
+    keep = F.coalesce("component", F.col(id_col))
+    return docs.select(id_col).join(comp, id_col, "left").select(
+        id_col,
+        keep.alias("keep_id"),
+        (keep != F.col(id_col)).alias("is_dup"),
+    )
+
+
 # -- minhash + LSH ----------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

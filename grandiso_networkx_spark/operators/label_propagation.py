@@ -31,11 +31,33 @@ from .components import symmetrize
 def label_propagation(
     edges: DataFrame,
     max_iter: int = 10,
+    weight_col: str | None = None,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 4,
 ) -> DataFrame:
-    """``(id string, label string)`` after synchronous min-tie-break LPA."""
-    sym = symmetrize(edges).persist()
+    """``(id string, label string)`` after synchronous min-tie-break LPA.
+
+    ``weight_col`` switches the neighbor-label score from frequency to
+    summed edge weight (undirected weight = the sum over both stored
+    orientations of a pair, pinned so "exact" stays well-defined); the
+    tie-break rule is unchanged (max score, then smallest label).
+    """
+    if weight_col is None:
+        sym = symmetrize(edges).withColumn("w", F.lit(1.0)).persist()
+    else:
+        und = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
+        )
+        sym = (
+            und.unionAll(
+                und.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -54,9 +76,9 @@ def label_propagation(
     w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
     for it in range(start, max_iter):
         nbr = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), "label"
+            F.col("dst").alias("id"), "label", "w"
         )
-        freq = nbr.groupBy("id", "label").agg(F.count(F.lit(1)).alias("n"))
+        freq = nbr.groupBy("id", "label").agg(F.sum("w").alias("n"))
         pick = (
             freq.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
@@ -85,28 +107,44 @@ def label_propagation(
     return labels
 
 
-def lpa_oracle(edge_list: list[tuple[str, str]], max_iter: int = 10) -> dict:
+def lpa_oracle(
+    edge_list: list[tuple], max_iter: int = 10, weighted: bool = False
+) -> dict:
     """Single-node reference implementation of the pinned LPA rule.
 
     Used by the test suite as the exactness oracle (there is no
-    deterministic networkx equivalent).
+    deterministic networkx equivalent).  ``weighted=True`` takes
+    ``(u, v, w)`` triples and scores labels by summed undirected weight
+    (both stored orientations of a pair add up), matching
+    :func:`label_propagation`'s ``weight_col`` semantics.
     """
-    from collections import Counter, defaultdict
+    from collections import defaultdict
 
-    adj = defaultdict(set)
-    for u, v in edge_list:
-        adj[u].add(v)
-        adj[v].add(u)
-    labels = {v: v for v in adj}
+    wadj: dict = defaultdict(lambda: defaultdict(float))
+    for e in edge_list:
+        if weighted:
+            u, v, w = e
+        else:
+            u, v, w = e[0], e[1], 1.0
+        wadj[u][v] += w
+        wadj[v][u] += w
+        if not weighted:
+            # unweighted rule scores by *distinct-neighbor* frequency
+            wadj[u][v] = 1.0
+            wadj[v][u] = 1.0
+    labels = {v: v for v in wadj}
     for _ in range(max_iter):
         new = {}
-        for v in adj:
-            if not adj[v] or (adj[v] == {v}):
+        for v in wadj:
+            nbrs = wadj[v]
+            if not nbrs or set(nbrs) == {v}:
                 new[v] = labels[v]
                 continue
-            counts = Counter(labels[u] for u in adj[v])
-            best_n = max(counts.values())
-            new[v] = min(l for l, c in counts.items() if c == best_n)
+            scores: dict = defaultdict(float)
+            for u, w in nbrs.items():
+                scores[labels[u]] += w
+            best = max(scores.values())
+            new[v] = min(l for l, s in scores.items() if s == best)
         if new == labels:
             break
         labels = new

@@ -174,6 +174,7 @@ def pagerank(
     fixed_iterations: int | None = None,
     vertices: DataFrame | None = None,
     personalization: DataFrame | None = None,
+    nstart: DataFrame | None = None,
     kernel: str = "jvm",
     num_partitions: int | None = None,
     iter_seconds: list | None = None,
@@ -193,6 +194,13 @@ def pagerank(
     distribution defaults to the personalization vector, and an
     all-zero vector raises ``ValueError``.  The vector rides the state
     frame as a ``tele`` column, so the hot loop's shape is unchanged.
+
+    ``nstart`` (optional ``(id, weight)`` DataFrame) sets the starting
+    rank vector — ``networkx.pagerank(nstart=...)`` semantics: values
+    are normalized by their sum, ids absent from the table start at 0.
+    Only the trajectory changes (any start converges to the same fixed
+    point); with ``fixed_iterations`` it changes the result, which is
+    what the parity test pins.
 
     Returns ``(id, rank double)`` with ``id`` in the input's id type;
     raises ``RuntimeError`` if the iteration does not converge within
@@ -328,9 +336,30 @@ def pagerank(
     else:
         tele_verts = verts.select("vid", "has_out", F.lit(1.0 / n).alias("tele"))
 
-    ranks = _persist(
-        tele_verts.select("vid", "has_out", "tele", F.lit(1.0 / n).alias("rank"))
-    )
+    if nstart is not None:
+        ns = nstart.select("id", F.col("weight").cast("double").alias("__r0"))
+        if vmap is not None:
+            ns = ns.join(vmap, "id").select("vid", "__r0")
+        else:
+            ns = ns.select(F.col("id").cast("long").alias("vid"), "__r0")
+        ssum = ns.agg(F.coalesce(F.sum("__r0"), F.lit(0.0))).collect()[0][0]
+        if ssum <= 0.0:
+            _cleanup()
+            raise ValueError("nstart weights must sum to a positive value")
+        ranks = _persist(
+            tele_verts.join(ns, "vid", "left").select(
+                "vid",
+                "has_out",
+                "tele",
+                F.coalesce(F.col("__r0") / F.lit(float(ssum)), F.lit(0.0)).alias(
+                    "rank"
+                ),
+            )
+        )
+    else:
+        ranks = _persist(
+            tele_verts.select("vid", "has_out", "tele", F.lit(1.0 / n).alias("rank"))
+        )
 
     start_iter = 0
     if checkpoint is not None:

@@ -17,6 +17,8 @@ def pagerank_oracle(
     tol: float = 1e-6,
     max_iter: int = 100,
     personalization: dict[str, float] | None = None,
+    nstart: dict[str, float] | None = None,
+    fixed_iter: int | None = None,
 ) -> dict[str, float]:
     """Edge list is directed ``(src, dst, weight)``; symmetrize first
     for undirected semantics (as networkx's to_directed does).
@@ -33,13 +35,17 @@ def pagerank_oracle(
     n = len(nodes)
     if n == 0:
         return {}
-    x = {v: 1.0 / n for v in nodes}
+    if nstart is None:
+        x = {v: 1.0 / n for v in nodes}
+    else:
+        s0 = sum(nstart.values())
+        x = {v: nstart.get(v, 0.0) / s0 for v in nodes}
     if personalization is None:
         p = {v: 1.0 / n for v in nodes}
     else:
         s = sum(personalization.values())
         p = {v: personalization.get(v, 0.0) / s for v in nodes}
-    for _ in range(max_iter):
+    for _ in range(fixed_iter if fixed_iter is not None else max_iter):
         xlast = x
         x = {v: 0.0 for v in nodes}
         danglesum = sum(xlast[u] for u in nodes if out_w.get(u, 0.0) == 0.0)
@@ -49,7 +55,11 @@ def pagerank_oracle(
                 x[v] += alpha * share * w
         for v in nodes:
             x[v] += alpha * danglesum * p[v] + (1.0 - alpha) * p[v]
+        if fixed_iter is not None:
+            continue
         err = sum(abs(x[v] - xlast[v]) for v in nodes)
         if err < n * tol:
             return x
+    if fixed_iter is not None:
+        return x
     raise RuntimeError("oracle pagerank failed to converge")

@@ -79,6 +79,33 @@ class TestPageRank:
         for k, v in want.items():
             assert abs(got[k] - v) < 1e-6, k
 
+    def test_nstart_matches_oracle_at_fixed_iterations(self, spark):
+        # nstart only changes the trajectory, so the parity check pins
+        # it where it is observable: after exactly 3 power iterations.
+        g = nx.fast_gnp_random_graph(40, 0.12, directed=True, seed=4)
+        ns = {str(n): float(n % 5 + 1) for n in g.nodes}
+        nsdf = spark.createDataFrame(list(ns.items()), "id string, weight double")
+        got = {
+            r.id: r.rank
+            for r in pagerank(
+                _edges_df(spark, g), nstart=nsdf, fixed_iterations=3
+            ).collect()
+        }
+        want = pagerank_oracle(
+            [(str(u), str(v), 1.0) for u, v in g.edges()],
+            nstart=ns,
+            fixed_iter=3,
+        )
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-9, k
+
+    def test_nstart_all_zero_raises(self, spark):
+        g = nx.DiGraph([("a", "b")])
+        zero = spark.createDataFrame([("a", 0.0)], "id string, weight double")
+        with pytest.raises(ValueError, match="nstart"):
+            pagerank(_edges_df(spark, g), nstart=zero)
+
     def test_personalization_all_zero_raises(self, spark):
         g = nx.DiGraph([("a", "b")])
         zero = spark.createDataFrame([("a", 0.0)], "id string, weight double")
@@ -216,6 +243,38 @@ class TestLabelPropagation:
         got = {r.id: r.label for r in label_propagation(_edges_df(spark, g), max_iter=8).collect()}
         want = lpa_oracle(edge_list, max_iter=8)
         assert got == want
+
+    @pytest.mark.parametrize("seed", [2, 7])
+    def test_weighted_matches_pinned_oracle(self, spark, seed):
+        g = nx.fast_gnp_random_graph(36, 0.12, seed=seed)
+        g = nx.relabel_nodes(g, str)
+        # Deterministic integer weights so double sums tie exactly.
+        wedges = [
+            (u, v, float((int(u) * 7 + int(v) * 3) % 5 + 1)) for u, v in g.edges()
+        ]
+        edf = spark.createDataFrame(wedges, "src string, dst string, weight double")
+        got = {
+            r.id: r.label
+            for r in label_propagation(edf, max_iter=8, weight_col="weight").collect()
+        }
+        want = lpa_oracle(wedges, max_iter=8, weighted=True)
+        assert got == want
+
+    def test_weighted_tie_breaks_to_unweighted_on_unit_weights(self, spark):
+        g = nx.fast_gnp_random_graph(30, 0.15, seed=3)
+        g = nx.relabel_nodes(g, str)
+        edf = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in g.edges()], "src string, dst string, weight double"
+        )
+        got_w = {
+            r.id: r.label
+            for r in label_propagation(edf, max_iter=6, weight_col="weight").collect()
+        }
+        got_u = {
+            r.id: r.label
+            for r in label_propagation(edf.select("src", "dst"), max_iter=6).collect()
+        }
+        assert got_w == got_u
 
 
 class TestTriangles:

@@ -34,6 +34,37 @@ class TestExactDedup:
         assert kept.where(F.col("doc_id") == 1).count() == 0
 
 
+class TestNearDedupKeep:
+    def test_transitive_clusters_and_untouched_docs(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "a long, b long"
+        )
+        got = {
+            r.doc_id: (r.keep_id, r.is_dup)
+            for r in dedup.near_dedup_keep(docs, pairs).collect()
+        }
+        assert got == {
+            1: (1, False),
+            2: (1, True),
+            3: (1, True),  # transitive: 1≈2, 2≈3 ⇒ same cluster
+            4: (4, False),  # never paired: keeps itself
+            5: (5, False),
+            6: (5, True),
+        }
+
+    def test_composes_with_winnowing_pairs(self, spark, docs):
+        pairs = textstats.winnow_near_pairs(docs, k=6, w=3, min_shared=2)
+        out = dedup.near_dedup_keep(docs, pairs)
+        assert out.count() == docs.count()  # every doc decided
+        by_id = {r.doc_id: r for r in out.collect()}
+        # keep_id is always the min of its own cluster: a kept doc is
+        # its own representative, and no keep_id exceeds its doc_id.
+        for r in by_id.values():
+            assert r.keep_id <= r.doc_id
+            assert by_id[r.keep_id].is_dup is False
+
+
 class TestMinhash:
     def test_exact_dups_have_jaccard_one(self, spark, docs):
         pairs = {
