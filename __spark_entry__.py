@@ -255,6 +255,59 @@ LIMIT 20
 """
 
 
+def q_regional_volume(spark, sf_dir):
+    """TPC-H Q5-shaped snowflake join.  Scale shape: lineitem⋈orders and
+    ⋈customer are fact⋈scaling-table joins (customer grows with the data,
+    so it must NOT be broadcast) — they shuffle on their keys; supplier/
+    nation/region are bounded-cardinality dims and are explicitly
+    broadcast, so the six-table plan costs two wide exchanges total.
+    Filters (r_name, the o_orderdate range) sit directly on the scans
+    for Parquet pushdown before any join."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_REGIONAL_VOLUME_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 # -- training-data ops on documents/embeddings --------------------------------
 
 
@@ -682,6 +735,27 @@ def q_connected_components_star(spark, sf_dir):
     return connected_components_star(e)
 
 
+def q_core_number(spark, sf_dir):
+    """Distributed peeling decomposition (operators/kcore.py); exactness
+    vs nx.core_number is pinned by tests/test_kcore.py — the event-type
+    transition graph peel here is a rows-only driver check."""
+    from pyspark.sql import Window
+
+    from grandiso_networkx_spark.operators.kcore import core_number
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .dropDuplicates(["src", "dst"])
+    )
+    return core_number(e).orderBy("id")
+
+
 def q_label_propagation(spark, sf_dir):
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return label_propagation(e, max_iter=8)
@@ -909,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_per_vertex": q_triangle_per_vertex,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "regional_volume": q_regional_volume,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "quality_features": q_quality,
@@ -923,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
+        "core_number": q_core_number,
         "pagerank_fixed": q_pagerank_fixed,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -951,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_per_vertex": _TRIANGLE_PER_VERTEX_SQL,
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
+        "regional_volume": _REGIONAL_VOLUME_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "token_counts": _TOKEN_SQL,
         "quality_features": _QUALITY_SQL,

@@ -1,0 +1,129 @@
+"""k-core subgraph and core-number decomposition by distributed peeling.
+
+Link-graph analytics op alongside SURVEY.md §2.6 (not in the reference —
+grandiso has no analytics passes; semantics oracle is
+``networkx.k_core`` / ``networkx.core_number``).
+
+Semantics: undirected simple graph — edge orientation ignored,
+self-loops ignored (networkx's ``core_number`` refuses graphs with
+self-loops outright; we keep the vertex, drop the loop).  The k-core is
+the maximal subgraph where every vertex has degree >= k *within the
+subgraph*; ``core_number(v)`` is the largest k whose k-core contains v.
+
+Scale shape: level-synchronous peeling.  Each round is one
+``groupBy(id).count`` over the surviving symmetrized edges (map-side
+partial aggregation absorbs hub fan-in) plus two broadcast-able anti
+joins removing every currently-sub-k vertex at once, so a round costs
+one shuffle and the edge set shrinks monotonically.  Rounds = the
+graph's peel depth for :func:`k_core`; :func:`core_number` runs one
+peel phase per core level (k_max phases — bounded by sqrt(2|E|), small
+for real link graphs).  The shrinking edge frame is ``localCheckpoint``
+-ed per round (flat lineage), mirroring the engine's other iterative
+passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .components import symmetrize
+
+
+def _simple_sym(edges: DataFrame) -> DataFrame:
+    """Symmetrized, self-loop-free, deduplicated edge set."""
+    return symmetrize(edges.where(F.col("src") != F.col("dst")))
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 500) -> DataFrame:
+    """Vertices of the k-core: ``(id, degree)`` with ``degree`` = the
+    vertex's degree inside the k-core subgraph (>= k by definition).
+
+    Matches ``networkx.k_core(G, k).degree()`` on the same simple
+    undirected graph.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = _simple_sym(edges).localCheckpoint()
+    if k <= 1:
+        # Every non-isolated vertex is in the 1-core; k=0 additionally
+        # keeps isolated vertices, which a pure edge table cannot carry.
+        return e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+    for _ in range(max_iter):
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        low = deg.where(F.col("degree") < k).select("id").localCheckpoint()
+        if low.limit(1).count() == 0:
+            return deg
+        e = (
+            e.join(low.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(low.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"k-core peeling did not converge in {max_iter} rounds.")
+
+
+def core_number(edges: DataFrame, max_iter: int = 500) -> DataFrame:
+    """Exact per-vertex core numbers ``(id, core)`` vs
+    ``networkx.core_number`` on the same simple undirected graph.
+
+    One peel phase per core level: phase k strips (to a fixpoint) every
+    vertex whose surviving degree is < k; a vertex removed during phase
+    k survived phase k-1, so its core number is k-1.  Vertices that
+    appear only in self-loops get core 0 (their only edges are
+    ignored).
+    """
+    sym = _simple_sym(edges)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = sym.localCheckpoint()
+    spark = edges.sparkSession
+    out_type = dict((f.name, f.dataType.simpleString()) for f in verts.schema.fields)[
+        "id"
+    ]
+    assigned = spark.createDataFrame([], f"id {out_type}, core int")
+    # `remaining` is tracked explicitly: a vertex can lose ALL its edges
+    # when its neighbors peel (so it vanishes from the degree table) yet
+    # still needs this phase's core assignment.
+    remaining = e.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    k = 1
+    rounds = 0
+    while remaining.limit(1).count() > 0:
+        # Phase k: peel deg<k to a fixpoint; the dropped get core k-1.
+        while True:
+            rounds += 1
+            if rounds > max_iter:
+                raise RuntimeError(
+                    f"core-number peeling did not converge in {max_iter} rounds."
+                )
+            deg = e.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+            low = (
+                remaining.join(deg, "id", "left")
+                .where(F.coalesce("degree", F.lit(0)) < k)
+                .select("id")
+                .localCheckpoint()
+            )
+            if low.limit(1).count() == 0:
+                break
+            assigned = assigned.unionByName(
+                low.select("id", F.lit(k - 1).alias("core"))
+            ).localCheckpoint()
+            remaining = remaining.join(low, "id", "left_anti").localCheckpoint()
+            e = (
+                e.join(low.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(low.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                .localCheckpoint()
+            )
+        k += 1
+    # Isolated / self-loop-only vertices never enter the peel: core 0.
+    return verts.join(assigned, "id", "left").select(
+        "id", F.coalesce("core", F.lit(0)).alias("core")
+    )
