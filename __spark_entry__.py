@@ -756,6 +756,51 @@ def q_core_number(spark, sf_dir):
     return core_number(e).orderBy("id")
 
 
+def q_linkpred_events(spark, sf_dir):
+    """Common-neighbor / Jaccard / Adamic–Adar scores over the bipartite
+    user↔event-type graph, hub guard at degree 200 (drops the
+    event-type mega-centers so wedge work stays Σ deg² over small
+    centers; operators/linkpred.py).  Value-checked: the SQL oracle
+    replicates the guard and formulas exactly."""
+    from grandiso_networkx_spark.operators.linkpred import link_prediction_scores
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("e:"), F.col("event_type")).alias("dst"),
+    )
+    return link_prediction_scores(e, max_center_degree=200)
+
+
+_LINKPRED_SQL = """
+WITH be AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                  'e:' || event_type AS dst
+  FROM events
+),
+sym AS (SELECT src, dst FROM be UNION SELECT dst AS src, src AS dst FROM be),
+deg AS (SELECT src AS w, count(*) AS deg FROM sym GROUP BY src),
+cent AS (
+  SELECT s.src AS w, s.dst AS n, d.deg
+  FROM sym s JOIN deg d ON s.src = d.w
+  WHERE d.deg <= 200
+),
+pairs AS (
+  SELECT a.n AS u, b.n AS v, count(*) AS common,
+         sum(CASE WHEN b.deg > 1 THEN 1.0 / ln(b.deg) ELSE 0.0 END)
+           AS adamic_adar
+  FROM cent a JOIN cent b ON a.w = b.w AND a.n < b.n
+  GROUP BY a.n, b.n
+)
+SELECT u, v, common,
+       common / (du.deg + dv.deg - common) AS jaccard,
+       adamic_adar
+FROM pairs
+JOIN deg du ON du.w = u
+JOIN deg dv ON dv.w = v
+"""
+
+
 def q_label_propagation(spark, sf_dir):
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return label_propagation(e, max_iter=8)
@@ -999,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
         "core_number": q_core_number,
+        "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -1043,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _EVENT_SESSIONS_SQL,
         "connected_components": _COMPONENTS_SQL,
         "connected_components_star": _COMPONENTS_SQL,
+        "linkpred_events": _LINKPRED_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "label_propagation": _lpa_sql(8),
         "label_propagation_weighted": _lpa_weighted_sql(8),
