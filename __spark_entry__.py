@@ -801,6 +801,38 @@ JOIN deg dv ON dv.w = v
 """
 
 
+def q_bfs_levels(spark, sf_dir):
+    """Single-source BFS levels over the undirected reply graph from the
+    lexicographically smallest vertex (operators/bfs.py — the frontier
+    DataFrame as distributed work queue).  Value-checked against a
+    bounded recursive-CTE walk taking min(dist) per vertex."""
+    from grandiso_networkx_spark.operators.bfs import bfs_levels
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    src = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("id"))
+        .agg(F.min("id"))
+        .collect()[0][0]
+    )
+    return bfs_levels(e, src)
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
+sym AS (SELECT src, dst FROM re WHERE src <> dst
+        UNION SELECT dst AS src, src AS dst FROM re WHERE src <> dst),
+walk AS (
+  SELECT (SELECT min(src) FROM sym) AS id, 0 AS dist
+  UNION
+  SELECT s.dst AS id, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < 64
+)
+SELECT id, min(dist) AS dist FROM walk GROUP BY id
+"""
+
+
 def q_label_propagation(spark, sf_dir):
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return label_propagation(e, max_iter=8)
@@ -1043,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
+        "bfs_levels": q_bfs_levels,
         "core_number": q_core_number,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
@@ -1090,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _COMPONENTS_SQL,
         "connected_components_star": _COMPONENTS_SQL,
         "linkpred_events": _LINKPRED_SQL,
+        "bfs_levels": _BFS_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "label_propagation": _lpa_sql(8),
         "label_propagation_weighted": _lpa_weighted_sql(8),

@@ -1,0 +1,60 @@
+"""Single-source shortest-path levels (unweighted BFS) by level-
+synchronous frontier expansion.
+
+Link-graph analytics op alongside SURVEY.md §2.6 (not in the reference;
+semantics oracle is ``networkx.single_source_shortest_path_length``).
+The loop is the same shape as the engine's other iterative passes — and
+the distributed analogue of grandiso's partial-match queue: the
+frontier DataFrame IS the queue, one round per BFS level.
+
+Scale shape: each round is one equi join (frontier ⋈ edges on the
+frontier's vertex — the |frontier|-row side broadcasts when small) plus
+one anti join against the visited set, then a ``dropDuplicates`` on the
+new level's vertices (map-side combine).  The visited set is the
+accumulated result frame, ``localCheckpoint``-ed per round for flat
+lineage; rounds = eccentricity of the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .components import symmetrize
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source,
+    directed: bool = False,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """``(id, dist int)`` for every vertex reachable from ``source``
+    (which has dist 0); unreachable vertices are absent.
+
+    ``directed=False`` (default) symmetrizes the edge table first,
+    matching ``nx.single_source_shortest_path_length`` on an undirected
+    graph; ``directed=True`` follows stored orientation only.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select("src", "dst")
+        if directed
+        else symmetrize(edges)
+    ).where(F.col("src") != F.col("dst"))
+    id_type = e.schema["src"].dataType.simpleString()
+    dist = spark.createDataFrame([(source, 0)], f"id {id_type}, dist int")
+    frontier = dist.select("id")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates(["id"])
+            .join(dist.select("id"), "id", "left_anti")
+            .select("id", F.lit(depth).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            return dist
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    raise RuntimeError(f"BFS did not terminate within max_depth={max_depth}.")
