@@ -49,6 +49,12 @@ Scale design (each point measured on the 20M-edge bench graph)
   dangling vertices (checked once) never pay for it, and otherwise the
   next round's mass rides the same single agg as the L1 delta — no
   dedicated per-iteration driver job.
+- **Toy-scale unrolling:** on graphs where per-round fixed cost (job
+  launch, caching, plan compile) dwarfs the math, several power
+  iterations compose into ONE plan between materializations (exact —
+  see ``unroll``); the state is consumed once per round and the
+  dangling mass comes from mass conservation, so the chain stays
+  linear instead of 3^rounds.
 - **State / resume:** each ``checkpoint_every`` rounds the ranks frame
   is written (decoded to external ids, so a new driver with a fresh
   surrogate map resumes exactly) via :class:`~grandiso_networkx_spark.
@@ -62,7 +68,7 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from ..checkpoint import CheckpointManager
@@ -141,14 +147,25 @@ def _blocks_from(
 
 
 def _scatter(
-    blocks: DataFrame, ranks: DataFrame, kernel: str, dst_type: str = "long"
+    blocks: DataFrame,
+    ranks: DataFrame,
+    kernel: str,
+    dst_type: str = "long",
+    hint_ranks: bool = False,
 ) -> DataFrame:
     if kernel not in ("jvm", "arrow"):
         raise ValueError(f"Unknown scatter kernel {kernel!r}; use 'jvm' or 'arrow'.")
     key = blocks.columns[0]  # 'src' or 'vid'-keyed alias
-    joined = blocks.join(
-        ranks.select(F.col(ranks.columns[0]).alias(key), "rank"), key, "inner"
-    )
+    r = ranks.select(F.col(ranks.columns[0]).alias(key), "rank")
+    if hint_ranks:
+        # Small-graph guard: ranks is |V| rows vs the |E|-scale CSR
+        # arrays on the blocks side.  Without the hint, a sub-threshold
+        # blocks cache gets re-broadcast every round (BuildLeft on the
+        # BIG side); hinting the ranks side pins the build where it
+        # belongs.  Large graphs skip the hint and keep the
+        # co-partitioned join (ranks would blow the broadcast budget).
+        r = F.broadcast(r)
+    joined = blocks.join(r, key, "inner")
     if kernel == "arrow":
         return joined.select("rank", "out_w", "dsts", "ws").mapInArrow(
             _scatter_arrow, schema=f"dst {dst_type}, contrib double"
@@ -181,6 +198,7 @@ def pagerank(
     num_partitions: int | None = None,
     iter_seconds: list | None = None,
     round_hook=None,
+    unroll: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge DataFrame ``(src, dst[, weight])``.
 
@@ -216,6 +234,21 @@ def pagerank(
     (covering that round's materializing jobs) is appended — the
     instrumentation the scaling bench uses to time steady-state rounds
     without cross-run subtraction.
+
+    ``unroll``: number of power iterations composed into ONE plan
+    between materializations.  Each round's new rank depends only on
+    the static ``tele`` column and the gathered contribution sums —
+    never on the previous rank value except through the gather — so
+    unrolling is exact, not an approximation.  Per-round fixed costs
+    (job launch, ``localCheckpoint`` caching, ~0.15s of plan compile)
+    amortize over the window; Spark's exchange reuse dedups the one
+    shared shuffle per unrolled round.  Default (``None``): auto —
+    4 in ``fixed_iterations`` mode on graphs small enough that fixed
+    overhead dominates (n ≤ 200k, no checkpoint/round_hook), else 1.
+    Convergence mode keeps 1 unless explicitly raised (the L1 test
+    then runs once per window, converging on a window boundary —
+    still past the same fixed point, but round-for-round parity with
+    networkx's stop index is only guaranteed at ``unroll=1``).
 
     ``round_hook`` (benchmark-only, requires ``fixed_iterations``):
     called after every completed round with the round index; return
@@ -255,12 +288,18 @@ def pagerank(
             F.col("dst").cast("long").alias("d"),
             "w",
         )
-        ids = e2.select(F.col("s").alias("vid")).unionAll(
-            e2.select(F.col("d").alias("vid"))
+        # One flag-union feeds ONE groupBy that yields both the vertex
+        # set and the has_out flag — replaces distinct + distinct + join
+        # (three shuffles) with a single shuffle.
+        flags = e2.select(F.col("s").alias("vid"), F.lit(1).alias("__f")).unionAll(
+            e2.select(F.col("d").alias("vid"), F.lit(0).alias("__f"))
         )
         if vertices is not None:
-            ids = ids.unionAll(vertices.select(F.col("id").cast("long").alias("vid")))
-        endpoint_vids = ids.distinct()
+            flags = flags.unionAll(
+                vertices.select(
+                    F.col("id").cast("long").alias("vid"), F.lit(0).alias("__f")
+                )
+            )
     else:
         ids = e.select(F.col("src").alias("id")).unionAll(
             e.select(F.col("dst").alias("id"))
@@ -280,23 +319,26 @@ def pagerank(
             .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("d")), "dst")
             .select("s", "d", "w")
         )
-        endpoint_vids = vmap.select("vid")
+        # vmap already holds every id (incl. isolated `vertices`), so it
+        # supplies the vertex set; edge srcs supply the has_out flag.
+        flags = e2.select(F.col("s").alias("vid"), F.lit(1).alias("__f")).unionAll(
+            vmap.select("vid").withColumn("__f", F.lit(0))
+        )
 
     blocks = _persist(_blocks_from(e2, chunk_size, P, "s", "d"))
 
     # Dangling flag computed once: no out-edges → rank mass teleports.
     verts = _persist(
-        endpoint_vids.join(
-            blocks.select(F.col("s").alias("vid"))
-            .distinct()
-            .withColumn("__has_out", F.lit(True)),
-            "vid",
-            "left",
-        )
-        .select("vid", F.coalesce("__has_out", F.lit(False)).alias("has_out"))
+        flags.groupBy("vid")
+        .agg((F.max("__f") == 1).alias("has_out"))
         .repartition(P, "vid")
     )
-    n = verts.count()
+    # One job: vertex count + dangling-vertex count together.
+    n, n_dangling = verts.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(~F.col("has_out"), 1).otherwise(0)),
+    ).collect()[0]
+    has_dangling = bool(n_dangling)
 
     def _decode(df: DataFrame, cols: list[str]) -> DataFrame:
         if vmap is not None:
@@ -393,17 +435,6 @@ def pagerank(
     realign = n >= 200_000 and _os.environ.get("GISPARK_PR_REALIGN", "0") == "1"
     dangle_literal = _os.environ.get("GISPARK_PR_DANGLE_LITERAL", "1") == "1"
 
-    # One-time: does this graph have dangling vertices at all?  (Bench
-    # and most derived link graphs do not — every participant/tool that
-    # appears also speaks — so the per-round mass is identically 0.)
-    has_dangling = verts.where(~F.col("has_out")).limit(1).count() > 0
-    if has_dangling and dangle_literal:
-        dm_next = ranks.where(~F.col("has_out")).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0))
-        ).collect()[0][0]
-    else:
-        dm_next = 0.0
-
     # AQE is disabled for the whole loop, not just partition
     # coalescing: every iteration re-executes the SAME fixed-shape
     # plan over pre-sized, pre-partitioned state, so runtime replanning
@@ -415,62 +446,184 @@ def pagerank(
     # (salted CSR chunks + map-side partial aggregation), not by AQE.
     old_aqe = spark.conf.get(_AQE_KEY, "true")
     spark.conf.set(_AQE_KEY, "false")
+    # Small-graph guard for the scatter join build side (see _scatter).
+    hint_small = n <= 1_000_000
+    if unroll is None:
+        # Auto-unroll only where it is an unambiguous win (measured):
+        # toy-scale graphs where per-round fixed cost dwarfs the math
+        # (~1.7x at 400k edges).  At 1M+ edges it is a wash — real
+        # per-round work amortizes the barriers and unmaterialized
+        # chains just grow sort/memory pressure — so larger graphs
+        # keep per-round materialization.
+        unroll = (
+            4
+            if (
+                fixed_iterations is not None
+                and round_hook is None
+                and checkpoint is None
+                and n <= 200_000
+            )
+            else 1
+        )
+    unroll = max(1, int(unroll))
+    if round_hook is not None or checkpoint is not None:
+        unroll = 1  # per-round hooks/saves need per-round materialization
+    # With unroll > 1 the intra-window dangling mass is not knowable on
+    # the driver, so it is computed IN-PLAN (mass-conservation window)
+    # for every round; the carried-forward literal is the unroll=1 path.
+    use_literal = dangle_literal and unroll == 1
+    # Seed the carried-forward literal only when that path runs.  (Bench
+    # and most derived link graphs have no dangling vertices — every
+    # participant/tool that appears also speaks — so the mass is
+    # identically 0 and no job runs here.)
+    if has_dangling and use_literal:
+        dm_next = ranks.where(~F.col("has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).collect()[0][0]
+    else:
+        dm_next = 0.0
     prev: list[DataFrame] = [ranks]
     try:
-        for it in range(start_iter, max_iter):
+        it = start_iter
+        while it < max_iter:
             _t_round = time.monotonic()
-            # Dangling mass: carried-forward literal (computed from last
-            # round's combined agg, or identically 0 when the graph has
-            # no dangling vertices) — no extra per-round driver job.
-            if dangle_literal:
-                dangle = None
-                dangle_col = F.lit(float(dm_next))
-            else:
-                dangle = F.broadcast(
-                    ranks.where(~F.col("has_out")).agg(
-                        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangle")
+            k = min(unroll, max_iter - it)
+            blocks_r = blocks.select(
+                F.col("s").alias("vid"), "chunk", "out_w", "dsts", "ws"
+            ).drop("chunk")
+            if k == 1:
+                # Dangling mass: carried-forward literal (computed from
+                # last round's combined agg, or identically 0 when the
+                # graph has no dangling vertices — no extra per-round
+                # driver job).
+                if use_literal:
+                    dangle = None
+                    dangle_col = F.lit(float(dm_next))
+                elif has_dangling:
+                    dangle = F.broadcast(
+                        ranks.where(~F.col("has_out")).agg(
+                            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangle")
+                        )
                     )
+                    dangle_col = F.col("__dangle")
+                else:
+                    dangle = None
+                    dangle_col = F.lit(0.0)
+                contribs = _scatter(
+                    blocks_r, ranks, kernel, hint_ranks=hint_small
                 )
-                dangle_col = F.col("__dangle")
-            contribs = _scatter(
-                blocks.select(
-                    F.col("s").alias("vid"), "chunk", "out_w", "dsts", "ws"
-                ).drop("chunk"),
-                ranks,
-                kernel,
-            )
-            # Map-side partial aggregation here is load-bearing for hub
-            # skew: a hub dst's contributions combine locally before the
-            # exchange, so the reduce side never sees a hot key.  (A
-            # pre-repartition(dst) of the raw contribs — attractive
-            # because it keeps per-task agg maps small — was measured
-            # 5x WORSE on the Zipf bench graph: it ships every raw hub
-            # row to one partition.)
-            gathered = contribs.groupBy("dst").agg(
-                F.sum("contrib").alias("gathered")
-            )
-            new_rank = (
-                F.lit(alpha)
-                * (
-                    F.coalesce("gathered", F.lit(0.0))
-                    + dangle_col * F.col("tele")
+                # Map-side partial aggregation here is load-bearing for
+                # hub skew: a hub dst's contributions combine locally
+                # before the exchange, so the reduce side never sees a
+                # hot key.  (A pre-repartition(dst) of the raw contribs
+                # — attractive because it keeps per-task agg maps small
+                # — was measured 5x WORSE on the Zipf bench graph: it
+                # ships every raw hub row to one partition.)
+                gathered = contribs.groupBy("dst").agg(
+                    F.sum("contrib").alias("gathered")
                 )
-                + F.lit(1.0 - alpha) * F.col("tele")
-            )
-            joined = ranks.join(gathered, ranks["vid"] == gathered["dst"], "left")
-            if dangle is not None:
-                joined = joined.crossJoin(dangle)
-            new_ranks = (
-                joined
-                .select(
-                    "vid",
-                    "has_out",
-                    "tele",
-                    new_rank.alias("__new"),
-                    F.abs(new_rank - F.col("rank")).alias("__diff"),
+                new_rank = (
+                    F.lit(alpha)
+                    * (
+                        F.coalesce("gathered", F.lit(0.0))
+                        + dangle_col * F.col("tele")
+                    )
+                    + F.lit(1.0 - alpha) * F.col("tele")
                 )
-                .withColumnRenamed("__new", "rank")
-            )
+                joined = ranks.join(
+                    gathered, ranks["vid"] == gathered["dst"], "left"
+                )
+                if dangle is not None:
+                    joined = joined.crossJoin(dangle)
+                new_ranks = (
+                    joined
+                    .select(
+                        "vid",
+                        "has_out",
+                        "tele",
+                        new_rank.alias("__new"),
+                        F.abs(new_rank - F.col("rank")).alias("__diff"),
+                    )
+                    .withColumnRenamed("__new", "rank")
+                )
+            else:
+                # Unrolled window: k rounds composed into ONE plan.  The
+                # evolving state must be consumed exactly ONCE per round
+                # (by the scatter) or the un-materialized subtree
+                # re-executes per extra consumer (3^k blow-up measured).
+                # So (a) the update join takes tele/has_out from the
+                # window-start `ranks` — a materialized cache leaf, free
+                # to scan k times — and (b) the dangling mass comes from
+                # mass conservation: total rank is exactly 1 each round
+                # (teleport weights sum to 1), and every non-dangling
+                # vertex scatters exactly its rank, so dangling mass =
+                # 1 − Σ contribs — read off the SAME gather aggregation
+                # with one tiny broadcast agg, never touching the state
+                # a second time.
+                cur = ranks
+                for _j in range(k):
+                    contribs = _scatter(blocks_r, cur, kernel)
+                    gathered = contribs.groupBy("dst").agg(
+                        F.sum("contrib").alias("gathered")
+                    )
+                    joined = (
+                        ranks.select("vid", "has_out", "tele")
+                        .join(gathered, F.col("vid") == gathered["dst"], "left")
+                    )
+                    if has_dangling:
+                        # A broadcast agg over `gathered` would consume
+                        # it a second time and (without exchange reuse)
+                        # re-execute the whole chain below it — measured
+                        # 2^k.  A global window over the JOINED frame
+                        # keeps single consumption: sum skips the nulls
+                        # of in-edge-less vertices, so Σ gathered = the
+                        # non-dangling mass, and 1 − Σ is the dangling
+                        # mass by conservation.  The 1-partition window
+                        # exchange is the price — unroll only runs on
+                        # graphs small enough that it's noise.
+                        win = Window.rowsBetween(
+                            Window.unboundedPreceding,
+                            Window.unboundedFollowing,
+                        )
+                        dangle_col = F.lit(1.0) - F.coalesce(
+                            F.sum("gathered").over(win), F.lit(0.0)
+                        )
+                    else:
+                        dangle_col = F.lit(0.0)
+                    new_rank = (
+                        F.lit(alpha)
+                        * (
+                            F.coalesce("gathered", F.lit(0.0))
+                            + dangle_col * F.col("tele")
+                        )
+                        + F.lit(1.0 - alpha) * F.col("tele")
+                    )
+                    cur = joined.select(
+                        "vid", "has_out", "tele", new_rank.alias("rank")
+                    )
+                # __diff spans the whole window (only read in convergence
+                # mode, where err < n*tol on the window L1 delta is a
+                # stricter-than-per-round stop).
+                new_ranks = (
+                    cur.join(
+                        ranks.select(
+                            "vid", F.col("rank").alias("__rank_prev")
+                        ),
+                        "vid",
+                    )
+                    .select(
+                        "vid",
+                        "has_out",
+                        "tele",
+                        "rank",
+                        F.abs(F.col("rank") - F.col("__rank_prev")).alias(
+                            "__diff"
+                        ),
+                    )
+                    if fixed_iterations is None
+                    else cur.withColumn("__diff", F.lit(0.0))
+                )
+            it_last = it + k - 1
             if checkpoint is not None and (it % checkpoint_every == 0):
                 # Saved state is DECODED so a fresh driver (with a fresh
                 # surrogate map) resumes exactly.  The reloaded Parquet
@@ -488,7 +641,7 @@ def pagerank(
             # ONE combined agg over the already-materialized frame
             # (single scan, no join, no recompute) serves both the L1
             # convergence delta and the NEXT round's dangling mass.
-            need_dangle = has_dangling and dangle_literal
+            need_dangle = has_dangling and use_literal
             if fixed_iterations is None:
                 aggs = [F.coalesce(F.sum("__diff"), F.lit(0.0))]
                 if need_dangle:
@@ -529,11 +682,13 @@ def pagerank(
             prev = [new_state]
             ranks = new_state
             if iter_seconds is not None:
-                iter_seconds.append(time.monotonic() - _t_round)
+                window_sec = time.monotonic() - _t_round
+                iter_seconds.extend([window_sec / k] * k)
+            it += k
             if (
                 round_hook is not None
                 and fixed_iterations is not None
-                and not round_hook(it)
+                and not round_hook(it_last)
             ):
                 break
             if err is not None and err < n * tol:
