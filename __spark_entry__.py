@@ -1002,6 +1002,116 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def q_hits_invoke(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities on the invoke graph —
+    value-checked: per-round 1/max scaling cancels under the final
+    1/sum normalization, so the SQL oracle runs the raw recurrence."""
+    from grandiso_networkx_spark.operators.hits import hits
+
+    e = _event_invoke_edges(spark, sf_dir)
+    out = hits(e, weight_col="weight", fixed_iterations=8)
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _hits_fixed_sql(iters: int = 8) -> str:
+    parts = [
+        f"""WITH e AS ({_INVOKE_EDGES_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM verts)"""
+    ]
+    # All-DOUBLE arithmetic: DuckDB's DECIMAL inference overflows on the
+    # unscaled recurrence's growth (values reach ~1e37 by round 8).
+    for i in range(iters):
+        parts.append(
+            f""",
+a{i + 1} AS (SELECT v.id, coalesce(s.a, 0) AS a FROM verts v LEFT JOIN
+  (SELECT e.dst AS id, sum(h.h * CAST(e.weight AS DOUBLE)) AS a
+   FROM e JOIN h{i} h ON h.id = e.src GROUP BY e.dst) s ON s.id = v.id),
+h{i + 1} AS (SELECT v.id, coalesce(s.h, 0) AS h FROM verts v LEFT JOIN
+  (SELECT e.src AS id, sum(a.a * CAST(e.weight AS DOUBLE)) AS h
+   FROM e JOIN a{i + 1} a ON a.id = e.dst GROUP BY e.src) s ON s.id = v.id)"""
+        )
+    parts.append(
+        f"""
+SELECT h.id, round(h.h / (SELECT sum(h) FROM h{iters}), 6) AS hub,
+       round(a.a / (SELECT sum(a) FROM a{iters}), 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.id = h.id"""
+    )
+    return "".join(parts)
+
+
+_BM25_QUERY = ["spark", "window", "merge", "query"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-15 over the documents table for a fixed
+    bag-of-words query (operators/retrieval.py) — value-checked."""
+    from grandiso_networkx_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERY, k=15)
+
+
+_BM25_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+      AS toks
+  FROM documents
+),
+b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2)
+  WHERE term IN ({", ".join(repr(t) for t in _BM25_QUERY)})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, round(sum(
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  ), 6) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Smoothed TF-IDF weight table (doc_id, term, tfidf) — the
+    vectorizer input a clustering/near-dup pipeline consumes
+    (operators/retrieval.py) — value-checked."""
+    from grandiso_networkx_spark.operators.retrieval import tfidf_terms
+
+    return tfidf_terms(_t(spark, sf_dir, "documents"))
+
+
+_TFIDF_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+      AS toks
+  FROM documents
+),
+b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2)
+  WHERE term <> ''
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n_docs FROM b2)
+SELECT doc_id, term,
+  round((tf * 1.0 / dl) * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+"""
+
+
 def q_lang_guess(spark, sf_dir):
     return textstats.language_guess(_t(spark, sf_dir, "documents"))
 
@@ -1079,6 +1189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_number": q_core_number,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
+        "hits_fixed": q_hits_invoke,
+        "bm25_topk": q_bm25_topk,
+        "tfidf_terms": q_tfidf_terms,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
         # iterative / hash-seeded ops: rows-only driver checks; exactness
@@ -1125,6 +1238,9 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_events": _LINKPRED_SQL,
         "bfs_levels": _BFS_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
+        "hits_fixed": _hits_fixed_sql(8),
+        "bm25_topk": _BM25_SQL,
+        "tfidf_terms": _TFIDF_SQL,
         "label_propagation": _lpa_sql(8),
         "label_propagation_weighted": _lpa_weighted_sql(8),
         "minhash_portable_pairs": _minhash_portable_sql(),

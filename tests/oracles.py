@@ -63,3 +63,42 @@ def pagerank_oracle(
     if fixed_iter is not None:
         return x
     raise RuntimeError("oracle pagerank failed to converge")
+
+
+def hits_oracle(
+    edges: list[tuple[str, str, float]],
+    max_iter: int = 1000,
+    tol: float = 1e-12,
+    normalized: bool = True,
+) -> tuple[dict, dict]:
+    """Classic HITS power iteration (the pure-python recurrence from
+    networkx's hits_alg before the scipy rewrite): a from h over
+    in-edges, h from raw a over out-edges, per-round 1/max scaling,
+    L1 convergence on h, final 1/sum normalization."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    out = {n: [] for n in nodes}
+    for u, v, w in edges:
+        out[u].append((v, w))
+    h = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(max_iter):
+        hlast = h
+        a = {n: 0.0 for n in nodes}
+        for u in nodes:
+            for v, w in out[u]:
+                a[v] += hlast[u] * w
+        h = {n: 0.0 for n in nodes}
+        for u in nodes:
+            for v, w in out[u]:
+                h[u] += a[v] * w
+        smax = max(h.values()) or 1.0
+        h = {n: x / smax for n, x in h.items()}
+        amax = max(a.values()) or 1.0
+        a = {n: x / amax for n, x in a.items()}
+        if sum(abs(h[n] - hlast[n]) for n in nodes) < tol:
+            break
+    if normalized:
+        sh = sum(h.values()) or 1.0
+        sa = sum(a.values()) or 1.0
+        h = {n: x / sh for n, x in h.items()}
+        a = {n: x / sa for n, x in a.items()}
+    return h, a
