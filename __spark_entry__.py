@@ -1043,6 +1043,42 @@ FROM h{iters} h JOIN a{iters} a ON a.id = h.id"""
     return "".join(parts)
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (DeepWalk/node2vec input) over
+    the event-transition graph (operators/walks.py) — portable-md5
+    draws, so the whole corpus is value-checked bit-for-bit."""
+    from grandiso_networkx_spark.operators.walks import random_walks
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return random_walks(e, walk_length=3, walks_per_vertex=2, seed=42)
+
+
+def _walks_sql(walk_length: int = 3, walks_per_vertex: int = 2, seed: int = 42) -> str:
+    parts = [
+        f"""WITH e0 AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM e GROUP BY src),
+w0 AS (SELECT a.src AS start, CAST(r.r AS INT) AS rep, a.src AS cur
+       FROM adj a CROSS JOIN
+            (SELECT unnest(range(0, {walks_per_vertex})) AS r) r)"""
+    ]
+    for s in range(1, walk_length + 1):
+        parts.append(
+            f""",
+w{s} AS (SELECT w.start, w.rep,
+  a.nbrs[CAST(1 + CAST('0x' || substring(md5(
+      concat_ws('|', w.start, w.rep, {s}, {seed})), 1, 15) AS BIGINT)
+    % len(a.nbrs) AS INT)] AS cur
+  FROM w{s - 1} w JOIN adj a ON a.src = w.cur)"""
+        )
+    selects = [
+        f"SELECT start, rep, {s} AS step, cur AS vertex FROM w{s}"
+        for s in range(walk_length + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL ".join(selects))
+    return "".join(parts)
+
+
 _BM25_QUERY = ["spark", "window", "merge", "query"]
 
 
@@ -1190,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
         "hits_fixed": q_hits_invoke,
+        "random_walks": q_random_walks,
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
         "label_propagation": q_label_propagation,
@@ -1239,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_levels": _BFS_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "hits_fixed": _hits_fixed_sql(8),
+        "random_walks": _walks_sql(3, 2, 42),
         "bm25_topk": _BM25_SQL,
         "tfidf_terms": _TFIDF_SQL,
         "label_propagation": _lpa_sql(8),
