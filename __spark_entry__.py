@@ -1079,6 +1079,99 @@ w{s} AS (SELECT w.start, w.rep,
     return "".join(parts)
 
 
+def q_ego_net(spark, sf_dir):
+    """Radius-2 ego-net (induced subgraph) around the lexicographically
+    smallest source of the event-transition graph — the per-anchor
+    neighborhood extraction a GNN pipeline runs (operators/sampling.py);
+    value-checked vs an unrolled-hop SQL oracle."""
+    from grandiso_networkx_spark.operators.sampling import ego_net
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    center = e.agg(F.min("src")).collect()[0][0]
+    return ego_net(e, center, radius=2, directed=True)
+
+
+_EGO_SQL = f"""
+WITH e0 AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+n0 AS (SELECT min(src) AS id FROM e),
+n1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN n0 ON n0.id = e.src),
+n2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN n1 ON n1.id = e.src),
+nodes AS (SELECT DISTINCT id FROM
+  (SELECT id FROM n0 UNION ALL SELECT id FROM n1 UNION ALL SELECT id FROM n2))
+SELECT e.src, e.dst
+FROM e JOIN nodes a ON a.id = e.src JOIN nodes b ON b.id = e.dst
+"""
+
+
+def q_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (frontier Bellman-Ford,
+    operators/sssp.py) from the smallest source of the event-transition
+    graph, 6 relaxation rounds — after k rounds both engines hold the
+    exact min over <=k-hop paths, so the value check is exact at any k."""
+    from grandiso_networkx_spark.operators.sssp import sssp
+
+    e = q_reply_edges(spark, sf_dir)
+    center = e.agg(F.min("src")).collect()[0][0]
+    out = sssp(e, center, weight_col="weight", fixed_rounds=6)
+    return out.select("id", F.round("dist", 6).alias("dist"))
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    parts = [
+        f"""WITH e0 AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM e0 WHERE src <> dst),
+d0 AS (SELECT min(src) AS id, 0.0 AS dist FROM e)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i + 1} AS (SELECT id, min(dist) AS dist FROM (
+  SELECT id, dist FROM d{i}
+  UNION ALL
+  SELECT e.dst AS id, d.dist + e.w AS dist FROM e JOIN d{i} d ON d.id = e.src
+) GROUP BY id)"""
+        )
+    parts.append(f"\nSELECT id, round(dist, 6) AS dist FROM d{rounds}")
+    return "".join(parts)
+
+
+def q_link_pairs(spark, sf_dir):
+    """Contrastive link-training pairs (label 1 = true edge, label 0 =
+    deterministic md5 dst-corruption, collisions filtered) over the
+    event-transition graph (operators/sampling.py) — value-checked."""
+    from grandiso_networkx_spark.operators.sampling import link_training_pairs
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return link_training_pairs(e, neg_per_pos=2, seed=42)
+
+
+_LINK_PAIRS_SQL = f"""
+WITH e0 AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+verts AS (SELECT DISTINCT id FROM
+  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+idx AS (SELECT id, row_number() OVER (ORDER BY id) AS i FROM verts),
+nn AS (SELECT count(*) AS c FROM idx),
+cand AS (
+  SELECT e.src, CAST(1 + CAST('0x' || substring(md5(
+      concat_ws('|', e.src, e.dst, k.k, 42)), 1, 15) AS BIGINT)
+    % (SELECT c FROM nn) AS INT) AS i
+  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+),
+negs AS (
+  SELECT DISTINCT c.src, x.id AS dst
+  FROM cand c JOIN idx x ON x.i = c.i WHERE x.id <> c.src
+),
+negf AS (
+  SELECT n.src, n.dst FROM negs n
+  LEFT JOIN e ON e.src = n.src AND e.dst = n.dst WHERE e.src IS NULL
+)
+SELECT src, dst, 1 AS label FROM e
+UNION ALL SELECT src, dst, 0 AS label FROM negf
+"""
+
+
 _BM25_QUERY = ["spark", "window", "merge", "query"]
 
 
@@ -1227,6 +1320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed": q_pagerank_fixed,
         "hits_fixed": q_hits_invoke,
         "random_walks": q_random_walks,
+        "ego_net": q_ego_net,
+        "sssp_weighted": q_sssp,
+        "link_training_pairs": q_link_pairs,
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
         "label_propagation": q_label_propagation,
@@ -1277,6 +1373,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),
+        "ego_net": _EGO_SQL,
+        "sssp_weighted": _sssp_sql(6),
+        "link_training_pairs": _LINK_PAIRS_SQL,
         "bm25_topk": _BM25_SQL,
         "tfidf_terms": _TFIDF_SQL,
         "label_propagation": _lpa_sql(8),

@@ -1,0 +1,134 @@
+"""Graph sampling for training pipelines: k-hop ego-nets and
+contrastive link-training pairs (training-data ops — not in the
+reference; SURVEY.md §2.7 class).
+
+- :func:`ego_net` — the induced subgraph within ``radius`` hops of a
+  center (``nx.ego_graph`` semantics): the per-example neighborhood
+  extraction a GNN/feature pipeline runs per anchor.  Frontier BFS
+  (one join + anti-join per hop — the engine's frontier-queue shape)
+  then two semi joins induce the edges; no collect, no explosion.
+- :func:`link_training_pairs` — (u, v, label) positives/negatives for
+  contrastive embedding training.  Negatives are DETERMINISTIC: the
+  i-th corruption of edge (u, v) picks vertex index
+  ``md5(u|v|i|seed) % n`` from a dense sorted vertex index, then
+  true-edge collisions and self-pairs are anti-joined away — so the
+  sample is identical under any partitioning/retry and reproducible
+  by the DuckDB oracle bit-for-bit.  The dense index is the one
+  global-sort prep (same one-time-prep class as PageRank's surrogate
+  map); the hot path is equi joins only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .walks import _hash60
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def ego_net(
+    edges: DataFrame,
+    source,
+    radius: int = 1,
+    directed: bool = False,
+) -> DataFrame:
+    """Edges of the induced subgraph on vertices within ``radius`` hops
+    of ``source`` (``nx.ego_graph`` semantics: digraphs follow
+    successors; ``directed=False`` symmetrizes first).  Returns
+    ``(src, dst)`` in the stored orientation, plus nothing for an
+    isolated center (nx keeps the node; an edge table has no rows)."""
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    spark = edges.sparkSession
+    e_dir = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    walkable = (e_dir if directed else _symmetrize(edges)).where(
+        F.col("src") != F.col("dst")
+    )
+    id_type = edges.schema["src"].dataType.simpleString()
+    nodes = spark.createDataFrame([(source,)], f"id {id_type}").localCheckpoint()
+    frontier = nodes
+    for _ in range(radius):
+        nxt = (
+            frontier.join(walkable.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates(["id"])
+            .join(nodes, "id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        nodes = nodes.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return e_dir.join(
+        nodes.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).join(nodes.withColumnRenamed("id", "dst"), "dst", "left_semi").select(
+        "src", "dst"
+    )
+
+
+def link_training_pairs(
+    edges: DataFrame,
+    neg_per_pos: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Contrastive training pairs ``(u, v, label int)``: every distinct
+    edge as a positive (label 1) plus up to ``neg_per_pos``
+    deterministic corruptions of its dst (label 0).  Corruptions that
+    hit a true edge or the anchor itself are dropped (standard filtered
+    negative sampling), so a positive can yield fewer negatives."""
+    if neg_per_pos < 1:
+        raise ValueError("neg_per_pos must be >= 1")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # Dense 1..n index: the one global-sort prep (see module doc).
+    idx = verts.select(
+        "id", F.row_number().over(Window.orderBy("id")).alias("__i")
+    ).persist()
+    n = idx.count()
+
+    cand = e.select(
+        "src",
+        "dst",
+        F.explode(F.sequence(F.lit(0), F.lit(neg_per_pos - 1))).alias("__k"),
+    ).select(
+        "src",
+        "dst",
+        (
+            F.pmod(
+                _hash60(
+                    F.concat_ws("|", F.col("src"), F.col("dst"), F.col("__k"),
+                                F.lit(seed))
+                ),
+                F.lit(n),
+            )
+            + 1
+        ).cast("int").alias("__i"),
+    )
+    negs = (
+        cand.join(F.broadcast(idx) if n <= 5_000_000 else idx, "__i")
+        .select("src", F.col("id").alias("neg_dst"))
+        .where(F.col("neg_dst") != F.col("src"))
+        .dropDuplicates(["src", "neg_dst"])
+        .join(
+            e.select("src", F.col("dst").alias("neg_dst")),
+            ["src", "neg_dst"],
+            "left_anti",
+        )
+        .select("src", F.col("neg_dst").alias("dst"), F.lit(0).alias("label"))
+    )
+    out = e.select("src", "dst", F.lit(1).alias("label")).unionByName(negs)
+    return out
