@@ -5,13 +5,17 @@ smallest vertex id in the component (canonical-min labeling), exact vs
 ``nx.connected_components`` as a partition of the vertex set.
 
 Each round: every vertex takes the min of its own label and its
-neighbors' labels — one join + one aggregation over the symmetrized
-edge table; converges in O(diameter) rounds.  ``groupBy(id).min`` gets
-map-side partial aggregation, so hub vertices combine locally before
-the shuffle.  State (the labels DataFrame) is checkpointed per round —
-HashMin's label column is tiny, so rounds are cheap even at
-10^12-edge scale; for pathological high-diameter graphs use
-:func:`connected_components_star` (O(log n) rounds).
+neighbors' labels.  The symmetrized edge table carries one self-loop
+per vertex, so the round is a single join + ``groupBy(id).min`` pure
+gather (no separate update join), the state is consumed once per
+round, and several rounds compose into one plan between
+materializations (``unroll``).  ``groupBy(id).min`` gets map-side
+partial aggregation, so hub vertices combine locally before the
+shuffle.  Converges in O(diameter) windows; labels are checkpointed
+per round when a manager is attached — HashMin's label column is tiny,
+so rounds are cheap even at 10^12-edge scale; for pathological
+high-diameter graphs use :func:`connected_components_star`
+(O(log n) rounds).
 """
 
 from __future__ import annotations
@@ -133,16 +137,35 @@ def connected_components(
     max_iter: int = 200,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 4,
+    unroll: int | None = None,
 ) -> DataFrame:
     """``(id string, component string)`` for the undirected graph of
-    ``edges`` (orientation ignored).  Includes isolated endpoints."""
-    sym = symmetrize(edges).persist()
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
-    )
+    ``edges`` (orientation ignored).  Includes isolated endpoints.
+
+    A HashMin round here is a PURE GATHER: the symmetrized edge set
+    carries a self-loop per vertex, so ``min over nbrs ∪ {self}`` is
+    one join + one ``groupBy().min`` — no separate update join (the
+    self-loop guarantees every vertex survives the gather and its own
+    label participates in the min).  Because the evolving state is
+    consumed exactly once per round, ``unroll`` rounds compose into
+    one linear plan between materializations (the same driver-job
+    amortization as PageRank's unroll; exact — HashMin is monotone and
+    idempotent at the fixpoint, so a window can only land ON the
+    fixpoint, never past a different answer).  Default: windows of 4
+    (1 with a checkpoint manager, which saves per round).
+    """
+    sym = symmetrize(edges)
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    sym_self = sym.unionAll(
+        verts.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).persist()
+    labels = verts.select("id", F.col("id").alias("component")).localCheckpoint()
+
+    if unroll is None:
+        unroll = 4
+    unroll = max(1, int(unroll))
+    if checkpoint is not None:
+        unroll = 1  # per-round saves need per-round materialization
 
     start = 0
     if checkpoint is not None:
@@ -152,20 +175,28 @@ def connected_components(
             labels = labels.drop("__changed")  # saved frames carry the flag
             start += 1
 
-    for it in range(start, max_iter):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_label = F.least("component", F.coalesce("nbr_component", "component"))
-        # The change flag rides along in the materialized frame, so the
-        # convergence test is a scan of the checkpointed result — no
-        # old-vs-new re-join (one fewer shuffle per round).
-        new_labels = labels.join(nbr_min, "id", "left").select(
-            "id",
-            new_label.alias("component"),
-            (new_label != F.col("component")).alias("__changed"),
+    it = start
+    while it < max_iter:
+        k = min(unroll, max_iter - it)
+        cur = labels
+        for _ in range(k):
+            cur = (
+                sym_self.join(cur.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("component"))
+            )
+        # The change flag joins against the WINDOW-START leaf (free to
+        # scan again — it is materialized), so the convergence test is
+        # one scan of the checkpointed result.
+        new_labels = (
+            cur.join(
+                labels.select("id", F.col("component").alias("__old")), "id"
+            )
+            .select(
+                "id",
+                "component",
+                (F.col("component") != F.col("__old")).alias("__changed"),
+            )
         )
         if checkpoint is not None and it % checkpoint_every == 0:
             new_labels = checkpoint.save(it, new_labels)
@@ -175,8 +206,9 @@ def connected_components(
         if checkpoint is not None and it % checkpoint_every == 0:
             checkpoint.annotate(it, {"labels_changed": changed})
         labels = new_labels.drop("__changed")
+        it += k
         if changed == 0:
-            sym.unpersist()
+            sym_self.unpersist()
             return labels
-    sym.unpersist()
+    sym_self.unpersist()
     raise RuntimeError(f"HashMin did not converge in {max_iter} rounds.")
