@@ -1079,6 +1079,70 @@ w{s} AS (SELECT w.start, w.rep,
     return "".join(parts)
 
 
+def q_degree_distribution(spark, sf_dir):
+    """Undirected degree histogram of the event-transition graph
+    (operators/stats.py) — the first hub-skew diagnostic; value-checked."""
+    from grandiso_networkx_spark.operators.stats import degree_distribution
+
+    return degree_distribution(q_reply_edges(spark, sf_dir).select("src", "dst"))
+
+
+_DEGREE_DIST_SQL = f"""
+WITH raw AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL}) WHERE src <> dst),
+p AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+deg AS (SELECT src AS id, count(*) AS deg FROM p GROUP BY src)
+SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg
+"""
+
+
+def q_graph_stats(spark, sf_dir):
+    """One-row graph summary — transitivity, average local clustering,
+    degree assortativity (operators/stats.py) — value-checked."""
+    from grandiso_networkx_spark.operators.stats import (
+        avg_clustering,
+        degree_assortativity,
+        transitivity,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return (
+        transitivity(e)
+        .crossJoin(avg_clustering(e))
+        .crossJoin(degree_assortativity(e))
+        .select(
+            F.round("transitivity", 6).alias("transitivity"),
+            F.round("avg_clustering", 6).alias("avg_clustering"),
+            F.round("assortativity", 6).alias("assortativity"),
+        )
+    )
+
+
+_GRAPH_STATS_SQL = f"""
+WITH raw AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL}) WHERE src <> dst),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM raw GROUP BY 1, 2),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+stacked AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+pvt AS (SELECT id, count(*) AS tri_count FROM stacked GROUP BY id),
+p AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+deg AS (SELECT src AS id, count(*) AS deg FROM p GROUP BY src),
+t AS (SELECT coalesce(sum(tri_count), 0) AS t FROM pvt),
+w AS (SELECT coalesce(sum(deg * (deg - 1) / 2.0), 0) AS w FROM deg),
+c AS (SELECT avg(CASE WHEN d.deg >= 2
+        THEN 2.0 * coalesce(v.tri_count, 0) / (d.deg * (d.deg - 1))
+        ELSE 0 END) AS ac
+      FROM deg d LEFT JOIN pvt v ON v.id = d.id),
+a AS (SELECT corr(CAST(d1.deg AS DOUBLE), CAST(d2.deg AS DOUBLE)) AS asst
+      FROM p JOIN deg d1 ON d1.id = p.src JOIN deg d2 ON d2.id = p.dst)
+SELECT round(CASE WHEN w.w > 0 THEN t.t / w.w ELSE 0 END, 6) AS transitivity,
+       round(c.ac, 6) AS avg_clustering,
+       round(a.asst, 6) AS assortativity
+FROM t, w, c, a
+"""
+
+
 def q_ego_net(spark, sf_dir):
     """Radius-2 ego-net (induced subgraph) around the lexicographically
     smallest source of the event-transition graph — the per-anchor
@@ -1321,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_fixed": q_hits_invoke,
         "random_walks": q_random_walks,
         "ego_net": q_ego_net,
+        "degree_distribution": q_degree_distribution,
+        "graph_stats": q_graph_stats,
         "sssp_weighted": q_sssp,
         "link_training_pairs": q_link_pairs,
         "bm25_topk": q_bm25_topk,
@@ -1374,6 +1440,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),
         "ego_net": _EGO_SQL,
+        "degree_distribution": _DEGREE_DIST_SQL,
+        "graph_stats": _GRAPH_STATS_SQL,
         "sssp_weighted": _sssp_sql(6),
         "link_training_pairs": _LINK_PAIRS_SQL,
         "bm25_topk": _BM25_SQL,
