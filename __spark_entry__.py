@@ -735,6 +735,19 @@ def q_connected_components_star(spark, sf_dir):
     return connected_components_star(e)
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components (directed coloring + backward
+    confirm + peel, operators/scc.py); exactness vs
+    nx.strongly_connected_components is pinned by tests/test_scc.py —
+    convergence loops are not SQL-expressible, so rows-only here."""
+    from grandiso_networkx_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return strongly_connected_components(e)
+
+
 def q_core_number(spark, sf_dir):
     """Distributed peeling decomposition (operators/kcore.py); exactness
     vs nx.core_number is pinned by tests/test_kcore.py — the event-type
@@ -1398,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable_pairs": q_minhash_portable,
         "simhash_portable": q_simhash_portable,
         "pagerank_invoke_graph": q_pagerank_invoke_graph,
+        "strongly_connected_components": q_scc,
         "minhash_dedup_pairs": q_minhash_dedup,
         "simhash_near_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
