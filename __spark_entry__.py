@@ -846,6 +846,84 @@ SELECT id, min(dist) AS dist FROM walk GROUP BY id
 """
 
 
+def q_katz_fixed(spark, sf_dir):
+    """Fixed-iteration Katz centrality (8 rounds, unweighted, final
+    1/sqrt(sum x^2) normalization — networkx recurrence) on the reply
+    graph; SQL-expressible as an unrolled CTE chain, so value-checked
+    like pagerank_fixed/hits_fixed."""
+    from grandiso_networkx_spark.operators.katz import katz_centrality
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    x = katz_centrality(e, alpha=0.05, fixed_iterations=8)
+    return x.select("id", F.round("katz", 6).alias("katz"))
+
+
+def _katz_fixed_sql(iters: int = 8, alpha: float = 0.05) -> str:
+    """Unrolled x' = alpha*gather + beta from x0 = 0, beta = 1."""
+    parts = [
+        f"""WITH e AS ({_REPLY_EDGES_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+x0 AS (SELECT id, 0.0 AS x FROM verts)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+g{i} AS (SELECT e.dst AS id, sum(x.x) AS g
+         FROM e JOIN x{i} x ON x.id = e.src GROUP BY e.dst),
+x{i + 1} AS (SELECT v.id, {alpha} * coalesce(g.g, 0) + 1.0 AS x
+  FROM verts v LEFT JOIN g{i} g ON v.id = g.id)"""
+        )
+    parts.append(
+        f"""
+SELECT id, round(x / (SELECT sqrt(sum(x * x)) FROM x{iters}), 6) AS katz
+FROM x{iters}"""
+    )
+    return "".join(parts)
+
+
+def q_closeness(spark, sf_dir):
+    """Closeness centrality for every vertex of the undirected reply
+    graph via one multi-source BFS loop (operators/closeness.py);
+    value-checked against a recursive-CTE multi-source walk applying
+    the same Wasserman–Faust formula."""
+    from grandiso_networkx_spark.operators.closeness import (
+        closeness_centrality,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    c = closeness_centrality(e)
+    return c.select("id", F.round("closeness", 9).alias("closeness"))
+
+
+# NB: inside a WITH RECURSIVE chain, DuckDB 1.0 silently drops the
+# dedup of plain UNIONs in the NON-recursive CTEs — so sym/verts use
+# UNION ALL + explicit DISTINCT (duplicate sym rows would be harmless
+# to min-dist, but an inflated verts count corrupts the (n-1) scale).
+_CLOSENESS_SQL = f"""
+WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
+sym AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM re WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
+verts AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM sym UNION ALL SELECT dst FROM sym)),
+walk AS (
+  SELECT id AS source, id, 0 AS dist FROM verts
+  UNION
+  SELECT w.source, s.dst AS id, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < 64
+),
+sp AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id),
+agg AS (SELECT source, count(*) AS r, sum(dist) AS s FROM sp GROUP BY source)
+SELECT source AS id,
+       round(CASE WHEN s > 0
+             THEN (CAST(r - 1 AS DOUBLE) / s) * (CAST(r - 1 AS DOUBLE)
+                  / ((SELECT count(*) FROM verts) - 1))
+             ELSE 0.0 END, 9) AS closeness
+FROM agg
+"""
+
+
 def q_label_propagation(spark, sf_dir):
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return label_propagation(e, max_iter=8)
@@ -1392,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
         "bfs_levels": q_bfs_levels,
+        "katz_fixed": q_katz_fixed,
+        "closeness_centrality": q_closeness,
         "core_number": q_core_number,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
@@ -1450,6 +1530,8 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_star": _COMPONENTS_SQL,
         "linkpred_events": _LINKPRED_SQL,
         "bfs_levels": _BFS_SQL,
+        "katz_fixed": _katz_fixed_sql(8),
+        "closeness_centrality": _CLOSENESS_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),

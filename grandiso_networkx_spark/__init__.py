@@ -11,22 +11,70 @@ __version__ = "0.1.0"
 
 from .graph import HostGraph
 from .plans.motif import Motif, compile_plan, uniform_node_interestingness
+from .operators.bfs import bfs_levels
+from .operators.components import (
+    connected_components,
+    connected_components_star,
+)
+from .operators.closeness import closeness_centrality
 from .operators.frontier import expand_step
+from .operators.hits import hits
+from .operators.katz import katz_centrality
+from .operators.kcore import core_number
+from .operators.label_propagation import label_propagation
+from .operators.linkpred import link_prediction_scores
 from .operators.match import find_motifs, find_motifs_df, find_motifs_iter
+from .operators.pagerank import pagerank
+from .operators.retrieval import bm25_topk, tfidf_terms
+from .operators.sampling import ego_net, link_training_pairs
+from .operators.scc import strongly_connected_components
+from .operators.sssp import sssp
+from .operators.stats import (
+    avg_clustering,
+    degree_assortativity,
+    degree_distribution,
+    transitivity,
+)
+from .operators.triangles import per_vertex_triangles, triangle_count
+from .operators.walks import random_walks
 from .session import get_spark
 
 # Public surface mirrors the reference's exports (grandiso/__init__.py:
 # find_motifs, find_motifs_iter, get_next_backbone_candidates,
 # uniform_node_interestingness) — expand_step is the single-step
-# expansion API in place of get_next_backbone_candidates (SURVEY §3.3).
+# expansion API in place of get_next_backbone_candidates (SURVEY §3.3) —
+# plus the analytics / training-data operators the reference lacks.
 __all__ = [
     "HostGraph",
     "Motif",
+    "avg_clustering",
+    "bfs_levels",
+    "bm25_topk",
+    "closeness_centrality",
     "compile_plan",
+    "connected_components",
+    "connected_components_star",
+    "core_number",
+    "degree_assortativity",
+    "degree_distribution",
+    "ego_net",
     "expand_step",
     "find_motifs",
     "find_motifs_df",
     "find_motifs_iter",
     "get_spark",
+    "hits",
+    "katz_centrality",
+    "label_propagation",
+    "link_prediction_scores",
+    "link_training_pairs",
+    "pagerank",
+    "per_vertex_triangles",
+    "random_walks",
+    "sssp",
+    "strongly_connected_components",
+    "tfidf_terms",
+    "transitivity",
+    "triangle_count",
     "uniform_node_interestingness",
 ]

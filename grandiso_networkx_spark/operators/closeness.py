@@ -1,0 +1,91 @@
+"""Closeness centrality via multi-source level-synchronous BFS
+(analytics op beside bfs_levels — not in the reference; SURVEY.md §2.6
+class; semantics oracle is ``networkx.closeness_centrality``).
+
+One BFS loop answers ALL requested sources simultaneously: the frontier
+frame is ``(source, id)`` pairs, so a round is still a single equi join
+frontier ⋈ edges + one anti join against the visited set — k sources
+ride the same two shuffles, not k loops.  Rounds = max eccentricity
+over the sources.
+
+Scale shape: the visited/distance frame holds one row per (source,
+reached vertex) — all-pairs closeness on a huge graph is inherently
+quadratic, so at scale callers pass a vertex SAMPLE as ``sources``
+(the standard estimator); the loop cost is then |sample| * reachable,
+partitioned by the compound key.  Per-round ``localCheckpoint`` keeps
+lineage flat exactly as in bfs_levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .components import symmetrize
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    directed: bool = False,
+    wf_improved: bool = True,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """``(id, closeness double)`` for every vertex in ``sources`` (an
+    ``(id)`` DataFrame; default = every vertex).
+
+    ``directed=True`` uses INCOMING distance (BFS over reversed edges),
+    matching ``nx.closeness_centrality`` on a DiGraph; the default
+    symmetrizes first (undirected semantics).  ``wf_improved`` applies
+    the Wasserman–Faust reachable-fraction scaling ``(r-1)/(n-1)``
+    (the networkx default); vertices that reach nothing score 0.
+    """
+    e = (
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if directed
+        else symmetrize(edges)
+    ).where(F.col("src") != F.col("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    src_frame = (
+        verts if sources is None else sources.select("id").distinct()
+    )
+
+    dist = src_frame.select(
+        F.col("id").alias("source"), "id", F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = dist.select("source", "id")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .select("source", F.col("dst").alias("id"))
+            .dropDuplicates(["source", "id"])
+            .join(dist.select("source", "id"), ["source", "id"], "left_anti")
+            .select("source", "id", F.lit(depth).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("source", "id")
+    else:
+        raise RuntimeError(
+            f"BFS did not terminate within max_depth={max_depth}."
+        )
+
+    per_src = dist.groupBy("source").agg(
+        F.count("*").alias("r"), F.sum("dist").alias("s")
+    )
+    base = (F.col("r") - 1) / F.col("s")
+    if wf_improved and n > 1:
+        base = base * (F.col("r") - 1) / F.lit(float(n - 1))
+    out = per_src.select(
+        F.col("source").alias("id"),
+        F.when(F.col("s") > 0, base).otherwise(F.lit(0.0)).alias("closeness"),
+    )
+    verts.unpersist()
+    return out

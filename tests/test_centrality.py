@@ -1,0 +1,117 @@
+"""Katz + closeness centrality vs networkx oracles (SURVEY.md §2.6
+class — link-analysis ops beside PageRank/HITS/bfs_levels)."""
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from grandiso_networkx_spark.operators.closeness import closeness_centrality
+from grandiso_networkx_spark.operators.katz import katz_centrality
+
+
+def _edges_df(spark, g):
+    rows = [(str(u), str(v)) for u, v in g.edges()]
+    return spark.createDataFrame(rows, "src string, dst string").distinct()
+
+
+class TestKatz:
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_directed_random(self, spark, seed):
+        g = nx.fast_gnp_random_graph(40, 0.08, directed=True, seed=seed)
+        g.remove_nodes_from(list(nx.isolates(g)))  # edge-table graphs
+        got = {
+            r.id: r.katz
+            for r in katz_centrality(_edges_df(spark, g), tol=1e-10).collect()
+        }
+        want = nx.katz_centrality(g, tol=1e-10)
+        assert set(got) == {str(k) for k in want}
+        for k, v in want.items():
+            assert abs(got[str(k)] - v) < 1e-6, k
+
+    def test_weighted(self, spark):
+        g = nx.DiGraph()
+        g.add_weighted_edges_from(
+            [("a", "b", 2.0), ("b", "c", 0.5), ("c", "a", 1.5), ("a", "c", 3.0)]
+        )
+        df = spark.createDataFrame(
+            [(u, v, d["weight"]) for u, v, d in g.edges(data=True)],
+            "src string, dst string, weight double",
+        )
+        got = {
+            r.id: r.katz
+            for r in katz_centrality(df, weight_col="weight", tol=1e-10).collect()
+        }
+        want = nx.katz_centrality(g, weight="weight", tol=1e-10)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-6, k
+
+    def test_fixed_iterations_unnormalized_recurrence(self, spark):
+        # After k rounds from x0=0, x = beta * sum_{i<=k-1} (alpha A^T)^i 1
+        # — pin a tiny hand-computable case: path a->b, 2 rounds.
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        got = {
+            r.id: r.katz
+            for r in katz_centrality(
+                df, alpha=0.5, fixed_iterations=2, normalized=False
+            ).collect()
+        }
+        # round1: x=beta=1 everywhere; round2: x_b = 0.5*1 + 1 = 1.5.
+        assert got == {"a": 1.0, "b": 1.5}
+
+    def test_divergent_raises(self, spark):
+        # alpha > 1/lambda_max on a cycle diverges -> no convergence.
+        g = nx.cycle_graph(4, create_using=nx.DiGraph)
+        with pytest.raises(RuntimeError):
+            katz_centrality(_edges_df(spark, g), alpha=1.5, max_iter=30)
+
+
+class TestCloseness:
+    @pytest.mark.parametrize("seed", [5, 23])
+    def test_undirected_random(self, spark, seed):
+        g = nx.fast_gnp_random_graph(35, 0.09, seed=seed)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        got = {
+            r.id: r.closeness
+            for r in closeness_centrality(_edges_df(spark, g)).collect()
+        }
+        want = nx.closeness_centrality(g)
+        assert set(got) == {str(k) for k in want}
+        for k, v in want.items():
+            assert abs(got[str(k)] - v) < 1e-9, k
+
+    def test_directed_incoming_distance(self, spark):
+        g = nx.fast_gnp_random_graph(30, 0.1, directed=True, seed=7)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        got = {
+            r.id: r.closeness
+            for r in closeness_centrality(
+                _edges_df(spark, g), directed=True
+            ).collect()
+        }
+        want = nx.closeness_centrality(g)  # nx uses incoming distance
+        for k, v in want.items():
+            assert abs(got[str(k)] - v) < 1e-9, k
+
+    def test_source_sample(self, spark):
+        g = nx.path_graph(6)
+        srcs = spark.createDataFrame([("0",), ("3",)], "id string")
+        got = {
+            r.id: r.closeness
+            for r in closeness_centrality(_edges_df(spark, g), sources=srcs).collect()
+        }
+        want = nx.closeness_centrality(g)
+        assert set(got) == {"0", "3"}
+        for k in ("0", "3"):
+            assert abs(got[k] - want[int(k)]) < 1e-9
+
+    def test_wf_improved_off(self, spark):
+        g = nx.union(nx.path_graph(3), nx.path_graph(2, create_using=nx.Graph), rename=("a", "b"))
+        got = {
+            r.id: r.closeness
+            for r in closeness_centrality(
+                _edges_df(spark, g), wf_improved=False
+            ).collect()
+        }
+        want = nx.closeness_centrality(g, wf_improved=False)
+        for k, v in want.items():
+            assert abs(got[str(k)] - v) < 1e-9, k
