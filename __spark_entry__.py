@@ -1170,6 +1170,80 @@ w{s} AS (SELECT w.start, w.rep,
     return "".join(parts)
 
 
+def q_node2vec_walks(spark, sf_dir):
+    """node2vec second-order biased walks (operators/walks.py) over the
+    event-transition graph.  p=2, q=0.5 here make every candidate
+    weight dyadic (0.5/1/2), so all cumulative sums are EXACT doubles
+    under any summation order and the DuckDB rebuild (window cumsum
+    inversion) matches bit-for-bit — a value check despite the float
+    arithmetic."""
+    from grandiso_networkx_spark.operators.walks import node2vec_walks
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return node2vec_walks(
+        e, p=2.0, q=0.5, walk_length=3, walks_per_vertex=2, seed=7
+    )
+
+
+def _node2vec_sql(
+    walk_length: int = 3,
+    walks_per_vertex: int = 2,
+    p: float = 2.0,
+    q: float = 0.5,
+    seed: int = 7,
+) -> str:
+    """Unrolled second-order walk: per step explode the sorted neighbor
+    list with ordinality, weight by prev-relation, window-cumsum in
+    index order, pick the first index whose cum exceeds u * total
+    (falling back to the last index on the rounding edge)."""
+    h = (
+        "CAST('0x' || substring(md5(concat_ws('|', start, rep, {step}, "
+        f"{seed})), 1, 15) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH e0 AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM e GROUP BY src),
+s1 AS (SELECT start, rep, prev,
+  nbrs[CAST(1 + {h.format(step=1)} % len(nbrs) AS INT)] AS cur
+  FROM (SELECT a.src AS start, CAST(r.r AS INT) AS rep, a.src AS prev,
+               a.nbrs
+        FROM adj a CROSS JOIN
+             (SELECT unnest(range(0, {walks_per_vertex})) AS r) r))"""
+    ]
+    for s in range(2, walk_length + 1):
+        parts.append(
+            f""",
+c{s} AS (SELECT start, rep, prev, cur, nbrs, pnbrs, u,
+    unnest(range(1, len(nbrs) + 1)) AS i
+  FROM (SELECT st.start, st.rep, st.prev, st.cur, a.nbrs,
+               ap.nbrs AS pnbrs,
+               CAST({h.format(step=s)} AS DOUBLE)
+                 / 1152921504606846976.0 AS u
+        FROM s{s - 1} st
+        JOIN adj a ON a.src = st.cur
+        JOIN adj ap ON ap.src = st.prev)),
+w{s} AS (SELECT *, nbrs[CAST(i AS INT)] AS x,
+    CASE WHEN nbrs[CAST(i AS INT)] = prev THEN {1.0 / p!r}
+         WHEN list_contains(pnbrs, nbrs[CAST(i AS INT)]) THEN 1.0
+         ELSE {1.0 / q!r} END AS w
+  FROM c{s}),
+t{s} AS (SELECT *, sum(w) OVER (PARTITION BY start, rep ORDER BY i) AS cum,
+    sum(w) OVER (PARTITION BY start, rep) AS tot FROM w{s}),
+s{s} AS (SELECT start, rep, cur AS prev, x AS cur FROM (
+    SELECT *, row_number() OVER (PARTITION BY start, rep
+      ORDER BY (cum > u * tot) DESC,
+               CASE WHEN cum > u * tot THEN i ELSE -i END) AS rn
+    FROM t{s}) WHERE rn = 1)"""
+        )
+    selects = ["SELECT start, rep, 0 AS step, prev AS vertex FROM s1"] + [
+        f"SELECT start, rep, {s} AS step, cur AS vertex FROM s{s}"
+        for s in range(1, walk_length + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL ".join(selects))
+    return "".join(parts)
+
+
 def q_degree_distribution(spark, sf_dir):
     """Undirected degree histogram of the event-transition graph
     (operators/stats.py) — the first hub-skew diagnostic; value-checked."""
@@ -1477,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed": q_pagerank_fixed,
         "hits_fixed": q_hits_invoke,
         "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
         "ego_net": q_ego_net,
         "degree_distribution": q_degree_distribution,
         "graph_stats": q_graph_stats,
@@ -1535,6 +1610,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),
+        "node2vec_walks": _node2vec_sql(3, 2, 2.0, 0.5, 7),
         "ego_net": _EGO_SQL,
         "degree_distribution": _DEGREE_DIST_SQL,
         "graph_stats": _GRAPH_STATS_SQL,

@@ -36,7 +36,7 @@ from .operators.stats import (
     transitivity,
 )
 from .operators.triangles import per_vertex_triangles, triangle_count
-from .operators.walks import random_walks
+from .operators.walks import node2vec_walks, random_walks
 from .session import get_spark
 
 # Public surface mirrors the reference's exports (grandiso/__init__.py:
@@ -68,6 +68,7 @@ __all__ = [
     "label_propagation",
     "link_prediction_scores",
     "link_training_pairs",
+    "node2vec_walks",
     "pagerank",
     "per_vertex_triangles",
     "random_walks",

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+_TWO_POW_60 = float(1 << 60)
+
 
 def _hash60(col) -> F.Column:
     """60-bit portable hash (first 15 hex chars of md5) — identical
@@ -94,6 +96,157 @@ def random_walks(
             )
             .localCheckpoint()
         )
+        out = out.unionAll(
+            frontier.select(
+                "start", "rep", F.lit(step).alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    adj.unpersist()
+    return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    p: float = 1.0,
+    q: float = 1.0,
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    seed: int = 42,
+    max_degree: int | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Second-order biased walks (node2vec; Grover & Leskovec 2016)
+    with the same deterministic portable-hash draws as
+    ``random_walks``.
+
+    Standing at ``cur`` having arrived from ``prev``, a candidate
+    neighbor ``x`` weighs ``1/p`` if ``x == prev`` (return), ``1`` if
+    ``x`` is also a neighbor of ``prev`` (BFS-like), else ``1/q``
+    (DFS-like); the draw inverts the cumulative weight at
+    ``u = hash(start|rep|step|seed) / 2^60``.  Step 1 is uniform (no
+    predecessor), matching the reference algorithm.
+
+    Fully deterministic and engine-portable: the cumulative sum folds
+    the sorted neighbor array left-to-right, so an independent SQL
+    build (window cumsum in the same order) reproduces the corpus
+    bit-for-bit — the driver value check.  Per step the plan is two
+    equi joins (adjacency of ``cur`` and of ``prev``) + one
+    higher-order-function projection — still no per-row Python and no
+    deg(hub) explode; ``max_degree`` caps both the candidate list and
+    the BFS-membership list, trading exactness for bounded rows
+    exactly as in ``random_walks``.
+    """
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    nbrs = F.sort_array(F.collect_list("dst"))
+    if max_degree is not None:
+        nbrs = F.slice(nbrs, 1, max_degree)
+    adj = e.groupBy("src").agg(nbrs.alias("nbrs")).persist()
+
+    # Step 1: uniform draw, identical to random_walks.
+    draw1 = _hash60(
+        F.concat_ws("|", F.col("start"), F.col("rep"), F.lit(1), F.lit(seed))
+    )
+    frontier = (
+        adj.select(
+            F.col("src").alias("start"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+            ).alias("rep"),
+            F.col("src").alias("prev"),
+            "nbrs",
+        )
+        .select(
+            "start",
+            "rep",
+            "prev",
+            F.element_at(
+                "nbrs", (F.pmod(draw1, F.size("nbrs")) + 1).cast("int")
+            ).alias("cur"),
+        )
+        .localCheckpoint()
+    )
+    out = frontier.select(
+        "start", "rep", F.lit(0).alias("step"), F.col("prev").alias("vertex")
+    ).unionAll(
+        frontier.select(
+            "start", "rep", F.lit(1).alias("step"), F.col("cur").alias("vertex")
+        )
+    )
+
+    ret_w, out_w = 1.0 / p, 1.0 / q
+    for step in range(2, walk_length + 1):
+        u = (
+            _hash60(
+                F.concat_ws(
+                    "|", F.col("start"), F.col("rep"), F.lit(step), F.lit(seed)
+                )
+            ).cast("double")
+            / F.lit(_TWO_POW_60)
+        )
+        cand = (
+            frontier.join(adj.withColumnRenamed("src", "cur"), "cur")
+            .join(
+                adj.select(
+                    F.col("src").alias("prev"), F.col("nbrs").alias("pnbrs")
+                ),
+                "prev",
+            )
+            .withColumn(
+                "w",
+                F.transform(
+                    "nbrs",
+                    lambda x: F.when(x == F.col("prev"), F.lit(ret_w))
+                    .when(F.array_contains(F.col("pnbrs"), x), F.lit(1.0))
+                    .otherwise(F.lit(out_w)),
+                ),
+            )
+            # target = u * (left-to-right fold of w) — the same
+            # sequential sum the SQL oracle's ordered window computes,
+            # so the > comparison is bit-identical across engines.
+            .withColumn(
+                "target",
+                u * F.aggregate("w", F.lit(0.0), lambda acc, w: acc + w),
+            )
+        )
+        sel = F.aggregate(
+            "w",
+            F.struct(
+                F.lit(0.0).alias("cum"),
+                F.lit(0).alias("sel"),
+                F.lit(0).alias("pos"),
+            ),
+            lambda acc, w: F.struct(
+                (acc["cum"] + w).alias("cum"),
+                F.when(
+                    (acc["sel"] == 0) & (acc["cum"] + w > F.col("target")),
+                    acc["pos"] + 1,
+                )
+                .otherwise(acc["sel"])
+                .alias("sel"),
+                (acc["pos"] + 1).alias("pos"),
+            ),
+            lambda acc: acc["sel"],
+        )
+        # sel == 0 only if float rounding left target >= total: take last.
+        idx = F.when(sel == 0, F.size("nbrs")).otherwise(sel).cast("int")
+        frontier = cand.select(
+            "start",
+            "rep",
+            F.col("cur").alias("prev"),
+            F.element_at("nbrs", idx).alias("cur"),
+        ).localCheckpoint()
         out = out.unionAll(
             frontier.select(
                 "start", "rep", F.lit(step).alias("step"),
