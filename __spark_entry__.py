@@ -153,6 +153,98 @@ WHERE e1.src <> e1.dst AND e2.src <> e2.dst AND e3.src <> e3.dst
 """
 
 
+def q_rect_motif_count(spark, sf_dir):
+    """Directed 4-cycle (A→B→C→D→A) monomorphism count via the motif
+    engine — a 4-node bind order with TWO non-adjacent injectivity
+    predicates (A≠C, B≠D), the residual-inequality case of E5."""
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    host = HostGraph(e, directed=True)
+    m = Motif(directed=True)
+    m.add_edge("A", "B")
+    m.add_edge("B", "C")
+    m.add_edge("C", "D")
+    m.add_edge("D", "A")
+    return find_motifs_df(m, host).agg(F.count(F.lit(1)).alias("n_rect_mono"))
+
+
+_RECT_MOTIF_SQL = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL}))
+SELECT count(*) AS n_rect_mono
+FROM e e1 JOIN e e2 ON e2.src = e1.dst
+          JOIN e e3 ON e3.src = e2.dst
+          JOIN e e4 ON e4.src = e3.dst AND e4.dst = e1.src
+WHERE e1.src <> e1.dst AND e2.src <> e2.dst
+  AND e3.src <> e3.dst AND e4.src <> e4.dst
+  AND e1.src <> e2.dst AND e1.dst <> e3.dst
+"""
+
+
+def q_motif_attr_bindings(spark, sf_dir):
+    """Attribute-constrained co-invocation motif over the user→etype
+    invoke graph — exercises P1 (node-attr subset match on kind/tier),
+    P3 (edge-attr match during the join), and E3's in-edge candidate
+    generation (A→B←C binds C through B's predecessors).  Motif:
+    tier-1 user A invokes etype B heavily (weight ≥ 2 flagged as
+    attr heavy=y), tier-2 user C also invokes B; result = matches per
+    event type."""
+    e0 = _event_invoke_edges(spark, sf_dir)
+    edges = e0.select(
+        "src",
+        "dst",
+        F.create_map(
+            F.lit("heavy"),
+            F.when(F.col("weight") >= 2, F.lit("y")).otherwise(F.lit("n")),
+        ).alias("attrs"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(
+            "id",
+            F.create_map(
+                F.lit("kind"),
+                F.when(
+                    F.col("id").startswith("user:"), F.lit("user")
+                ).otherwise(F.lit("etype")),
+                F.lit("tier"),
+                F.when(
+                    F.col("id").startswith("user:"),
+                    F.pmod(
+                        F.substring("id", 6, 100).cast("long"), F.lit(3)
+                    ).cast("string"),
+                ).otherwise(F.lit("x")),
+            ).alias("attrs"),
+        )
+    )
+    host = HostGraph(edges, vertices=verts, directed=True)
+    m = Motif(directed=True)
+    m.add_node("A", kind="user", tier="1")
+    m.add_node("B", kind="etype")
+    m.add_node("C", kind="user", tier="2")
+    m.add_edge("A", "B", heavy="y")
+    m.add_edge("C", "B")
+    return (
+        find_motifs_df(m, host)
+        .groupBy(F.col("B").alias("etype"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+_MOTIF_ATTR_SQL = f"""
+WITH e AS ({_INVOKE_EDGES_SQL}),
+heavy AS (SELECT src, dst FROM e WHERE weight >= 2),
+t1 AS (SELECT src, dst FROM heavy
+       WHERE CAST(substring(src, 6) AS BIGINT) % 3 = 1),
+t2 AS (SELECT src, dst FROM e
+       WHERE CAST(substring(src, 6) AS BIGINT) % 3 = 2)
+SELECT t1.dst AS etype, count(*) AS n_matches
+FROM t1 JOIN t2 ON t1.dst = t2.dst
+WHERE t1.src <> t2.src
+GROUP BY t1.dst
+"""
+
+
 def q_triangle_count(spark, sf_dir):
     """Undirected distinct-triangle count (degree-ordered orientation)."""
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
@@ -1546,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": q_bfs_levels,
         "katz_fixed": q_katz_fixed,
         "closeness_centrality": q_closeness,
+        "rect_motif_count": q_rect_motif_count,
+        "motif_attr_bindings": q_motif_attr_bindings,
         "core_number": q_core_number,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
@@ -1607,6 +1701,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_levels": _BFS_SQL,
         "katz_fixed": _katz_fixed_sql(8),
         "closeness_centrality": _CLOSENESS_SQL,
+        "rect_motif_count": _RECT_MOTIF_SQL,
+        "motif_attr_bindings": _MOTIF_ATTR_SQL,
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),
