@@ -1016,6 +1016,93 @@ FROM agg
 """
 
 
+def q_betweenness(spark, sf_dir):
+    """Exact Brandes betweenness over the undirected reply graph
+    (operators/betweenness.py) — value-checked against a fully
+    unrolled SQL Brandes: recursive-CTE BFS for distances, one sigma
+    CTE per forward level, one delta CTE per backward level."""
+    from grandiso_networkx_spark.operators.betweenness import (
+        betweenness_centrality,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    b = betweenness_centrality(e)
+    return b.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _brandes_sql(levels: int = 6) -> str:
+    """Unrolled Brandes on the symmetrized reply graph, all sources.
+
+    sig{d} holds path counts of depth-d vertices (sum over depth-(d-1)
+    predecessors); c{d} holds the deltas OF depth-(d-1) vertices
+    (accumulated from depth-d successors, whose own deltas are exactly
+    c{d+1}).  ``levels`` must be >= the graph diameter — deeper CTEs
+    are simply empty.  UNION ALL + DISTINCT throughout (DuckDB 1.0
+    drops plain-UNION dedup in non-recursive CTEs under WITH
+    RECURSIVE)."""
+    parts = [
+        f"""WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
+sym AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM re WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
+verts AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM sym UNION ALL SELECT dst FROM sym)),
+walk AS (
+  SELECT id AS source, id, 0 AS dist FROM verts
+  UNION
+  SELECT w.source, s.dst AS id, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < {levels}
+),
+sp AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id),
+sig0 AS (SELECT source, id, 1.0 AS sigma FROM sp WHERE dist = 0)"""
+    ]
+    for d in range(1, levels + 1):
+        parts.append(
+            f""",
+sig{d} AS (SELECT s.source, s.id, sum(p.sigma) AS sigma
+  FROM sp s JOIN sym e ON e.dst = s.id
+  JOIN sig{d - 1} p ON p.source = s.source AND p.id = e.src
+  WHERE s.dist = {d} GROUP BY s.source, s.id)"""
+        )
+    for d in range(levels, 0, -1):
+        prev_delta = (
+            f"LEFT JOIN c{d + 1} dw ON dw.source = w.source AND dw.id = w.id"
+            if d < levels
+            else ""
+        )
+        delta_expr = (
+            "coalesce(dw.delta, 0)" if d < levels else "0"
+        )
+        parts.append(
+            f""",
+c{d} AS (SELECT w.source, e.src AS id,
+    sum(ps.sigma / ws.sigma * (1 + {delta_expr})) AS delta
+  FROM sp w
+  JOIN sig{d} ws ON ws.source = w.source AND ws.id = w.id
+  JOIN sym e ON e.dst = w.id
+  JOIN sig{d - 1} ps ON ps.source = w.source AND ps.id = e.src
+  {prev_delta}
+  WHERE w.dist = {d}
+  GROUP BY w.source, e.src)"""
+        )
+    all_c = " UNION ALL ".join(
+        f"SELECT * FROM c{d}" for d in range(1, levels + 1)
+    )
+    parts.append(
+        f""",
+bc AS (SELECT id, sum(delta) AS b FROM ({all_c})
+       WHERE id <> source GROUP BY id),
+nn AS (SELECT count(*) AS n FROM verts)
+SELECT v.id,
+       round(coalesce(bc.b, 0) * (CASE WHEN (SELECT n FROM nn) > 2
+             THEN 1.0 / (((SELECT n FROM nn) - 1) * ((SELECT n FROM nn) - 2))
+             ELSE 1.0 END), 6) AS betweenness
+FROM verts v LEFT JOIN bc ON bc.id = v.id"""
+    )
+    return "".join(parts)
+
+
 def q_label_propagation(spark, sf_dir):
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return label_propagation(e, max_iter=8)
@@ -1640,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_centrality": q_closeness,
         "rect_motif_count": q_rect_motif_count,
         "motif_attr_bindings": q_motif_attr_bindings,
+        "betweenness_centrality": q_betweenness,
         "core_number": q_core_number,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
@@ -1703,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_centrality": _CLOSENESS_SQL,
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,
+        "betweenness_centrality": _brandes_sql(6),
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),

@@ -11,6 +11,7 @@ __version__ = "0.1.0"
 
 from .graph import HostGraph
 from .plans.motif import Motif, compile_plan, uniform_node_interestingness
+from .operators.betweenness import betweenness_centrality
 from .operators.bfs import bfs_levels
 from .operators.components import (
     connected_components,
@@ -48,6 +49,7 @@ __all__ = [
     "HostGraph",
     "Motif",
     "avg_clustering",
+    "betweenness_centrality",
     "bfs_levels",
     "bm25_topk",
     "closeness_centrality",

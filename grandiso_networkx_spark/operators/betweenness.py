@@ -1,0 +1,154 @@
+"""Betweenness centrality via distributed Brandes (analytics op beside
+closeness/katz — not in the reference; SURVEY.md §2.6 class; semantics
+oracle is ``networkx.betweenness_centrality``).
+
+Brandes' algorithm (2001) is two sweeps per source over the BFS DAG:
+forward to count shortest paths (sigma), backward to accumulate pair
+dependencies (delta).  Both sweeps are level-synchronous here and run
+for ALL sources in one loop — state frames are keyed ``(source, id)``,
+so a round is one equi join + one aggregation regardless of source
+count, the same multi-source shape as closeness_centrality.
+
+- Forward round d: frontier ⋈ edges → ``groupBy(source, dst)
+  .sum(sigma)`` (map-side combine absorbs hub fan-in), anti join
+  against visited — sigma of a new vertex is the sum over its
+  depth-(d-1) predecessors, which is exactly Brandes' recurrence.
+- Backward round d: vertices at depth d send ``sigma_v/sigma_w *
+  (1 + delta_w)`` to their depth-(d-1) BFS-DAG predecessors (the
+  dist-check join reconstructs the DAG from the sp table — no
+  predecessor lists are materialized).  Every vertex's delta is
+  complete after the single round that processes its depth+1.
+- Exact all-pairs betweenness is inherently O(|V|·|E|); at scale
+  callers pass a source SAMPLE (Brandes–Pich estimator) and the
+  rescale extrapolates by n/k, matching ``nx.betweenness_centrality``
+  with ``k`` samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .components import symmetrize
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    directed: bool = False,
+    normalized: bool = True,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """``(id, betweenness double)`` for every vertex of the graph.
+
+    ``sources=None`` computes the exact Brandes sum over all sources;
+    an ``(id)`` DataFrame computes the k-sample estimator (dependency
+    sums over those sources, rescaled by n/k like
+    ``nx.betweenness_centrality(k=...)``).  ``normalized`` divides by
+    the number of ordered/unordered non-endpoint pairs, matching
+    networkx for both directednesses; unnormalized undirected results
+    are halved (each undirected path is seen from both ends), also as
+    in networkx.
+    """
+    e = (
+        edges.select("src", "dst") if directed else symmetrize(edges)
+    ).where(F.col("src") != F.col("dst")).persist()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    src_frame = verts if sources is None else sources.select("id").distinct()
+    k = n if sources is None else src_frame.count()
+
+    # ---- forward sweep: sp(source, id, dist, sigma) ----------------
+    sp = src_frame.select(
+        F.col("id").alias("source"),
+        "id",
+        F.lit(0).alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    ).localCheckpoint()
+    frontier = sp.select("source", "id", "sigma")
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(sp.select("source", "id"), ["source", "id"], "left_anti")
+            .select("source", "id", F.lit(depth).alias("dist"), "sigma")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            depth -= 1
+            break
+        sp = sp.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("source", "id", "sigma")
+    else:
+        raise RuntimeError(
+            f"BFS did not terminate within max_depth={max_depth}."
+        )
+    sp = sp.persist()
+
+    # ---- backward sweep: delta accumulates one level per round -----
+    spark = edges.sparkSession
+    delta = spark.createDataFrame(
+        [], f"source {sp.schema['id'].dataType.simpleString()}, "
+        f"id {sp.schema['id'].dataType.simpleString()}, delta double"
+    )
+    for d in range(depth, 0, -1):
+        w_frame = (
+            sp.where(F.col("dist") == d)
+            .join(delta, ["source", "id"], "left")
+            .select(
+                "source",
+                F.col("id").alias("w"),
+                (
+                    (F.lit(1.0) + F.coalesce("delta", F.lit(0.0)))
+                    / F.col("sigma")
+                ).alias("credit"),
+            )
+        )
+        contrib = (
+            w_frame.join(e.withColumnRenamed("dst", "w"), "w")
+            .join(
+                sp.where(F.col("dist") == d - 1).select(
+                    "source", F.col("id").alias("src"), "sigma"
+                ),
+                ["source", "src"],
+            )
+            .groupBy("source", F.col("src").alias("id"))
+            .agg(F.sum(F.col("credit") * F.col("sigma")).alias("delta"))
+        )
+        delta = delta.unionByName(contrib).localCheckpoint()
+
+    bc = (
+        delta.where(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    out = verts.join(bc, "id", "left").select(
+        "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+
+    # networkx _rescale verbatim: normalized -> 1/((n-1)(n-2)) for both
+    # directednesses (undirected raw sums are already double-counted);
+    # unnormalized undirected -> 0.5; the n/k sample extrapolation only
+    # applies when a scale exists (nx quirk: directed unnormalized
+    # sampled results stay raw).
+    if normalized:
+        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+    else:
+        scale = None if directed else 0.5
+    if scale is not None and sources is not None and k:
+        scale = scale * n / k
+    if scale is not None:
+        out = out.select(
+            "id", (F.col("betweenness") * F.lit(float(scale))).alias("betweenness")
+        )
+    e.unpersist()
+    verts.unpersist()
+    sp.unpersist()
+    return out
