@@ -462,6 +462,49 @@ FROM documents
 """
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation pass (operators/curation.py): language
+    filter → quality gate → exact-dedup min-id representative →
+    deterministic 3/4 hash sample, one single-scan plan whose only
+    shuffle is the dedup window — value-checked end to end."""
+    from grandiso_networkx_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        lang="en",
+        min_tokens=5,
+        max_tokens=500,
+        max_punct_ratio=0.2,
+        max_digit_ratio=0.2,
+        sample_mod=4,
+        sample_keep=3,
+        seed=42,
+    )
+
+
+def _curate_sql() -> str:
+    # lazy: _LANG_SQL is defined further down the module
+    return f"""
+WITH lang AS ({_LANG_SQL}),
+q AS ({_QUALITY_SQL}),
+f AS (
+  SELECT d.doc_id, d.text, l.lang_guess, q.n_tokens,
+         q.punct_ratio, q.digit_ratio
+  FROM documents d
+  JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+  WHERE l.lang_guess = 'en'
+    AND q.n_tokens BETWEEN 5 AND 500
+    AND q.punct_ratio <= 0.2 AND q.digit_ratio <= 0.2
+),
+k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM f)
+SELECT doc_id, lang_guess, n_tokens, punct_ratio, digit_ratio
+FROM k
+WHERE doc_id = keep_id
+  AND CAST('0x' || substring(md5(concat_ws('|', doc_id, 42)), 1, 15)
+      AS BIGINT) % 4 < 3
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprint sets — the
     partial-copy detector next to whole-document fingerprint()."""
@@ -1709,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "regional_volume": q_regional_volume,
         "exact_dedup": q_exact_dedup,
+        "curate_corpus": q_curate_corpus,
         "token_counts": q_token_counts,
         "quality_features": q_quality,
         "fingerprint": q_fingerprint,
@@ -1771,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": _TOP_CUSTOMERS_SQL,
         "regional_volume": _REGIONAL_VOLUME_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
+        "curate_corpus": _curate_sql(),
         "token_counts": _TOKEN_SQL,
         "quality_features": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,

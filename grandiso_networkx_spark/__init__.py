@@ -18,6 +18,7 @@ from .operators.components import (
     connected_components_star,
 )
 from .operators.closeness import closeness_centrality
+from .operators.curation import curate_corpus
 from .operators.frontier import expand_step
 from .operators.hits import hits
 from .operators.katz import katz_centrality
@@ -57,6 +58,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "core_number",
+    "curate_corpus",
     "degree_assortativity",
     "degree_distribution",
     "ego_net",

@@ -1,0 +1,87 @@
+"""End-to-end corpus curation — the composed pretraining-data pass a
+100 TB pipeline actually runs (task-mandated §2.7 class; composes the
+engine's own text ops rather than inventing new semantics):
+
+    language filter → quality gate → exact-dedup representative →
+    deterministic hash sample
+
+Scale shape: everything row-local (language ID, quality signals, the
+filters) is a single projection over ONE scan of the documents table —
+the predicates push into the Parquet/Iceberg source and stay inside
+whole-stage codegen.  The only shuffle in the whole pass is the
+exact-dedup window (hash-partition by ``md5(text)``), and it runs
+AFTER the row-local filters have discarded rejects, so the exchange
+carries only surviving rows.  The final sample is a hash predicate on
+``doc_id`` — deterministic under any partitioning/retry, no RNG state,
+no ``sample()`` nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textstats import language_guess_col, quality_columns
+
+
+def curate_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 3,
+    max_tokens: int = 1_000_000,
+    max_punct_ratio: float = 0.5,
+    max_digit_ratio: float = 0.5,
+    sample_mod: int | None = None,
+    sample_keep: int | None = None,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, lang_guess, n_tokens, punct_ratio, digit_ratio)`` for
+    every document that survives all four stages.
+
+    - keeps documents whose ``language_guess`` equals ``lang``;
+    - keeps ``min_tokens <= n_tokens <= max_tokens`` with punctuation
+      and digit ratios at or under the caps (ratios are the 6-decimal
+      rounded values of ``quality_features`` — SQL-parity exact);
+    - among byte-identical texts, keeps the minimum ``doc_id``
+      (computed AMONG survivors, so a rejected doc never shadows a
+      kept one);
+    - when ``sample_mod``/``sample_keep`` are set, keeps a
+      deterministic ``sample_keep/sample_mod`` fraction by portable
+      md5 hash of ``doc_id|seed``.
+    """
+    if (sample_mod is None) != (sample_keep is None):
+        raise ValueError("sample_mod and sample_keep must be set together")
+    t = F.col(text_col)
+    q = quality_columns(t)
+    filtered = docs.select(
+        "doc_id",
+        t.alias("__text"),
+        language_guess_col(t).alias("lang_guess"),
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+    ).where(
+        (F.col("lang_guess") == lang)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("digit_ratio") <= max_digit_ratio)
+    )
+    kept = (
+        filtered.withColumn(
+            "__keep_id",
+            F.min("doc_id").over(Window.partitionBy(F.md5("__text"))),
+        )
+        .where(F.col("doc_id") == F.col("__keep_id"))
+        .drop("__text", "__keep_id")
+    )
+    if sample_mod is not None:
+        draw = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id"), F.lit(seed))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        kept = kept.where(F.pmod(draw, F.lit(sample_mod)) < sample_keep)
+    return kept

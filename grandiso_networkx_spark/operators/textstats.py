@@ -39,10 +39,10 @@ def bpe_ish_token_count(text: Column) -> Column:
     return (words + digits + punct).cast("long")
 
 
-def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality signals: length, token count, mean word
-    length, punctuation/uppercase/digit ratios, stopword ratio."""
-    t = F.col(text_col)
+def quality_columns(t: Column) -> dict[str, Column]:
+    """The quality signals as named column expressions over a text
+    column — composable into single-scan plans (see
+    ``operators/curation.py``)."""
     length = F.length(t)
     toks = token_count(t)
     safe_len = F.greatest(length, F.lit(1)).cast("double")
@@ -53,26 +53,35 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.concat(F.lit(" "), F.lower(t), F.lit(" ")),
         F.lit(r" (the|and|of|to|a|in|is|it) "),
     ).cast("double")
+    return {
+        "n_chars": length,
+        "n_tokens": toks,
+        "mean_token_len": F.round(
+            length.cast("double") / F.greatest(toks, F.lit(1)), 6
+        ),
+        "punct_ratio": F.round(punct / safe_len, 6),
+        "upper_ratio": F.round(upper / safe_len, 6),
+        "digit_ratio": F.round(digit / safe_len, 6),
+        "stopword_ratio": F.round(
+            stop / F.greatest(toks, F.lit(1)).cast("double"), 6
+        ),
+    }
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token count, mean word
+    length, punctuation/uppercase/digit ratios, stopword ratio."""
+    cols = quality_columns(F.col(text_col))
     return docs.select(
-        "doc_id",
-        length.alias("n_chars"),
-        toks.alias("n_tokens"),
-        F.round(length.cast("double") / F.greatest(toks, F.lit(1)), 6).alias(
-            "mean_token_len"
-        ),
-        F.round(punct / safe_len, 6).alias("punct_ratio"),
-        F.round(upper / safe_len, 6).alias("upper_ratio"),
-        F.round(digit / safe_len, 6).alias("digit_ratio"),
-        F.round(stop / F.greatest(toks, F.lit(1)).cast("double"), 6).alias(
-            "stopword_ratio"
-        ),
+        "doc_id", *(c.alias(name) for name, c in cols.items())
     )
 
 
-def language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-based language ID: argmax of per-language marker counts,
-    'und' when nothing hits.  Ties break by language code order."""
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+def language_guess_col(text: Column) -> Column:
+    """Marker-based language ID as a single column expression: argmax
+    of per-language marker counts, 'und' when nothing hits.  Ties
+    break by language code order."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     scores = {
         lang: sum(
             (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
@@ -87,7 +96,15 @@ def language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
         guess = F.when(
             (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
         ).otherwise(guess)
-    return docs.select("doc_id", guess.alias("lang_guess"))
+    return guess
+
+
+def language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-based language ID per document (see
+    ``language_guess_col``)."""
+    return docs.select(
+        "doc_id", language_guess_col(F.col(text_col)).alias("lang_guess")
+    )
 
 
 def winnow_fingerprints(
