@@ -884,24 +884,62 @@ def q_scc(spark, sf_dir):
 
 
 def q_core_number(spark, sf_dir):
-    """Distributed peeling decomposition (operators/kcore.py); exactness
-    vs nx.core_number is pinned by tests/test_kcore.py — the event-type
-    transition graph peel here is a rows-only driver check."""
-    from pyspark.sql import Window
-
+    """Distributed peeling decomposition (operators/kcore.py) over the
+    event-transition graph; exactness vs nx.core_number is pinned by
+    tests/test_kcore.py AND value-checked here against a fully
+    unrolled SQL peel (one CTE per phase-round)."""
     from grandiso_networkx_spark.operators.kcore import core_number
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = (
-        ev.select(
-            F.lag("event_type").over(w).alias("src"),
-            F.col("event_type").alias("dst"),
-        )
-        .where(F.col("src").isNotNull())
-        .dropDuplicates(["src", "dst"])
-    )
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return core_number(e).orderBy("id")
+
+
+def _core_number_sql(kmax: int = 5, rounds: int = 6) -> str:
+    """Unrolled peeling: phase k round r keeps vertices whose degree
+    within the surviving induced subgraph is >= k; a phase starts from
+    the previous phase's fixpoint (k-core ⊆ (k-1)-core).  ``rounds``
+    must be >= the per-phase peel depth and ``kmax`` >= the true
+    maximum core — deeper/higher blocks are simply empty/stable.
+    Vertices appearing only in self-loops get core 0 (the engine keeps
+    the vertex, drops the loop).  Every peel CTE is referenced twice
+    (both join endpoints), so they are AS MATERIALIZED — DuckDB 1.0
+    inlines plain CTEs, which would expand the chain 2^rounds."""
+    parts = [
+        f"""WITH raw AS MATERIALIZED (SELECT src, dst FROM ({_REPLY_EDGES_SQL})),
+verts AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw)),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM raw WHERE src <> dst)),
+a1_0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)"""
+    ]
+    prev = "a1_0"
+    for k in range(1, kmax + 1):
+        if k > 1:
+            parts.append(
+                f",\na{k}_0 AS MATERIALIZED (SELECT id FROM {prev})"
+            )
+            prev = f"a{k}_0"
+        for r in range(1, rounds + 1):
+            parts.append(
+                f""",
+a{k}_{r} AS MATERIALIZED (
+  SELECT v.id FROM {prev} v
+  JOIN sym e ON e.src = v.id
+  JOIN {prev} w ON w.id = e.dst
+  GROUP BY v.id HAVING count(*) >= {k})"""
+            )
+            prev = f"a{k}_{r}"
+    member = " UNION ALL ".join(
+        f"SELECT id, {k} AS k FROM a{k}_{rounds}" for k in range(1, kmax + 1)
+    )
+    parts.append(
+        f""",
+core AS (SELECT id, max(k) AS core FROM ({member}) GROUP BY id)
+SELECT v.id, CAST(coalesce(c.core, 0) AS INT) AS core
+FROM verts v LEFT JOIN core c ON c.id = v.id"""
+    )
+    return "".join(parts)
 
 
 def q_linkpred_events(spark, sf_dir):
@@ -1837,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,
         "betweenness_centrality": _brandes_sql(6),
+        "core_number": _core_number_sql(5, 6),
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),
