@@ -289,6 +289,44 @@ SELECT id, count(*) AS tri_count FROM stacked GROUP BY id
 """
 
 
+def q_local_clustering(spark, sf_dir):
+    """Per-vertex local clustering coefficient over the reply graph
+    (``nx.clustering`` semantics — 2·tri/(deg·(deg−1)), 0 below degree
+    2; operators/stats.py).  Value-checked against the triangle-join
+    SQL combined with the degree table."""
+    from grandiso_networkx_spark.operators.stats import local_clustering
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    c = local_clustering(e)
+    return c.select("id", F.round("clustering", 9).alias("clustering"))
+
+
+_LOCAL_CLUSTERING_SQL = f"""
+WITH raw AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL}) WHERE src <> dst),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM raw GROUP BY 1, 2
+),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pvt AS (
+  SELECT id, count(*) AS tri_count FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY id
+)
+SELECT d.id,
+       round(CASE WHEN d.deg >= 2
+             THEN 2.0 * coalesce(p.tri_count, 0) / (d.deg * (d.deg - 1))
+             ELSE 0.0 END, 9) AS clustering
+FROM deg d LEFT JOIN pvt p ON p.id = d.id
+"""
+
+
 # -- TPC-H-ish relational coverage -------------------------------------------
 
 
@@ -943,7 +981,8 @@ FROM verts v LEFT JOIN core c ON c.id = v.id"""
 
 
 def q_linkpred_events(spark, sf_dir):
-    """Common-neighbor / Jaccard / Adamic–Adar scores over the bipartite
+    """Common-neighbor / Jaccard / Adamic–Adar / resource-allocation /
+    preferential-attachment scores over the bipartite
     user↔event-type graph, hub guard at degree 200 (drops the
     event-type mega-centers so wedge work stays Σ deg² over small
     centers; operators/linkpred.py).  Value-checked: the SQL oracle
@@ -974,13 +1013,16 @@ cent AS (
 pairs AS (
   SELECT a.n AS u, b.n AS v, count(*) AS common,
          sum(CASE WHEN b.deg > 1 THEN 1.0 / ln(b.deg) ELSE 0.0 END)
-           AS adamic_adar
+           AS adamic_adar,
+         sum(1.0 / b.deg) AS resource_allocation
   FROM cent a JOIN cent b ON a.w = b.w AND a.n < b.n
   GROUP BY a.n, b.n
 )
 SELECT u, v, common,
        common / (du.deg + dv.deg - common) AS jaccard,
-       adamic_adar
+       adamic_adar,
+       resource_allocation,
+       du.deg * dv.deg AS pref_attachment
 FROM pairs
 JOIN deg du ON du.w = u
 JOIN deg dv ON dv.w = v
@@ -1054,6 +1096,64 @@ FROM x{iters}"""
     return "".join(parts)
 
 
+def q_harmonic(spark, sf_dir):
+    """Harmonic centrality for every vertex of the undirected reply
+    graph — same one multi-source BFS loop as closeness, different
+    final aggregate (sum of 1/dist); value-checked against a
+    recursive-CTE multi-source walk."""
+    from grandiso_networkx_spark.operators.closeness import (
+        harmonic_centrality,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    h = harmonic_centrality(e)
+    return h.select("id", F.round("harmonic", 9).alias("harmonic"))
+
+
+def q_eigenvector_fixed(spark, sf_dir):
+    """Fixed-iteration eigenvector centrality (8 rounds of the
+    networkx (A+I) power iteration with per-round L2 normalization)
+    on the reply graph; the per-round norm is a scalar, so the whole
+    run unrolls into a CTE chain and is value-checked like
+    katz_fixed/pagerank_fixed."""
+    from grandiso_networkx_spark.operators.eigenvector import (
+        eigenvector_centrality,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    x = eigenvector_centrality(e, fixed_iterations=8)
+    return x.select("id", F.round("eigenvector", 6).alias("eigenvector"))
+
+
+def _eigenvector_fixed_sql(iters: int = 8) -> str:
+    """Unrolled y = (A + I)^T x; x' = y / ||y||_2 from x0 = 1/n.
+
+    The identity term rides along as explicit self-loop edges and the
+    norm is a window aggregate, so every round references the previous
+    state CTE exactly once — DuckDB inlines (doesn't materialize)
+    non-recursive CTEs, and a second reference per round would blow
+    the expansion up exponentially (2^iters parquet scans)."""
+    parts = [
+        f"""WITH e AS ({_REPLY_EDGES_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+ei AS (SELECT src, dst FROM e
+       UNION ALL SELECT id AS src, id AS dst FROM verts),
+x0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS x FROM verts)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+y{i} AS (SELECT ei.dst AS id, sum(x.x) AS y
+         FROM ei JOIN x{i} x ON x.id = ei.src GROUP BY ei.dst),
+x{i + 1} AS (SELECT id, y / sqrt(sum(y * y) OVER ()) AS x FROM y{i})"""
+        )
+    parts.append(
+        f"""
+SELECT id, round(x, 6) AS eigenvector FROM x{iters}"""
+    )
+    return "".join(parts)
+
+
 def q_closeness(spark, sf_dir):
     """Closeness centrality for every vertex of the undirected reply
     graph via one multi-source BFS loop (operators/closeness.py);
@@ -1094,6 +1194,28 @@ SELECT source AS id,
                   / ((SELECT count(*) FROM verts) - 1))
              ELSE 0.0 END, 9) AS closeness
 FROM agg
+"""
+
+
+_HARMONIC_SQL = f"""
+WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
+sym AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM re WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
+verts AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM sym UNION ALL SELECT dst FROM sym)),
+walk AS (
+  SELECT id AS source, id, 0 AS dist FROM verts
+  UNION
+  SELECT w.source, s.dst AS id, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < 64
+),
+sp AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id)
+SELECT source AS id,
+       round(sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 9)
+         AS harmonic
+FROM sp GROUP BY source
 """
 
 
@@ -1786,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_motif_count": q_triangle_motif_count,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
+        "local_clustering": q_local_clustering,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "regional_volume": q_regional_volume,
@@ -1806,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": q_connected_components_star,
         "bfs_levels": q_bfs_levels,
         "katz_fixed": q_katz_fixed,
+        "eigenvector_fixed": q_eigenvector_fixed,
+        "harmonic_centrality": q_harmonic,
         "closeness_centrality": q_closeness,
         "rect_motif_count": q_rect_motif_count,
         "motif_attr_bindings": q_motif_attr_bindings,
@@ -1849,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_motif_count": _TRIANGLE_MOTIF_SQL,
         "triangle_count": _TRIANGLE_SQL,
         "triangle_per_vertex": _TRIANGLE_PER_VERTEX_SQL,
+        "local_clustering": _LOCAL_CLUSTERING_SQL,
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
         "regional_volume": _REGIONAL_VOLUME_SQL,
@@ -1871,6 +1997,8 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_events": _LINKPRED_SQL,
         "bfs_levels": _BFS_SQL,
         "katz_fixed": _katz_fixed_sql(8),
+        "eigenvector_fixed": _eigenvector_fixed_sql(8),
+        "harmonic_centrality": _HARMONIC_SQL,
         "closeness_centrality": _CLOSENESS_SQL,
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,

@@ -17,8 +17,9 @@ from .operators.components import (
     connected_components,
     connected_components_star,
 )
-from .operators.closeness import closeness_centrality
+from .operators.closeness import closeness_centrality, harmonic_centrality
 from .operators.curation import curate_corpus
+from .operators.eigenvector import eigenvector_centrality
 from .operators.frontier import expand_step
 from .operators.hits import hits
 from .operators.katz import katz_centrality
@@ -35,6 +36,7 @@ from .operators.stats import (
     avg_clustering,
     degree_assortativity,
     degree_distribution,
+    local_clustering,
     transitivity,
 )
 from .operators.triangles import per_vertex_triangles, triangle_count
@@ -62,15 +64,18 @@ __all__ = [
     "degree_assortativity",
     "degree_distribution",
     "ego_net",
+    "eigenvector_centrality",
     "expand_step",
     "find_motifs",
     "find_motifs_df",
     "find_motifs_iter",
     "get_spark",
+    "harmonic_centrality",
     "hits",
     "katz_centrality",
     "label_propagation",
     "link_prediction_scores",
+    "local_clustering",
     "link_training_pairs",
     "node2vec_walks",
     "pagerank",

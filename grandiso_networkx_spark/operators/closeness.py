@@ -1,6 +1,7 @@
-"""Closeness centrality via multi-source level-synchronous BFS
-(analytics op beside bfs_levels — not in the reference; SURVEY.md §2.6
-class; semantics oracle is ``networkx.closeness_centrality``).
+"""Closeness + harmonic centrality via multi-source level-synchronous
+BFS (analytics ops beside bfs_levels — not in the reference; SURVEY.md
+§2.6 class; semantics oracles are ``networkx.closeness_centrality`` /
+``networkx.harmonic_centrality``).
 
 One BFS loop answers ALL requested sources simultaneously: the frontier
 frame is ``(source, id)`` pairs, so a round is still a single equi join
@@ -23,22 +24,16 @@ from pyspark.sql import DataFrame, functions as F
 from .components import symmetrize
 
 
-def closeness_centrality(
+def _multi_source_bfs(
     edges: DataFrame,
-    sources: DataFrame | None = None,
-    directed: bool = False,
-    wf_improved: bool = True,
-    max_depth: int = 10_000,
-) -> DataFrame:
-    """``(id, closeness double)`` for every vertex in ``sources`` (an
-    ``(id)`` DataFrame; default = every vertex).
-
-    ``directed=True`` uses INCOMING distance (BFS over reversed edges),
-    matching ``nx.closeness_centrality`` on a DiGraph; the default
-    symmetrizes first (undirected semantics).  ``wf_improved`` applies
-    the Wasserman–Faust reachable-fraction scaling ``(r-1)/(n-1)``
-    (the networkx default); vertices that reach nothing score 0.
-    """
+    sources: DataFrame | None,
+    directed: bool,
+    max_depth: int,
+) -> tuple[DataFrame, int]:
+    """Shared BFS core: returns (``(source, id, dist)`` over all
+    reached pairs, |V|).  ``directed=True`` walks reversed edges
+    (INCOMING distance, the networkx convention for both closeness
+    and harmonic on a DiGraph); default symmetrizes."""
     e = (
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         if directed
@@ -76,16 +71,55 @@ def closeness_centrality(
         raise RuntimeError(
             f"BFS did not terminate within max_depth={max_depth}."
         )
+    verts.unpersist()
+    return dist, n
 
+
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    directed: bool = False,
+    wf_improved: bool = True,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """``(id, closeness double)`` for every vertex in ``sources`` (an
+    ``(id)`` DataFrame; default = every vertex).
+
+    ``directed=True`` uses INCOMING distance (BFS over reversed edges),
+    matching ``nx.closeness_centrality`` on a DiGraph; the default
+    symmetrizes first (undirected semantics).  ``wf_improved`` applies
+    the Wasserman–Faust reachable-fraction scaling ``(r-1)/(n-1)``
+    (the networkx default); vertices that reach nothing score 0.
+    """
+    dist, n = _multi_source_bfs(edges, sources, directed, max_depth)
     per_src = dist.groupBy("source").agg(
         F.count("*").alias("r"), F.sum("dist").alias("s")
     )
     base = (F.col("r") - 1) / F.col("s")
     if wf_improved and n > 1:
         base = base * (F.col("r") - 1) / F.lit(float(n - 1))
-    out = per_src.select(
+    return per_src.select(
         F.col("source").alias("id"),
         F.when(F.col("s") > 0, base).otherwise(F.lit(0.0)).alias("closeness"),
     )
-    verts.unpersist()
-    return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    directed: bool = False,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """``(id, harmonic double)`` — sum of 1/d(v, u) over all v that
+    reach u (``networkx.harmonic_centrality`` semantics: incoming
+    distance on digraphs, no normalization, unreachable pairs
+    contribute 0).  Same one-loop multi-source BFS as closeness — the
+    two centralities differ only in the final per-source aggregate."""
+    dist, _ = _multi_source_bfs(edges, sources, directed, max_depth)
+    return dist.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("harmonic")
+    ).select(F.col("source").alias("id"), "harmonic")

@@ -1,9 +1,11 @@
 """Neighborhood-overlap link-prediction scores: common neighbors,
-Jaccard coefficient, Adamic–Adar.
+Jaccard coefficient, Adamic–Adar, resource allocation, preferential
+attachment.
 
 Link-graph analytics op alongside SURVEY.md §2.6 (not in the reference;
 semantics oracles are ``networkx.jaccard_coefficient`` /
-``networkx.adamic_adar_index`` evaluated on the same pairs).
+``networkx.adamic_adar_index`` / ``networkx.resource_allocation_index``
+/ ``networkx.preferential_attachment`` evaluated on the same pairs).
 
 Semantics: undirected simple graph (orientation ignored, self-loops
 dropped).  For every unordered vertex pair (u, v), u < v, with at least
@@ -12,6 +14,8 @@ dropped).  For every unordered vertex pair (u, v), u < v, with at least
 - ``common``      = |Γ(u) ∩ Γ(v)|
 - ``jaccard``     = common / |Γ(u) ∪ Γ(v)|
 - ``adamic_adar`` = Σ_{w ∈ Γ(u) ∩ Γ(v)} 1 / ln(deg(w))
+- ``resource_allocation`` = Σ_{w ∈ Γ(u) ∩ Γ(v)} 1 / deg(w)
+- ``pref_attachment``     = deg(u) · deg(v)
 
 Scale shape: candidate pairs are generated ONLY by the wedge self-join
 (two copies of the adjacency meeting on the shared center w), so the
@@ -37,8 +41,9 @@ def link_prediction_scores(
     min_common: int = 1,
     max_center_degree: int | None = None,
 ) -> DataFrame:
-    """``(u, v, common long, jaccard double, adamic_adar double)`` for
-    every unordered pair (u < v) sharing >= ``min_common`` neighbors.
+    """``(u, v, common long, jaccard double, adamic_adar double,
+    resource_allocation double, pref_attachment long)`` for every
+    unordered pair (u < v) sharing >= ``min_common`` neighbors.
 
     ``max_center_degree``: skip wedge centers with degree above this
     bound (hub guard; None = exact).
@@ -62,6 +67,7 @@ def link_prediction_scores(
         F.when(F.col("deg") > 1, 1.0 / F.log(F.col("deg")))
         .otherwise(F.lit(0.0))
         .alias("inv_ln_deg"),
+        (1.0 / F.col("deg")).alias("inv_deg"),
     )
     pairs = (
         a.join(b, "w")
@@ -70,6 +76,7 @@ def link_prediction_scores(
         .agg(
             F.count(F.lit(1)).alias("common"),
             F.sum("inv_ln_deg").alias("adamic_adar"),
+            F.sum("inv_deg").alias("resource_allocation"),
         )
         .where(F.col("common") >= min_common)
     )
@@ -88,5 +95,7 @@ def link_prediction_scores(
                 F.col("common") / (F.col("du") + F.col("dv") - F.col("common"))
             ).alias("jaccard"),
             "adamic_adar",
+            "resource_allocation",
+            (F.col("du") * F.col("dv")).alias("pref_attachment"),
         )
     )

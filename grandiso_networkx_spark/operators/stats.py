@@ -72,6 +72,33 @@ def avg_clustering(edges: DataFrame) -> DataFrame:
     return per_v.agg(F.coalesce(F.avg("c"), F.lit(0.0)).alias("avg_clustering"))
 
 
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient ``(id, clustering
+    double)`` — ``nx.clustering`` semantics: ``2·tri(v) /
+    (deg(v)·(deg(v)-1))``, 0 for degree < 2.  Every vertex of the
+    simple undirected graph appears (isolated-after-self-loop-drop
+    vertices are not in the degree table, matching the graph the other
+    stats ops see).
+
+    Scale shape: the triangle op's two-join closure plus ONE |V|-row
+    left join against the degree table — per-vertex arithmetic is
+    JVM-side column expressions, no shuffle beyond the triangle
+    counting itself."""
+    deg = _undirected_degrees(edges)
+    tri = per_vertex_triangles(edges)
+    return deg.join(tri, "id", "left").select(
+        "id",
+        F.when(
+            F.col("deg") >= 2,
+            2.0
+            * F.coalesce("tri_count", F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Pearson degree assortativity of the undirected simple graph as a
     1-row ``(assortativity double)`` frame — ``nx.degree_pearson_

@@ -5,7 +5,13 @@ import networkx as nx
 import pytest
 from pyspark.sql import functions as F
 
-from grandiso_networkx_spark.operators.closeness import closeness_centrality
+from grandiso_networkx_spark.operators.closeness import (
+    closeness_centrality,
+    harmonic_centrality,
+)
+from grandiso_networkx_spark.operators.eigenvector import (
+    eigenvector_centrality,
+)
 from grandiso_networkx_spark.operators.katz import katz_centrality
 
 
@@ -65,6 +71,77 @@ class TestKatz:
             katz_centrality(_edges_df(spark, g), alpha=1.5, max_iter=30)
 
 
+class TestEigenvector:
+    @pytest.mark.parametrize("seed", [9, 31])
+    def test_directed_random(self, spark, seed):
+        g = nx.fast_gnp_random_graph(40, 0.1, directed=True, seed=seed)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        got = {
+            r.id: r.eigenvector
+            for r in eigenvector_centrality(
+                _edges_df(spark, g), max_iter=500, tol=1e-10
+            ).collect()
+        }
+        want = nx.eigenvector_centrality(g, max_iter=500, tol=1e-10)
+        assert set(got) == {str(k) for k in want}
+        for k, v in want.items():
+            assert abs(got[str(k)] - v) < 1e-6, k
+
+    def test_undirected_symmetrized(self, spark):
+        g = nx.karate_club_graph()
+        rows = [(str(u), str(v)) for u, v in g.edges()] + [
+            (str(v), str(u)) for u, v in g.edges()
+        ]
+        df = spark.createDataFrame(rows, "src string, dst string")
+        got = {
+            r.id: r.eigenvector
+            for r in eigenvector_centrality(df, tol=1e-10).collect()
+        }
+        want = nx.eigenvector_centrality(g, tol=1e-10)
+        for k, v in want.items():
+            assert abs(got[str(k)] - v) < 1e-6, k
+
+    def test_weighted(self, spark):
+        g = nx.DiGraph()
+        g.add_weighted_edges_from(
+            [("a", "b", 2.0), ("b", "c", 0.5), ("c", "a", 1.5), ("a", "c", 3.0)]
+        )
+        df = spark.createDataFrame(
+            [(u, v, d["weight"]) for u, v, d in g.edges(data=True)],
+            "src string, dst string, weight double",
+        )
+        got = {
+            r.id: r.eigenvector
+            for r in eigenvector_centrality(
+                df, weight_col="weight", tol=1e-10
+            ).collect()
+        }
+        want = nx.eigenvector_centrality(g, weight="weight", tol=1e-10)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-6, k
+
+    def test_fixed_one_round_hand_case(self, spark):
+        # path a->b, one round from x0 = (.5, .5):
+        # y = (.5, 1.0), ||y|| = sqrt(1.25).
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        got = {
+            r.id: r.eigenvector
+            for r in eigenvector_centrality(df, fixed_iterations=1).collect()
+        }
+        n = (0.25 + 1.0) ** 0.5
+        assert abs(got["a"] - 0.5 / n) < 1e-12
+        assert abs(got["b"] - 1.0 / n) < 1e-12
+
+    def test_nonconvergent_raises(self, spark):
+        # 2-cycle power iteration oscillates around the fixed point but
+        # converges with (A+I); force failure with max_iter=1 on a
+        # graph that needs more.
+        g = nx.fast_gnp_random_graph(20, 0.15, directed=True, seed=4)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        with pytest.raises(RuntimeError):
+            eigenvector_centrality(_edges_df(spark, g), max_iter=1, tol=1e-12)
+
+
 class TestCloseness:
     @pytest.mark.parametrize("seed", [5, 23])
     def test_undirected_random(self, spark, seed):
@@ -103,6 +180,32 @@ class TestCloseness:
         assert set(got) == {"0", "3"}
         for k in ("0", "3"):
             assert abs(got[k] - want[int(k)]) < 1e-9
+
+    @pytest.mark.parametrize("directed", [False, True])
+    def test_harmonic_random(self, spark, directed):
+        g = nx.fast_gnp_random_graph(30, 0.1, directed=directed, seed=11)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        got = {
+            r.id: r.harmonic
+            for r in harmonic_centrality(
+                _edges_df(spark, g), directed=directed
+            ).collect()
+        }
+        want = nx.harmonic_centrality(g)
+        assert set(got) == {str(k) for k in want}
+        for k, v in want.items():
+            assert abs(got[str(k)] - v) < 1e-9, k
+
+    def test_harmonic_disconnected(self, spark):
+        # two components: unreachable pairs contribute 0, no normalization.
+        g = nx.union(nx.path_graph(3), nx.path_graph(2), rename=("a", "b"))
+        got = {
+            r.id: r.harmonic
+            for r in harmonic_centrality(_edges_df(spark, g)).collect()
+        }
+        want = nx.harmonic_centrality(g)
+        for k, v in want.items():
+            assert abs(got[str(k)] - v) < 1e-9, k
 
     def test_wf_improved_off(self, spark):
         g = nx.union(nx.path_graph(3), nx.path_graph(2, create_using=nx.Graph), rename=("a", "b"))

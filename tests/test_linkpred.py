@@ -1,5 +1,6 @@
 """Link-prediction scores vs networkx oracles (jaccard_coefficient,
-adamic_adar_index, common_neighbors)."""
+adamic_adar_index, common_neighbors, resource_allocation_index,
+preferential_attachment)."""
 
 import math
 
@@ -16,21 +17,33 @@ def _edges_df(spark, g):
 
 def _got(spark, g, **kw):
     return {
-        (r.u, r.v): (r.common, r.jaccard, r.adamic_adar)
+        (r.u, r.v): (
+            r.common,
+            r.jaccard,
+            r.adamic_adar,
+            r.resource_allocation,
+            r.pref_attachment,
+        )
         for r in link_prediction_scores(_edges_df(spark, g), **kw).collect()
     }
 
 
 def _check_against_nx(g, got):
     assert got, "no pairs scored"
-    for (u, v), (common, jac, aa) in got.items():
+    for (u, v), (common, jac, aa, ra, pa) in got.items():
         nu, nv = int(u), int(v)
         cn = len(list(nx.common_neighbors(g, nu, nv)))
         assert common == cn and cn >= 1
         _, _, want_jac = next(iter(nx.jaccard_coefficient(g, [(nu, nv)])))
         _, _, want_aa = next(iter(nx.adamic_adar_index(g, [(nu, nv)])))
+        _, _, want_ra = next(
+            iter(nx.resource_allocation_index(g, [(nu, nv)]))
+        )
+        _, _, want_pa = next(iter(nx.preferential_attachment(g, [(nu, nv)])))
         assert math.isclose(jac, want_jac, rel_tol=1e-9)
         assert math.isclose(aa, want_aa, rel_tol=1e-9)
+        assert math.isclose(ra, want_ra, rel_tol=1e-9)
+        assert pa == want_pa
 
 
 def _pair_universe(g):
@@ -54,7 +67,7 @@ class TestLinkPrediction:
     def test_min_common(self, spark):
         g = nx.karate_club_graph()
         got = _got(spark, g, min_common=3)
-        assert got and all(c >= 3 for c, _, _ in got.values())
+        assert got and all(t[0] >= 3 for t in got.values())
         _check_against_nx(g, got)
 
     def test_random(self, spark):

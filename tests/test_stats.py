@@ -9,6 +9,7 @@ from grandiso_networkx_spark.operators.stats import (
     avg_clustering,
     degree_assortativity,
     degree_distribution,
+    local_clustering,
     transitivity,
 )
 
@@ -50,6 +51,30 @@ def test_avg_clustering(spark, gi):
     g = list(_graphs())[gi]
     got = avg_clustering(_df(spark, g)).collect()[0]["avg_clustering"]
     assert math.isclose(got, nx.average_clustering(g), abs_tol=1e-12)
+
+
+@pytest.mark.parametrize("gi", [0, 1, 2])
+def test_local_clustering(spark, gi):
+    g = list(_graphs())[gi]
+    got = {
+        r.id: r.clustering
+        for r in local_clustering(_df(spark, g)).collect()
+    }
+    want = nx.clustering(g)
+    assert set(got) == {str(k) for k in want if g.degree(k) > 0}
+    for k, v in want.items():
+        if g.degree(k) > 0:
+            assert math.isclose(got[str(k)], v, abs_tol=1e-12), k
+
+
+def test_local_clustering_self_loops_dropped(spark):
+    g = nx.karate_club_graph()
+    rows = [(str(u), str(v)) for u, v in g.edges()] + [("0", "0")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r.id: r.clustering for r in local_clustering(df).collect()}
+    want = nx.clustering(g)
+    for k, v in want.items():
+        assert math.isclose(got[str(k)], v, abs_tol=1e-12), k
 
 
 @pytest.mark.parametrize("gi", [0, 1])
