@@ -543,6 +543,30 @@ WHERE doc_id = keep_id
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split of the documents table
+    (8/1/1 portable md5 buckets, operators/curation.py) — identical
+    assignment under any partitioning/retry/engine, value-checked
+    bit-for-bit against the same bucket arithmetic in DuckDB."""
+    from grandiso_networkx_spark.operators.curation import dataset_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return dataset_split(d, seed=42)
+
+
+_DATASET_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END
+         AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(concat_ws('|', doc_id, 42)), 1, 15)
+              AS BIGINT) % 10 AS b
+  FROM documents
+)
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprint sets — the
     partial-copy detector next to whole-document fingerprint()."""
@@ -980,6 +1004,49 @@ FROM verts v LEFT JOIN core c ON c.id = v.id"""
     return "".join(parts)
 
 
+def q_ktruss(spark, sf_dir):
+    """3-truss of the reply graph — edges supported by >= 1 triangle
+    within the surviving subgraph (edge-level peeling,
+    operators/kcore.py); exactness vs nx.k_truss is pinned by
+    tests/test_kcore.py AND value-checked against a fully unrolled
+    SQL peel."""
+    from grandiso_networkx_spark.operators.kcore import k_truss
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return k_truss(e, 3).orderBy("src", "dst")
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 5) -> str:
+    """Unrolled edge peel: round r keeps edges with >= k-2 common
+    neighbors inside round r-1's survivors.  ``rounds`` must be >= the
+    peel depth — at a fixpoint extra rounds recompute the same edge
+    set, so overshooting is safe.  Peel CTEs are referenced three
+    times per round (edge + both wedge arms) → AS MATERIALIZED."""
+    need = k - 2
+    parts = [
+        f"""WITH raw AS MATERIALIZED (SELECT src, dst FROM ({_REPLY_EDGES_SQL})),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+sym{r} AS MATERIALIZED (
+  SELECT a, b FROM e{r} UNION ALL SELECT b AS a, a AS b FROM e{r}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN sym{r} s1 ON s1.a = e.a
+  JOIN sym{r} s2 ON s2.a = e.b AND s2.b = s1.b
+  GROUP BY e.a, e.b HAVING count(*) >= {need})"""
+        )
+    parts.append(
+        f"""
+SELECT a AS src, b AS dst FROM e{rounds}"""
+    )
+    return "".join(parts)
+
+
 def q_linkpred_events(spark, sf_dir):
     """Common-neighbor / Jaccard / Adamic–Adar / resource-allocation /
     preferential-attachment scores over the bipartite
@@ -1152,6 +1219,38 @@ x{i + 1} AS (SELECT id, y / sqrt(sum(y * y) OVER ()) AS x FROM y{i})"""
 SELECT id, round(x, 6) AS eigenvector FROM x{iters}"""
     )
     return "".join(parts)
+
+
+def q_eccentricity(spark, sf_dir):
+    """Per-vertex eccentricity over the undirected reply graph
+    (max BFS distance; per-component when disconnected) — diameter /
+    radius are one aggregation over this; value-checked against the
+    recursive-CTE multi-source walk's max(dist)."""
+    from grandiso_networkx_spark.operators.closeness import eccentricity
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return eccentricity(e, require_connected=False).select(
+        "id", F.col("ecc").cast("long").alias("ecc")
+    )
+
+
+_ECCENTRICITY_SQL = f"""
+WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
+sym AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM re WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
+verts AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM sym UNION ALL SELECT dst FROM sym)),
+walk AS (
+  SELECT id AS source, id, 0 AS dist FROM verts
+  UNION
+  SELECT w.source, s.dst AS id, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < 64
+),
+sp AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id)
+SELECT source AS id, max(dist) AS ecc FROM sp GROUP BY source
+"""
 
 
 def q_closeness(spark, sf_dir):
@@ -1914,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_volume": q_regional_volume,
         "exact_dedup": q_exact_dedup,
         "curate_corpus": q_curate_corpus,
+        "dataset_split": q_dataset_split,
         "token_counts": q_token_counts,
         "quality_features": q_quality,
         "fingerprint": q_fingerprint,
@@ -1931,6 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_fixed": q_katz_fixed,
         "eigenvector_fixed": q_eigenvector_fixed,
         "harmonic_centrality": q_harmonic,
+        "eccentricity": q_eccentricity,
+        "ktruss_3": q_ktruss,
         "closeness_centrality": q_closeness,
         "rect_motif_count": q_rect_motif_count,
         "motif_attr_bindings": q_motif_attr_bindings,
@@ -1980,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "regional_volume": _REGIONAL_VOLUME_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "curate_corpus": _curate_sql(),
+        "dataset_split": _DATASET_SPLIT_SQL,
         "token_counts": _TOKEN_SQL,
         "quality_features": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
@@ -1999,6 +2102,8 @@ def oracle_sql() -> dict[str, str]:
         "katz_fixed": _katz_fixed_sql(8),
         "eigenvector_fixed": _eigenvector_fixed_sql(8),
         "harmonic_centrality": _HARMONIC_SQL,
+        "eccentricity": _ECCENTRICITY_SQL,
+        "ktruss_3": _ktruss_sql(3, 5),
         "closeness_centrality": _CLOSENESS_SQL,
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,

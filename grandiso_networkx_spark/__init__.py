@@ -17,13 +17,17 @@ from .operators.components import (
     connected_components,
     connected_components_star,
 )
-from .operators.closeness import closeness_centrality, harmonic_centrality
-from .operators.curation import curate_corpus
+from .operators.closeness import (
+    closeness_centrality,
+    eccentricity,
+    harmonic_centrality,
+)
+from .operators.curation import curate_corpus, dataset_split
 from .operators.eigenvector import eigenvector_centrality
 from .operators.frontier import expand_step
 from .operators.hits import hits
 from .operators.katz import katz_centrality
-from .operators.kcore import core_number
+from .operators.kcore import core_number, k_core, k_truss
 from .operators.label_propagation import label_propagation
 from .operators.linkpred import link_prediction_scores
 from .operators.match import find_motifs, find_motifs_df, find_motifs_iter
@@ -61,8 +65,10 @@ __all__ = [
     "connected_components_star",
     "core_number",
     "curate_corpus",
+    "dataset_split",
     "degree_assortativity",
     "degree_distribution",
+    "eccentricity",
     "ego_net",
     "eigenvector_centrality",
     "expand_step",
@@ -72,6 +78,8 @@ __all__ = [
     "get_spark",
     "harmonic_centrality",
     "hits",
+    "k_core",
+    "k_truss",
     "katz_centrality",
     "label_propagation",
     "link_prediction_scores",

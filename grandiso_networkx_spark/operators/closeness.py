@@ -104,6 +104,49 @@ def closeness_centrality(
     )
 
 
+def eccentricity(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    directed: bool = False,
+    require_connected: bool = True,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """``(id, ecc long)`` — ``networkx.eccentricity`` semantics: the
+    max shortest-path distance from each source to every vertex it
+    reaches (OUTGOING distance, nx's convention for eccentricity on a
+    DiGraph — note this is the opposite orientation from closeness).
+
+    ``require_connected=True`` (default) raises ``RuntimeError`` when
+    any source fails to reach the whole graph, mirroring nx's "Found
+    infinite path length" error; ``False`` returns the max over the
+    reachable set only (the standard per-component reading).
+
+    Same one-loop multi-source BFS as closeness/harmonic; diameter /
+    radius / center / periphery are one tiny aggregation over this
+    output."""
+    dist, n = _multi_source_bfs(
+        # _multi_source_bfs reverses edges when directed=True (incoming
+        # distance); eccentricity wants outgoing, so pre-swap.
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if directed
+        else edges,
+        sources,
+        directed,
+        max_depth,
+    )
+    per_src = dist.groupBy("source").agg(
+        F.max("dist").alias("ecc"), F.count(F.lit(1)).alias("r")
+    )
+    if require_connected:
+        short = per_src.where(F.col("r") < n).limit(1).collect()
+        if short:
+            raise RuntimeError(
+                "Found infinite path length: graph is not "
+                + ("strongly connected." if directed else "connected.")
+            )
+    return per_src.select(F.col("source").alias("id"), "ecc")
+
+
 def harmonic_centrality(
     edges: DataFrame,
     sources: DataFrame | None = None,

@@ -85,3 +85,55 @@ def curate_corpus(
         ).cast("long")
         kept = kept.where(F.pmod(draw, F.lit(sample_mod)) < sample_keep)
     return kept
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Adds a ``split`` column assigning every row to exactly one named
+    partition (default ``train``/``val``/``test`` at 8/1/1) — the
+    deterministic train/eval carve-out a training pipeline runs before
+    anything touches the eval set.
+
+    The assignment is a pure function of ``(id, seed)`` — portable md5
+    bucket ``hash(id|seed) % Σweights`` cut at the cumulative weight
+    boundaries in ``weights`` insertion order — so it is identical
+    under any partitioning, retry, cluster size, or engine (the SQL
+    oracle reproduces it bit-for-bit), and a document can never
+    migrate between train and test when the corpus around it changes.
+    Pure column expression: no shuffle, no RNG state, survives
+    predicate pushdown (filtering one split prunes at the scan).
+    """
+    if weights is None:
+        weights = {"train": 8, "val": 1, "test": 1}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    mod = sum(weights.values())
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col), F.lit(seed))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(mod),
+    )
+    expr = None
+    cum = 0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        expr = (
+            F.when(bucket < cum, F.lit(name))
+            if expr is None
+            else expr.when(bucket < cum, F.lit(name))
+        )
+    label = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None
+        else F.lit(names[-1])
+    )
+    return df.withColumn("split", label)

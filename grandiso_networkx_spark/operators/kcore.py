@@ -1,8 +1,9 @@
-"""k-core subgraph and core-number decomposition by distributed peeling.
+"""k-core subgraph, core-number decomposition, and k-truss by
+distributed peeling.
 
 Link-graph analytics op alongside SURVEY.md §2.6 (not in the reference —
-grandiso has no analytics passes; semantics oracle is
-``networkx.k_core`` / ``networkx.core_number``).
+grandiso has no analytics passes; semantics oracles are
+``networkx.k_core`` / ``networkx.core_number`` / ``networkx.k_truss``).
 
 Semantics: undirected simple graph — edge orientation ignored,
 self-loops ignored (networkx's ``core_number`` refuses graphs with
@@ -63,6 +64,60 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 500) -> DataFrame:
             .localCheckpoint()
         )
     raise RuntimeError(f"k-core peeling did not converge in {max_iter} rounds.")
+
+
+def k_truss(edges: DataFrame, k: int, max_iter: int = 500) -> DataFrame:
+    """Edges of the k-truss as ``(src, dst)`` with ``src < dst`` —
+    ``networkx.k_truss(G, k).edges()`` on the same simple undirected
+    graph: the maximal subgraph where every edge is supported by at
+    least ``k - 2`` triangles *within the subgraph*.
+
+    Scale shape: edge-level peeling.  Each round recomputes per-edge
+    support with the same two-equi-join wedge closure the triangle
+    operator uses (work Σ deg², map-side combined), then drops EVERY
+    under-supported edge at once via one anti join — level-synchronous
+    like k-core, but the peeled unit is an edge.  The surviving edge
+    frame is ``localCheckpoint``-ed per round (flat lineage); rounds =
+    the truss peel depth, not the edge count.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    # Canonical orientation (a < b), deduped, loop-free.
+    e = (
+        _simple_sym(edges)
+        .where(F.col("src") < F.col("dst"))
+        .localCheckpoint()
+    )
+    if k == 2:
+        # Every edge is trivially 0-supported-or-better: the 2-truss is
+        # the whole simple graph.
+        return e
+    need = k - 2
+    n_before = e.count()
+    for _ in range(max_iter):
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        s1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+        s2 = sym.select(F.col("src").alias("b"), F.col("dst").alias("w"))
+        sup = (
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .join(s1, "a")
+            .join(s2, ["b", "w"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= need)
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        # Semi join keeps only well-supported edges; edges with zero
+        # common neighbors never reach `sup` and drop out here too.
+        kept = e.join(sup, ["src", "dst"], "left_semi").localCheckpoint()
+        n_kept = kept.count()  # count carried forward: one job per round
+        e = kept
+        if n_kept == n_before or n_kept == 0:
+            return e
+        n_before = n_kept
+    raise RuntimeError(f"k-truss peeling did not converge in {max_iter} rounds.")
 
 
 def core_number(edges: DataFrame, max_iter: int = 500) -> DataFrame:

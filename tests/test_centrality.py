@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from grandiso_networkx_spark.operators.closeness import (
     closeness_centrality,
+    eccentricity,
     harmonic_centrality,
 )
 from grandiso_networkx_spark.operators.eigenvector import (
@@ -206,6 +207,36 @@ class TestCloseness:
         want = nx.harmonic_centrality(g)
         for k, v in want.items():
             assert abs(got[str(k)] - v) < 1e-9, k
+
+    def test_eccentricity_undirected(self, spark):
+        g = nx.karate_club_graph()
+        got = {
+            r.id: r.ecc for r in eccentricity(_edges_df(spark, g)).collect()
+        }
+        want = nx.eccentricity(g)
+        assert got == {str(k): v for k, v in want.items()}
+
+    def test_eccentricity_directed(self, spark):
+        g = nx.DiGraph([(0, 1), (1, 2), (2, 0), (0, 2)])
+        got = {
+            r.id: r.ecc
+            for r in eccentricity(_edges_df(spark, g), directed=True).collect()
+        }
+        want = nx.eccentricity(g)
+        assert got == {str(k): v for k, v in want.items()}
+
+    def test_eccentricity_disconnected_raises(self, spark):
+        g = nx.union(nx.path_graph(3), nx.path_graph(2), rename=("a", "b"))
+        with pytest.raises(RuntimeError):
+            eccentricity(_edges_df(spark, g)).collect()
+        # per-component reading when the guard is off
+        got = {
+            r.id: r.ecc
+            for r in eccentricity(
+                _edges_df(spark, g), require_connected=False
+            ).collect()
+        }
+        assert got == {"a0": 2, "a1": 1, "a2": 2, "b0": 1, "b1": 1}
 
     def test_wf_improved_off(self, spark):
         g = nx.union(nx.path_graph(3), nx.path_graph(2, create_using=nx.Graph), rename=("a", "b"))

@@ -88,3 +88,44 @@ def test_single_scan_single_shuffle(spark):
     assert sum(op.startswith("LogicalRDD") for op in ops) == 1
     win_at = next(i for i, op in enumerate(ops) if op.startswith("Window"))
     assert any(op.startswith("Filter") for op in ops[win_at + 1 :])
+
+
+def test_dataset_split_partition_and_determinism(spark):
+    from grandiso_networkx_spark.operators.curation import dataset_split
+
+    docs = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(500)], "doc_id string"
+    )
+    out = {r.doc_id: r.split for r in dataset_split(docs).collect()}
+    # exhaustive + exclusive: every doc gets exactly one of the names
+    assert set(out) == {f"doc{i}" for i in range(500)}
+    assert set(out.values()) == {"train", "val", "test"}
+    # proportions near 8/1/1 over 500 ids
+    n_train = sum(1 for v in out.values() if v == "train")
+    assert 320 <= n_train <= 460
+    # pure function of (id, seed): python-side md5 replays it exactly
+    for doc_id, split in out.items():
+        b = int(hashlib.md5(f"{doc_id}|42".encode()).hexdigest()[:15], 16) % 10
+        want = "train" if b < 8 else ("val" if b < 9 else "test")
+        assert split == want, doc_id
+    # stable under repartitioning and corpus changes (subset keeps labels)
+    sub = {
+        r.doc_id: r.split
+        for r in dataset_split(docs.limit(50).repartition(7)).collect()
+    }
+    assert all(out[k] == v for k, v in sub.items())
+
+
+def test_dataset_split_custom_weights_and_validation(spark):
+    from grandiso_networkx_spark.operators.curation import dataset_split
+
+    docs = spark.createDataFrame([(f"d{i}",) for i in range(100)], "doc_id string")
+    out = {
+        r.doc_id: r.split
+        for r in dataset_split(docs, weights={"a": 1, "b": 1}, seed=7).collect()
+    }
+    assert set(out.values()) == {"a", "b"}
+    with pytest.raises(ValueError):
+        dataset_split(docs, weights={})
+    with pytest.raises(ValueError):
+        dataset_split(docs, weights={"a": 0, "b": 1})

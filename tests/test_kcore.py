@@ -82,3 +82,59 @@ class TestKCore:
         # self-loop-only vertex: core 0, never in a k>=1 core
         cores = {r.id: r.core for r in core_number(e).collect()}
         assert cores["9"] == 0 and cores["0"] == 3
+
+
+class TestKTruss:
+    @pytest.mark.parametrize("k", [2, 3, 4, 5])
+    def test_karate_k(self, spark, k):
+        from grandiso_networkx_spark.operators.kcore import k_truss
+
+        g = nx.karate_club_graph()
+        got = {
+            (r.src, r.dst) for r in k_truss(_edges_df(spark, g), k).collect()
+        }
+        want = {
+            tuple(sorted((str(u), str(v))))
+            for u, v in nx.k_truss(g, k).edges()
+        }
+        assert got == want
+
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_random(self, spark, seed):
+        from grandiso_networkx_spark.operators.kcore import k_truss
+
+        g = nx.fast_gnp_random_graph(25, 0.25, seed=seed)
+        for k in (3, 4):
+            got = {
+                (r.src, r.dst)
+                for r in k_truss(_edges_df(spark, g), k).collect()
+            }
+            want = {
+                tuple(sorted((str(u), str(v))))
+                for u, v in nx.k_truss(g, k).edges()
+            }
+            assert got == want, k
+
+    def test_cascade(self, spark):
+        from grandiso_networkx_spark.operators.kcore import k_truss
+
+        # Two triangles sharing an edge + a pendant triangle chain:
+        # peeling one round exposes newly under-supported edges.
+        g = nx.Graph(
+            [(0, 1), (1, 2), (0, 2), (2, 3), (0, 3), (3, 4), (4, 5), (3, 5)]
+        )
+        got = {
+            (r.src, r.dst) for r in k_truss(_edges_df(spark, g), 4).collect()
+        }
+        want = {
+            tuple(sorted((str(u), str(v))))
+            for u, v in nx.k_truss(g, 4).edges()
+        }
+        assert got == want
+
+    def test_invalid_k(self, spark):
+        from grandiso_networkx_spark.operators.kcore import k_truss
+
+        g = nx.path_graph(3)
+        with pytest.raises(ValueError):
+            k_truss(_edges_df(spark, g), 1)
