@@ -1047,6 +1047,20 @@ SELECT a AS src, b AS dst FROM e{rounds}"""
     return "".join(parts)
 
 
+def q_mst(spark, sf_dir):
+    """Minimum spanning forest of the weighted reply graph (distributed
+    Borůvka, operators/mst.py).  MST is not SQL-expressible → rows-only
+    driver check; exactness (unique forest under distinct weights,
+    total-weight parity under ties) is pinned vs
+    nx.minimum_spanning_edges in tests/test_mst.py."""
+    from grandiso_networkx_spark.operators.mst import minimum_spanning_forest
+
+    e = q_reply_edges(spark, sf_dir)
+    return minimum_spanning_forest(e, weight_col="weight").orderBy(
+        "src", "dst"
+    )
+
+
 def q_linkpred_events(spark, sf_dir):
     """Common-neighbor / Jaccard / Adamic–Adar / resource-allocation /
     preferential-attachment scores over the bipartite
@@ -2033,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic,
         "eccentricity": q_eccentricity,
         "ktruss_3": q_ktruss,
+        "minimum_spanning_forest": q_mst,
         "closeness_centrality": q_closeness,
         "rect_motif_count": q_rect_motif_count,
         "motif_attr_bindings": q_motif_attr_bindings,
