@@ -81,6 +81,63 @@ def _reply_fn(key, pdf_iter, state: GroupState):
     yield pd.DataFrame(outs, columns=["conv_id", "src", "dst", "turn_idx"])
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization ``(user_id, session_start, session_end,
+    n_events)`` via the built-in ``session_window`` (gap-merged event
+    windows, closed once the watermark passes) — the streaming twin of
+    the batch lag-over-window sessionizer (``q_event_sessions``): both
+    cut a new session after ``gap`` of inactivity, so completed
+    sessions agree.
+
+    State is managed by Spark's session-window store (merge-on-arrival,
+    eviction at watermark), no custom stateful code; the aggregation is
+    a plain count, map-side combined inside the micro-batch."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_docs(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen wins per whitespace-normalized
+    content fingerprint (the batch ``fingerprint`` semantics), with
+    state bounded by the watermark via
+    ``dropDuplicatesWithinWatermark`` — two documents with the same
+    content inside the watermark horizon emit once; the fingerprint
+    store is evicted as event time advances, so state never grows with
+    the corpus (the property that makes streaming dedup viable at all
+    at ingest scale)."""
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                         r"\s+", " ")
+    )
+    return (
+        docs.withColumn("fingerprint", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def stream_reply_edges(transcripts: DataFrame) -> DataFrame:
     """Incremental reply edges via per-conversation state.
 

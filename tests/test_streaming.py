@@ -74,3 +74,106 @@ def test_stream_reply_edges_match_batch(spark, transcript_dir, tmp_path):
         for r in derive_edges(batch).where(F.col("etype") == "reply").collect()
     }
     assert got_w == want
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from grandiso_networkx_spark.streaming.derive_stream import (
+        stream_sessionize,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # u1: two sessions (gap > 30 min between #2 and #3)
+        ("u1", t0),
+        ("u1", t0 + timedelta(minutes=10)),
+        ("u1", t0 + timedelta(minutes=55)),
+        ("u1", t0 + timedelta(minutes=60)),
+        # u2: one session, one event
+        ("u2", t0 + timedelta(minutes=5)),
+    ]
+    src_dir = str(tmp_path / "events_in")
+    spark.createDataFrame(rows, "user_id string, ts timestamp").write.parquet(
+        src_dir
+    )
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 100)
+        .parquet(src_dir)
+    )
+    got = _run_stream(
+        spark,
+        stream_sessionize(stream, gap="30 minutes"),
+        "sessions_stream",
+        tmp_path,
+        mode="complete",
+    ).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(
+            (r.session_start, r.session_end, r.n_events)
+        )
+    assert len(by_user["u1"]) == 2 and len(by_user["u2"]) == 1
+    s1, s2 = sorted(by_user["u1"])
+    # session_window end = last event + gap
+    assert s1 == (t0, t0 + timedelta(minutes=40), 2)
+    assert s2 == (
+        t0 + timedelta(minutes=55),
+        t0 + timedelta(minutes=90),
+        2,
+    )
+    # per-user session/event counts agree with the batch lag sessionizer
+    batch = spark.read.parquet(src_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL '1800' SECOND")), 1
+    ).otherwise(0)
+    want = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in batch.select("user_id", new_s.alias("s"))
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    got_counts = {
+        u: (len(ss), sum(n for _, _, n in ss)) for u, ss in by_user.items()
+    }
+    assert got_counts == want
+
+
+def test_stream_dedup_first_wins(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from grandiso_networkx_spark.streaming.derive_stream import (
+        stream_dedup_docs,
+    )
+
+    t0 = datetime(2026, 1, 1, 8, 0, 0)
+    rows = [
+        ("d1", "Hello   world", t0),
+        ("d2", "hello world", t0 + timedelta(minutes=1)),  # same normalized
+        ("d3", "something else", t0 + timedelta(minutes=2)),
+        ("d4", "HELLO WORLD", t0 + timedelta(minutes=3)),  # dup again
+    ]
+    src_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        rows, "doc_id string, text string, ts timestamp"
+    ).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 100)
+        .parquet(src_dir)
+    )
+    got = _run_stream(
+        spark, stream_dedup_docs(stream), "dedup_stream", tmp_path
+    ).collect()
+    # one survivor per normalized content; earliest-ts doc wins within
+    # a micro-batch
+    fps = {r.fingerprint for r in got}
+    assert len(got) == 2 and len(fps) == 2
+    kept_ids = {r.doc_id for r in got}
+    assert "d3" in kept_ids and len(kept_ids & {"d1", "d2", "d4"}) == 1
