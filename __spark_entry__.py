@@ -1047,6 +1047,61 @@ SELECT a AS src, b AS dst FROM e{rounds}"""
     return "".join(parts)
 
 
+def q_mis(spark, sf_dir):
+    """Maximal independent set of the reply graph via deterministic
+    Luby rounds (portable md5 priorities, operators/mis.py) —
+    value-checked against an unrolled SQL replay of the exact same
+    priority arithmetic."""
+    from grandiso_networkx_spark.operators.mis import maximal_independent_set
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return maximal_independent_set(e, seed=42).orderBy("id")
+
+
+def _mis_sql(rounds: int = 6, seed: int = 42) -> str:
+    """Unrolled Luby: round r selects live vertices whose
+    ``(md5-priority, id)`` struct is strictly below every live
+    neighbor's, then evicts the closed neighborhood.  ``rounds`` must
+    be >= the actual round count (later rounds see an empty live set
+    and contribute nothing).  Live CTEs are referenced several times →
+    AS MATERIALIZED."""
+    parts = [
+        f"""WITH raw AS MATERIALIZED (SELECT src, dst FROM ({_REPLY_EDGES_SQL})),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM raw WHERE src <> dst)),
+live0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+pri{r} AS MATERIALIZED (
+  SELECT id,
+         CAST('0x' || substring(md5(id || '|{r}|{seed}'), 1, 15) AS BIGINT)
+           AS p
+  FROM live{r}),
+nm{r} AS MATERIALIZED (
+  SELECT e.src AS id, min(struct_pack(p := n.p, id := n.id)) AS nm
+  FROM sym e
+  JOIN pri{r} n ON n.id = e.dst
+  JOIN live{r} l ON l.id = e.src
+  GROUP BY e.src),
+sel{r} AS MATERIALIZED (
+  SELECT v.id FROM pri{r} v LEFT JOIN nm{r} m ON m.id = v.id
+  WHERE m.nm IS NULL OR struct_pack(p := v.p, id := v.id) < m.nm),
+live{r + 1} AS MATERIALIZED (
+  SELECT id FROM live{r}
+  WHERE id NOT IN (SELECT id FROM sel{r})
+    AND id NOT IN (SELECT e.dst FROM sym e
+                   JOIN sel{r} s ON s.id = e.src))"""
+        )
+    member = " UNION ALL ".join(
+        f"SELECT id FROM sel{r}" for r in range(rounds)
+    )
+    parts.append(f"\nSELECT id FROM ({member}) ORDER BY id")
+    return "".join(parts)
+
+
 def q_mst(spark, sf_dir):
     """Minimum spanning forest of the weighted reply graph (distributed
     Borůvka, operators/mst.py).  MST is not SQL-expressible → rows-only
@@ -2048,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "ktruss_3": q_ktruss,
         "minimum_spanning_forest": q_mst,
+        "maximal_independent_set": q_mis,
         "closeness_centrality": q_closeness,
         "rect_motif_count": q_rect_motif_count,
         "motif_attr_bindings": q_motif_attr_bindings,
@@ -2119,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _HARMONIC_SQL,
         "eccentricity": _ECCENTRICITY_SQL,
         "ktruss_3": _ktruss_sql(3, 5),
+        "maximal_independent_set": _mis_sql(6, 42),
         "closeness_centrality": _CLOSENESS_SQL,
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,

@@ -31,6 +31,7 @@ from .operators.kcore import core_number, k_core, k_truss
 from .operators.label_propagation import label_propagation
 from .operators.linkpred import link_prediction_scores
 from .operators.match import find_motifs, find_motifs_df, find_motifs_iter
+from .operators.mis import maximal_independent_set
 from .operators.mst import minimum_spanning_forest
 from .operators.pagerank import pagerank
 from .operators.retrieval import bm25_topk, tfidf_terms
@@ -86,6 +87,7 @@ __all__ = [
     "link_prediction_scores",
     "local_clustering",
     "link_training_pairs",
+    "maximal_independent_set",
     "minimum_spanning_forest",
     "node2vec_walks",
     "pagerank",
