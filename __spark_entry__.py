@@ -1047,6 +1047,61 @@ SELECT a AS src, b AS dst FROM e{rounds}"""
     return "".join(parts)
 
 
+def q_feature_neighbor_mean(spark, sf_dir):
+    """GNN-style neighborhood feature aggregation
+    (operators/features.py): star graph per embedding label (every
+    member points at the label's min vec_id), then the elementwise
+    in-neighbor mean — exploded to (id, pos, val) scalars for a robust
+    value compare."""
+    from pyspark.sql import Window
+
+    from grandiso_networkx_spark.operators.features import (
+        neighbor_mean_features,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label")
+    e = (
+        emb.select(
+            F.col("vec_id").alias("src"),
+            F.min("vec_id").over(w).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    nm = neighbor_mean_features(
+        e, emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+    return nm.select(
+        "id", F.posexplode("vec").alias("pos", "val")
+    ).select("id", "pos", F.round("val", 6).alias("val"))
+
+
+_FEATURE_MEAN_SQL = """
+WITH m AS (SELECT label, min(vec_id) AS dst FROM embeddings GROUP BY label),
+e AS (
+  SELECT emb.vec_id AS src, m.dst
+  FROM embeddings emb JOIN m ON m.label = emb.label
+  WHERE emb.vec_id <> m.dst
+),
+c AS (
+  SELECT e.dst AS id, s.embedding AS vec
+  FROM e JOIN embeddings s ON s.vec_id = e.src
+),
+x AS (
+  -- DuckDB 1.0 has no WITH ORDINALITY and generate_series takes only
+  -- constants; scalar range() inside list_transform carries pos along.
+  SELECT id,
+         unnest(list_transform(
+           range(1, array_length(vec) + 1),
+           i -> struct_pack(pos := i - 1, v := CAST(vec[i] AS DOUBLE))
+         )) AS u
+  FROM c
+)
+SELECT id, CAST(u.pos AS INT) AS pos, round(avg(u.v), 6) AS val
+FROM x GROUP BY id, u.pos
+"""
+
+
 def q_mis(spark, sf_dir):
     """Maximal independent set of the reply graph via deterministic
     Luby rounds (portable md5 priorities, operators/mis.py) —
@@ -2104,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_3": q_ktruss,
         "minimum_spanning_forest": q_mst,
         "maximal_independent_set": q_mis,
+        "feature_neighbor_mean": q_feature_neighbor_mean,
         "closeness_centrality": q_closeness,
         "rect_motif_count": q_rect_motif_count,
         "motif_attr_bindings": q_motif_attr_bindings,
@@ -2176,6 +2232,7 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity": _ECCENTRICITY_SQL,
         "ktruss_3": _ktruss_sql(3, 5),
         "maximal_independent_set": _mis_sql(6, 42),
+        "feature_neighbor_mean": _FEATURE_MEAN_SQL,
         "closeness_centrality": _CLOSENESS_SQL,
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,

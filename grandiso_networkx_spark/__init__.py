@@ -24,6 +24,7 @@ from .operators.closeness import (
 )
 from .operators.curation import curate_corpus, dataset_split
 from .operators.eigenvector import eigenvector_centrality
+from .operators.features import feature_propagation, neighbor_mean_features
 from .operators.frontier import expand_step
 from .operators.hits import hits
 from .operators.katz import katz_centrality
@@ -74,6 +75,7 @@ __all__ = [
     "ego_net",
     "eigenvector_centrality",
     "expand_step",
+    "feature_propagation",
     "find_motifs",
     "find_motifs_df",
     "find_motifs_iter",
@@ -89,6 +91,7 @@ __all__ = [
     "link_training_pairs",
     "maximal_independent_set",
     "minimum_spanning_forest",
+    "neighbor_mean_features",
     "node2vec_walks",
     "pagerank",
     "per_vertex_triangles",
