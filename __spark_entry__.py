@@ -466,6 +466,71 @@ FROM documents
 """
 
 
+def q_token_quantiles(spark, sf_dir):
+    """Exact interpolated token-count quantiles of the corpus (the
+    length-distribution diagnostic a curation pass reads first) —
+    Spark's exact ``percentile`` matches DuckDB's ``quantile_cont``
+    linear interpolation bit-for-bit on the same longs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(textstats.token_count(F.col("text")).alias("n_tokens"))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    agg = toks.agg(
+        F.percentile("n_tokens", F.array(*[F.lit(q) for q in qs])).alias("v")
+    )
+    pairs = F.arrays_zip(F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("v"))
+    return agg.select(F.explode(pairs).alias("z")).select(
+        F.col("z.q").alias("q"), F.round(F.col("z.v"), 6).alias("n_tokens")
+    )
+
+
+_TOKEN_QUANTILES_SQL = r"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens
+  FROM documents
+),
+q AS (
+  SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+         unnest(quantile_cont(n_tokens, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]))
+           AS v
+  FROM t
+)
+SELECT CAST(q AS DOUBLE) AS q, round(v, 6) AS n_tokens FROM q
+"""
+
+
+def q_event_window_volume(spark, sf_dir):
+    """Tumbling 10-minute event volume per event type — the streaming
+    window aggregation shape run as batch (same `window()` semantics
+    Structured Streaming uses), value-checked against DuckDB
+    time_bucket."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            # string-typed window key: pandas timestamp unit (ns vs us)
+            # would defeat the frame compare even on equal instants
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_EVENT_WINDOW_SQL = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_quality(spark, sf_dir):
     return textstats.quality_features(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_chars", "n_tokens", "punct_ratio", "digit_ratio"
@@ -2138,6 +2203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "curate_corpus": q_curate_corpus,
         "dataset_split": q_dataset_split,
+        "token_quantiles": q_token_quantiles,
+        "event_window_volume": q_event_window_volume,
         "token_counts": q_token_counts,
         "quality_features": q_quality,
         "fingerprint": q_fingerprint,
@@ -2210,6 +2277,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_SQL,
         "curate_corpus": _curate_sql(),
         "dataset_split": _DATASET_SPLIT_SQL,
+        "token_quantiles": _TOKEN_QUANTILES_SQL,
+        "event_window_volume": _EVENT_WINDOW_SQL,
         "token_counts": _TOKEN_SQL,
         "quality_features": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,

@@ -97,3 +97,40 @@ def test_motif_plan_has_no_cartesian_product(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     host.unpersist()
+
+
+def test_dataset_split_is_shuffle_free(spark):
+    # The split label is a pure column expression: adding it (and
+    # filtering one split) must introduce NO exchange, and the filter
+    # must not block scan-level column pruning.
+    from grandiso_networkx_spark.operators.curation import dataset_split
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out = dataset_split(docs.select("doc_id")).where(F.col("split") == "val")
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    scan = _formatted(out)
+    scan_sec = scan[scan.index("Scan parquet") :].split("(2)")[0]
+    assert "text" not in scan_sec  # pruning survived the split column
+
+
+def test_neighbor_mean_shuffles_are_bounded(spark):
+    # Exactly two aggregation exchanges: (id, pos) partial->final and
+    # the d-bounded reassembly — plus the one join exchange pair.  A
+    # collect_list-of-vectors formulation would show as a single wide
+    # agg without the (id, pos) exchange; any CartesianProduct means
+    # the join degenerated.
+    from grandiso_networkx_spark.operators.features import (
+        neighbor_mean_features,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    e = emb.select(
+        F.col("vec_id").alias("src"), (F.col("vec_id") % 10).alias("dst")
+    )
+    feats = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    plan = _plan(neighbor_mean_features(e, feats))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation (map-side combine) present for the (id,pos) agg
+    assert "partial_avg" in plan or "partial_average" in plan.lower()
