@@ -110,3 +110,19 @@ class TestErrors:
         host = nx_to_host(spark, nx.complete_graph(8, nx.DiGraph()))
         with pytest.raises(ValueError):
             find_motifs(nx.DiGraph(), host)
+
+
+class TestScaleSmoke:
+    # test_grandiso.py:364-371 — star_graph(30000) + one chord: the
+    # only K3 is (0, 1, 2), counted 6 ways (automorphisms).  Also a
+    # hub-frontier stress: the degree-30000 center must not explode
+    # the candidate frontier (degree prune + most-constrained order).
+    def test_k3_in_chorded_star(self, spark):
+        host = nx.star_graph(30_000)
+        host.add_edge(1, 2)
+        assert (
+            find_motifs(
+                _tri(nx.Graph), nx_to_host(spark, host), count_only=True
+            )
+            == 6
+        )
