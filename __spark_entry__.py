@@ -908,6 +908,38 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
 
+def q_semantic_dedup_keep(spark, sf_dir):
+    """Semantic (embedding-space) keep/drop: exact cosine near-dup
+    pairs → connected components (the engine's HashMin pass — its
+    min-label contract is type-generic, so it composes over bigint
+    vec_ids too) → min-id representative; every vector decided.  The
+    embedding twin of the text-space `dedup_keep`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs_exact(emb, threshold=0.4)
+    return dedup.near_dedup_keep(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+
+
+_SEMANTIC_DEDUP_KEEP_SQL = (
+    "WITH RECURSIVE p AS ("
+    + _EMBEDDING_DUP_SQL
+    + """),
+und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+),
+comp AS (SELECT id, min(r) AS keep FROM reach GROUP BY id)
+SELECT e.vec_id,
+       coalesce(c.keep, e.vec_id) AS keep_id,
+       coalesce(c.keep, e.vec_id) <> e.vec_id AS is_dup
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+"""
+)
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -2227,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimum_spanning_forest": q_mst,
         "maximal_independent_set": q_mis,
         "feature_neighbor_mean": q_feature_neighbor_mean,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
         "closeness_centrality": q_closeness,
         "rect_motif_count": q_rect_motif_count,
         "motif_attr_bindings": q_motif_attr_bindings,
@@ -2302,6 +2335,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_3": _ktruss_sql(3, 5),
         "maximal_independent_set": _mis_sql(6, 42),
         "feature_neighbor_mean": _FEATURE_MEAN_SQL,
+        "semantic_dedup_keep": _SEMANTIC_DEDUP_KEEP_SQL,
         "closeness_centrality": _CLOSENESS_SQL,
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,
