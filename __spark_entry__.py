@@ -1012,6 +1012,59 @@ r{i + 1} AS (SELECT v.id,
     return "".join(parts)
 
 
+def q_ppr_fixed(spark, sf_dir):
+    """Batched multi-seed personalized PageRank (operators/ppr.py) —
+    6 fixed rounds of the networkx personalization recurrence for the
+    3 lexicographically-smallest source vertices of the weighted reply
+    graph, all in ONE iteration loop keyed (seed, vid).  Sparse state:
+    only vertices the seed's mass has reached appear.  Fixed-iteration
+    mode unrolls into a CTE chain, so value-checked like
+    pagerank_fixed."""
+    from grandiso_networkx_spark.operators.ppr import personalized_pagerank
+
+    e = q_reply_edges(spark, sf_dir)
+    seeds = e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(3)
+    pr = personalized_pagerank(
+        e, seeds, weight_col="weight", fixed_iterations=6
+    )
+    return pr.select("seed", "id", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_fixed_sql(iters: int = 6) -> str:
+    """Unrolled multi-seed PPR: r' = a*(gather + dangle@seed) +
+    (1-a)@seed, r0 = unit mass at the seed, sparse state (seed, vid).
+
+    Each round references the previous state CTE exactly once (the
+    dangling branch rides the same LEFT JOIN pass as the gather —
+    a dangling vid has no outw row, so the e join is vacuous and the
+    single joined row carries the whole alpha*r restart term)."""
+    parts = [
+        f"""WITH e AS ({_REPLY_EDGES_SQL}),
+outw AS (SELECT src, sum(weight * 1.0) AS w FROM e GROUP BY src),
+seeds AS (SELECT DISTINCT src AS seed FROM e ORDER BY seed LIMIT 3),
+x0 AS (SELECT seed, seed AS vid, 1.0 AS r FROM seeds)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+g{i} AS (SELECT x.seed,
+         coalesce(e.dst, x.seed) AS vid,
+         CASE WHEN o.w IS NULL THEN 0.85 * x.r
+              ELSE 0.85 * x.r * e.weight / o.w END AS t
+  FROM x{i} x
+  LEFT JOIN outw o ON o.src = x.vid
+  LEFT JOIN e ON e.src = x.vid),
+x{i + 1} AS (SELECT seed, vid, sum(t) AS r FROM (
+    SELECT seed, vid, t FROM g{i}
+    UNION ALL SELECT seed, seed AS vid, 0.15 AS t FROM seeds
+  ) u GROUP BY seed, vid)"""
+        )
+    parts.append(
+        f"\nSELECT seed, vid AS id, round(r, 6) AS rank FROM x{iters}"
+    )
+    return "".join(parts)
+
+
 def q_connected_components(spark, sf_dir):
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return connected_components(e)
@@ -2267,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_number": q_core_number,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
+        "ppr_multi_seed": q_ppr_fixed,
         "hits_fixed": q_hits_invoke,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
@@ -2342,6 +2396,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_centrality": _brandes_sql(6),
         "core_number": _core_number_sql(5, 6),
         "pagerank_fixed": _pagerank_fixed_sql(6),
+        "ppr_multi_seed": _ppr_fixed_sql(6),
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),
         "node2vec_walks": _node2vec_sql(3, 2, 2.0, 0.5, 7),

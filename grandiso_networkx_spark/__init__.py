@@ -35,6 +35,7 @@ from .operators.match import find_motifs, find_motifs_df, find_motifs_iter
 from .operators.mis import maximal_independent_set
 from .operators.mst import minimum_spanning_forest
 from .operators.pagerank import pagerank
+from .operators.ppr import personalized_pagerank
 from .operators.retrieval import bm25_topk, tfidf_terms
 from .operators.sampling import ego_net, link_training_pairs
 from .operators.scc import strongly_connected_components
@@ -94,6 +95,7 @@ __all__ = [
     "neighbor_mean_features",
     "node2vec_walks",
     "pagerank",
+    "personalized_pagerank",
     "per_vertex_triangles",
     "random_walks",
     "sssp",
