@@ -2257,6 +2257,82 @@ FROM s
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (operators/textstats.py
+    repetition_features): per-doc duplicate-word / top-bigram /
+    duplicate-trigram fractions — the degenerate-boilerplate gate a
+    pretraining pipeline applies before dedup."""
+    from grandiso_networkx_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+_TOKS_SQL = r"""
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+         END AS toks
+  FROM documents
+"""
+
+_REPETITION_SQL = f"""
+WITH d AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, len(toks) AS nw, toks FROM d),
+g1 AS (SELECT doc_id, unnest(toks) AS gram FROM base),
+c1 AS (SELECT doc_id, gram, count(*) AS c FROM g1 GROUP BY 1, 2),
+d1 AS (SELECT doc_id, sum(c) AS s FROM c1 WHERE c >= 2 GROUP BY 1),
+p2 AS (SELECT doc_id, unnest(range(1, nw)) AS p, toks FROM base WHERE nw >= 2),
+c2 AS (SELECT doc_id, array_to_string(toks[p:p+1], ' ') AS gram, count(*) AS c
+       FROM p2 GROUP BY 1, 2),
+m2 AS (SELECT doc_id, max(c) AS m FROM c2 GROUP BY 1),
+p3 AS (SELECT doc_id, unnest(range(1, nw - 1)) AS p, toks FROM base WHERE nw >= 3),
+c3 AS (SELECT doc_id, array_to_string(toks[p:p+2], ' ') AS gram, count(*) AS c
+       FROM p3 GROUP BY 1, 2),
+d3 AS (SELECT doc_id, sum(c) AS s FROM c3 WHERE c >= 2 GROUP BY 1)
+SELECT b.doc_id, b.nw AS n_words,
+       round(coalesce(d1.s, 0) / greatest(b.nw, 1), 6) AS dup_word_frac,
+       round(coalesce(m2.m, 0) * 2.0 / greatest(b.nw, 1), 6) AS top_bigram_frac,
+       round(coalesce(d3.s, 0) * 3.0 / greatest(b.nw, 1), 6) AS dup_trigram_frac
+FROM base b
+LEFT JOIN d1 ON d1.doc_id = b.doc_id
+LEFT JOIN m2 ON m2.doc_id = b.doc_id
+LEFT JOIN d3 ON d3.doc_id = b.doc_id
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/textstats.py
+    ngram_contamination): distinct 8-gram overlap of every document
+    against a deterministic held-out 'benchmark' slice
+    (doc_id % 97 == 0) — the pre-training eval-set overlap test; the
+    bench gram set broadcasts."""
+    from grandiso_networkx_spark.operators.textstats import (
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(docs, bench, n=8)
+
+
+_CONTAMINATION_SQL = f"""
+WITH d AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, len(toks) AS nw, toks FROM d),
+cg AS (SELECT DISTINCT doc_id, array_to_string(toks[p:p+7], ' ') AS gram
+       FROM (SELECT doc_id, unnest(range(1, nw - 6)) AS p, toks
+             FROM base WHERE nw >= 8) t),
+bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 97 = 0),
+hits AS (SELECT cg.doc_id, count(*) AS shared_ngrams
+         FROM cg JOIN bg USING (gram) GROUP BY 1)
+SELECT b.doc_id,
+       coalesce(h.shared_ngrams, 0) AS shared_ngrams,
+       coalesce(h.shared_ngrams, 0) > 0 AS contaminated
+FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
+"""
+
+
 # -- driver contract -----------------------------------------------------------
 
 
@@ -2291,6 +2367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "event_window_volume": q_event_window_volume,
         "token_counts": q_token_counts,
+        "repetition_features": q_repetition,
+        "contamination": q_contamination,
         "quality_features": q_quality,
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2367,6 +2445,8 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": _TOKEN_QUANTILES_SQL,
         "event_window_volume": _EVENT_WINDOW_SQL,
         "token_counts": _TOKEN_SQL,
+        "repetition_features": _REPETITION_SQL,
+        "contamination": _CONTAMINATION_SQL,
         "quality_features": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "winnow_fingerprints": _WINNOW_SQL,

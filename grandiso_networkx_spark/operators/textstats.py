@@ -190,6 +190,152 @@ def winnow_near_pairs(
     )
 
 
+def _word_ngrams(
+    docs: DataFrame, n: int, text_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, nw, gram)`` rows — every word ``n``-gram per document
+    with the document's token count riding along.
+
+    JVM-side only: split → explode positions → ``slice``+``concat_ws``.
+    Work is O(total tokens) per call; no Python, no collect.  Blank
+    docs count 0 tokens (``split(trim(''))`` yields ``['']``, guarded
+    explicitly so Spark and the SQL oracle agree)."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(t, r"\s+")
+    nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__t"), nw.alias("nw")
+    )
+    return (
+        base.where(F.col("nw") >= n)
+        .select(
+            "doc_id",
+            "nw",
+            F.explode(
+                F.sequence(F.lit(1), F.col("nw") - F.lit(n - 1))
+            ).alias("p"),
+            F.col("__t"),
+        )
+        .select(
+            "doc_id",
+            "nw",
+            F.concat_ws(" ", F.slice("__t", F.col("p"), F.lit(n))).alias(
+                "gram"
+            ),
+        )
+    )
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted
+    to word fractions for a single-line corpus): per document
+
+    - ``n_words`` — whitespace token count;
+    - ``dup_word_frac`` — occurrences of words appearing ≥2 times / n_words;
+    - ``top_bigram_frac`` — (most frequent word-bigram count × 2) / n_words;
+    - ``dup_trigram_frac`` — occurrences of word-trigrams appearing
+      ≥2 times × 3 / n_words.
+
+    High values mark the degenerate repeated-boilerplate documents a
+    pretraining pipeline drops before dedup.  Scale shape: three
+    explode → ``groupBy(doc_id, gram)`` (map-side combine; per-key
+    cardinality is bounded by the document's own length, so no global
+    hot keys) → per-doc aggregate, joined back to the doc spine.  All
+    built-in expressions, SQL-mirrorable (driver value check
+    ``repetition_features``).
+    """
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    spine = docs.select("doc_id", nw.cast("long").alias("n_words"))
+
+    def _per_doc(n: int, agg: F.Column, name: str) -> DataFrame:
+        counts = (
+            _word_ngrams(docs, n, text_col)
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return counts.groupBy("doc_id").agg(agg.alias(name))
+
+    dup1 = _per_doc(
+        1, F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)), "d1"
+    )
+    top2 = _per_doc(2, F.max("c"), "m2")
+    dup3 = _per_doc(
+        3, F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)), "d3"
+    )
+    safe = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    return (
+        spine.join(dup1, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.coalesce(F.col("d1"), F.lit(0)) / safe, 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("m2"), F.lit(0)) * 2 / safe, 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("d3"), F.lit(0)) * 3 / safe, 6
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its
+    distinct word ``n``-grams appear anywhere in the ``bench`` corpus
+    (the standard 8–13-gram overlap test a pretraining pipeline runs
+    against eval sets before training).
+
+    Returns ``(doc_id, shared_ngrams, contaminated)`` for every doc in
+    ``docs``; ``contaminated`` is true when any n-gram is shared.
+    Scale shape: the benchmark side reduces to a **distinct-gram set**
+    (tiny vs the corpus — eval suites are MBs against TBs), so the
+    equi-join on ``gram`` broadcasts; corpus grams are deduped per doc
+    before the join so a doc's own internal repetition can't inflate
+    its overlap count.  No UDFs; value-checked by the driver
+    (``contamination``)."""
+    bcol = bench_text_col or text_col
+    corpus = _word_ngrams(docs, n, text_col).select("doc_id", "gram").distinct()
+    bench_grams = (
+        _word_ngrams(
+            bench.select(
+                F.col(bcol).alias("__bt"),
+                F.monotonically_increasing_id().alias("__bid"),
+            ),
+            n,
+            "__bt",
+            id_col="__bid",
+        )
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        corpus.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    spine = docs.select("doc_id")
+    return spine.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("shared_ngrams"), F.lit(0)).alias("shared_ngrams"),
+        (F.coalesce(F.col("shared_ngrams"), F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 64-bit content fingerprint of normalized text
     (whitespace-collapsed, lowercased) — a rolling-hash stand-in built
