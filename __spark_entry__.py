@@ -2257,6 +2257,51 @@ FROM s
 """
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall FM reachability sketches (operators/hyperball.py) —
+    3 OR-propagation rounds, 8 registers, over the directed reply
+    graph.  Register contents are a pure deterministic function of
+    (edge set, seed): value-checked BIT-FOR-BIT against a MATERIALIZED
+    CTE replay of the identical md5/lowbit arithmetic."""
+    from grandiso_networkx_spark.operators.hyperball import hyperball
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return hyperball(e, rounds=3, num_registers=8, with_estimate=False)
+
+
+def _hyperball_sql(rounds: int = 3, num_regs: int = 8, seed: int = 42) -> str:
+    regs = list(range(num_regs))
+
+    def init(r: int) -> str:
+        h = f"CAST('0x' || substring(md5(id || '|{r}|{seed}'), 1, 15) AS BIGINT)"
+        return (
+            f"CASE WHEN {h} = 0 THEN 1 ELSE {h} & (-({h})) END AS s{r}"
+        )
+
+    parts = [
+        f"""WITH e0 AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+s0 AS MATERIALIZED (SELECT id, {', '.join(init(r) for r in regs)} FROM verts)"""
+    ]
+    for i in range(rounds):
+        gcols = ", ".join(f"bit_or(s.s{r}) AS s{r}" for r in regs)
+        mcols = ", ".join(
+            f"s.s{r} | coalesce(g.s{r}, 0) AS s{r}" for r in regs
+        )
+        parts.append(
+            f""",
+g{i} AS MATERIALIZED (SELECT e.src AS id, {gcols}
+       FROM e JOIN s{i} s ON s.id = e.dst GROUP BY e.src),
+s{i + 1} AS MATERIALIZED (SELECT s.id, {mcols}
+       FROM s{i} s LEFT JOIN g{i} g ON g.id = s.id)"""
+        )
+    parts.append(
+        f"\nSELECT id, {', '.join(f's{r}' for r in regs)} FROM s{rounds}"
+    )
+    return "".join(parts)
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition filters (operators/textstats.py
     repetition_features): per-doc duplicate-word / top-bigram /
@@ -2399,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
         "ppr_multi_seed": q_ppr_fixed,
+        "hyperball_sketches": q_hyperball,
         "hits_fixed": q_hits_invoke,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
@@ -2477,6 +2523,7 @@ def oracle_sql() -> dict[str, str]:
         "core_number": _core_number_sql(5, 6),
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "ppr_multi_seed": _ppr_fixed_sql(6),
+        "hyperball_sketches": _hyperball_sql(3, 8),
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),
         "node2vec_walks": _node2vec_sql(3, 2, 2.0, 0.5, 7),

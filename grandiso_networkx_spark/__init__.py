@@ -27,6 +27,11 @@ from .operators.eigenvector import eigenvector_centrality
 from .operators.features import feature_propagation, neighbor_mean_features
 from .operators.frontier import expand_step
 from .operators.hits import hits
+from .operators.hyperball import (
+    effective_diameter,
+    hyperball,
+    neighborhood_function,
+)
 from .operators.katz import katz_centrality
 from .operators.kcore import core_number, k_core, k_truss
 from .operators.label_propagation import label_propagation
@@ -75,7 +80,10 @@ __all__ = [
     "eccentricity",
     "ego_net",
     "eigenvector_centrality",
+    "effective_diameter",
     "expand_step",
+    "hyperball",
+    "neighborhood_function",
     "feature_propagation",
     "find_motifs",
     "find_motifs_df",

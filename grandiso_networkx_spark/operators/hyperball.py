@@ -1,0 +1,229 @@
+"""HyperBall-style neighborhood function via Flajolet–Martin bit
+sketches (Boldi/Rosa/Vigna, "HyperANF: approximating the neighbourhood
+function of very large graphs on a budget", WWW'11 — FM registers
+instead of HyperLogLog so every operation is a portable 64-bit OR).
+
+Not in the reference (grandiso has no vertex analytics); this is the
+classic web-scale estimator for ball sizes / effective diameter —
+exact per-vertex BFS is Θ(V·E), the sketch pass is O(rounds · E) with
+O(V · R) state.
+
+Semantics
+---------
+Register ``r`` of vertex ``v`` after ``t`` rounds is EXACTLY
+
+    s_r(v, t) = OR_{u in Ball_out(v, t)}  lowbit(h(u, r))
+
+where ``Ball_out(v, t)`` is the set of vertices reachable from ``v``
+in ≤ t hops, ``h`` is the portable 60-bit md5 hash used across this
+engine (``conv(substr(md5(id|r|seed),1,15),16,10)``) and ``lowbit(x)
+= x & -x`` (the FM "rho" bit).  The sketches are therefore a pure
+deterministic function of (edge set, seed) — value-checkable
+bit-for-bit against an independent SQL replay — while the *estimates*
+derived from them are approximate:
+
+    est(v, t) = 2^(mean_r lowest_zero_bitpos(s_r)) / 0.77351
+
+(Flajolet–Martin 1985 with the standard phi correction).  The
+neighborhood function N(t) = Σ_v est(v, t) and the effective diameter
+(smallest t with N(t) ≥ q·N(∞)) follow driver-side from per-round
+aggregates.
+
+Scale design
+------------
+- **State is R longs per vertex** (R·8 bytes — 64 B/vertex at R=8),
+  vs the Θ(ball size) frontier sets an exact computation carries.
+- **One shuffle per round**: state ⋈ edges (on ``dst`` — pulling
+  successors' balls) then ``groupBy(src)`` with the built-in
+  ``bit_or`` aggregate.  ``bit_or`` combines map-side, so a hub that
+  reaches a million vertices still ships R longs per partition — the
+  same property that makes HyperANF run on billion-edge graphs.
+- **Monotone convergence**: registers only gain bits, so the loop
+  stops when the global register sum (exact, DECIMAL) stops moving —
+  one tiny aggregate per round, no change-join.
+- **Flat lineage**: per-round ``localCheckpoint`` (iterative plans
+  otherwise grow exponentially).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_PHI = 0.77351
+
+
+def _h(col: F.Column, r: int, seed: int) -> F.Column:
+    """Portable 60-bit md5 hash, identical in DuckDB as
+    CAST('0x' || substring(md5(id || '|r|seed'), 1, 15) AS BIGINT)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", col.cast("string"), F.lit(r), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
+def _lowbit(h: F.Column) -> F.Column:
+    return F.when(h == 0, F.lit(1)).otherwise(h.bitwiseAND(-h))
+
+
+def _est_col(regs: list[str]) -> F.Column:
+    """FM estimate from the registers: lowest-zero-bit position via
+    ~s & (s+1) (a power of two, exact in double), averaged, 2^mean/phi.
+
+    The phi correction is asymptotic: tiny sets are overestimated
+    (a singleton reads ~1.8, the classic PCSA small-range bias that
+    decays as true cardinality grows past ~10·R... callers comparing
+    small balls should compare sketches, not estimates)."""
+    bitpos = [
+        F.log2(
+            (F.bitwise_not(F.col(c)).bitwiseAND(F.col(c) + 1)).cast("double")
+        )
+        for c in regs
+    ]
+    mean_b = sum(bitpos) / len(regs)
+    return F.round(F.pow(F.lit(2.0), mean_b) / F.lit(_PHI), 6)
+
+
+def hyperball(
+    edges: DataFrame,
+    rounds: int | None = None,
+    num_registers: int = 8,
+    seed: int = 42,
+    max_rounds: int = 64,
+    with_estimate: bool = True,
+) -> DataFrame:
+    """Per-vertex out-ball FM sketches over ``edges (src, dst)``.
+
+    With ``rounds`` fixed, runs exactly that many OR-propagation
+    rounds (deterministic, SQL-replayable); with ``rounds=None``
+    iterates to the fixed point (sketches of the full reachable set —
+    register sums are monotone, stop when unchanged).  Returns
+    ``(id, s0..s{R-1} [, est_reach])``; ``est_reach`` estimates
+    ``|Ball_out(id, rounds)|`` including ``id`` itself.
+    """
+    regs = [f"s{r}" for r in range(num_registers)]
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    state = verts.select(
+        "id",
+        *[
+            _lowbit(_h(F.col("id"), r, seed)).alias(c)
+            for r, c in enumerate(regs)
+        ],
+    ).localCheckpoint()
+
+    n_rounds = rounds if rounds is not None else max_rounds
+    prev_sum = None
+    for _ in range(n_rounds):
+        gathered = (
+            e.join(state.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(*[F.bit_or(c).alias(c) for c in regs])
+        )
+        state = (
+            state.unionByName(gathered)
+            .groupBy("id")
+            .agg(*[F.bit_or(c).alias(c) for c in regs])
+            .localCheckpoint()
+        )
+        if rounds is None:
+            cur = state.agg(
+                sum(
+                    F.sum(F.col(c).cast("decimal(38,0)")) for c in regs
+                ).alias("s")
+            ).collect()[0][0]
+            if cur == prev_sum:
+                break
+            prev_sum = cur
+
+    if with_estimate:
+        return state.select("id", *regs, _est_col(regs).alias("est_reach"))
+    return state.select("id", *regs)
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    max_rounds: int = 32,
+    num_registers: int = 16,
+    seed: int = 42,
+) -> list[tuple[int, float]]:
+    """``[(t, N(t))]`` — estimated number of reachable pairs within
+    ≤ t hops (including the 0-hop self pairs), one entry per round up
+    to the fixed point or ``max_rounds``.  Driver-side list: each
+    round contributes ONE scalar aggregate over the sketch frame."""
+    regs = [f"s{r}" for r in range(num_registers)]
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    state = verts.select(
+        "id",
+        *[
+            _lowbit(_h(F.col("id"), r, seed)).alias(c)
+            for r, c in enumerate(regs)
+        ],
+    ).localCheckpoint()
+    est = F.sum(_est_col(regs)).alias("n")
+
+    out: list[tuple[int, float]] = []
+    out.append((0, float(state.agg(est).collect()[0][0])))
+    prev_sum = None
+    for t in range(1, max_rounds + 1):
+        gathered = (
+            e.join(state.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(*[F.bit_or(c).alias(c) for c in regs])
+        )
+        state = (
+            state.unionByName(gathered)
+            .groupBy("id")
+            .agg(*[F.bit_or(c).alias(c) for c in regs])
+            .localCheckpoint()
+        )
+        row = state.agg(
+            est,
+            sum(F.sum(F.col(c).cast("decimal(38,0)")) for c in regs).alias(
+                "sm"
+            ),
+        ).collect()[0]
+        out.append((t, float(row[0])))
+        if row[1] == prev_sum:
+            out.pop()  # unchanged round adds no information
+            break
+        prev_sum = row[1]
+    return out
+
+
+def effective_diameter(
+    edges: DataFrame,
+    q: float = 0.9,
+    max_rounds: int = 32,
+    num_registers: int = 16,
+    seed: int = 42,
+) -> tuple[float, list[tuple[int, float]]]:
+    """Effective diameter at quantile ``q``: the (interpolated)
+    smallest t with N(t) ≥ q · N(final), plus the neighborhood
+    function it was read from (Boldi et al.'s standard definition)."""
+    nf = neighborhood_function(edges, max_rounds, num_registers, seed)
+    target = q * nf[-1][1]
+    if nf[0][1] >= target:
+        return 0.0, nf
+    for (t0, n0), (t1, n1) in zip(nf, nf[1:]):
+        if n1 >= target:
+            if n1 == n0:
+                return float(t1), nf
+            return t0 + (target - n0) / (n1 - n0), nf
+    return float(nf[-1][0]), nf

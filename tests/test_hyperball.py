@@ -1,0 +1,135 @@
+"""HyperBall FM sketches: register contents are an EXACT deterministic
+function of (edge set, seed) — compared bit-for-bit against a pure
+python replay of the same md5 arithmetic over true BFS balls; the
+derived size estimates are approximate and only sanity-checked."""
+
+import hashlib
+
+import networkx as nx
+
+from grandiso_networkx_spark.operators.hyperball import (
+    effective_diameter,
+    hyperball,
+    neighborhood_function,
+)
+
+R = 8
+SEED = 42
+
+
+def _h(u: str, r: int, seed: int = SEED) -> int:
+    return int(hashlib.md5(f"{u}|{r}|{seed}".encode()).hexdigest()[:15], 16)
+
+
+def _lowbit(x: int) -> int:
+    return 1 if x == 0 else x & -x
+
+
+def _oracle_sketches(g: nx.DiGraph, rounds: int) -> dict[str, list[int]]:
+    out = {}
+    for v in g.nodes():
+        ball, frontier = {v}, {v}
+        for _ in range(rounds):
+            nxt = set()
+            for u in frontier:
+                nxt |= set(g.successors(u))
+            frontier = nxt - ball
+            ball |= nxt
+        out[v] = [
+            _or_all(_lowbit(_h(u, r)) for u in ball) for r in range(R)
+        ]
+    return out
+
+
+def _or_all(it) -> int:
+    m = 0
+    for x in it:
+        m |= x
+    return m
+
+
+def _edges_df(spark, g):
+    return spark.createDataFrame(
+        [(str(u), str(v)) for u, v in g.edges()], "src string, dst string"
+    )
+
+
+class TestSketchExactness:
+    def test_fixed_rounds_bit_for_bit(self, spark):
+        g = nx.fast_gnp_random_graph(40, 0.06, directed=True, seed=11)
+        g = nx.relabel_nodes(g, str)
+        # drop self-loops like the operator does
+        g.remove_edges_from(nx.selfloop_edges(g))
+        df = _edges_df(spark, g)
+        # restrict oracle to vertices with at least one edge (operator
+        # derives its vertex set from the edge list)
+        touched = {u for e in g.edges() for u in e}
+        for t in (0, 1, 3):
+            got = {
+                r["id"]: [r[f"s{i}"] for i in range(R)]
+                for r in hyperball(
+                    df, rounds=t, num_registers=R, with_estimate=False
+                ).collect()
+            }
+            want = {
+                v: s
+                for v, s in _oracle_sketches(g, t).items()
+                if v in touched
+            }
+            assert got == want, f"round {t}"
+
+    def test_fixed_point_equals_full_reachability(self, spark):
+        g = nx.fast_gnp_random_graph(25, 0.08, directed=True, seed=5)
+        g = nx.relabel_nodes(g, str)
+        g.remove_edges_from(nx.selfloop_edges(g))
+        df = _edges_df(spark, g)
+        got = {
+            r["id"]: [r[f"s{i}"] for i in range(R)]
+            for r in hyperball(
+                df, rounds=None, num_registers=R, with_estimate=False
+            ).collect()
+        }
+        touched = {u for e in g.edges() for u in e}
+        want = {
+            v: s
+            for v, s in _oracle_sketches(g, len(g)).items()
+            if v in touched
+        }
+        assert got == want
+
+
+class TestEstimates:
+    def test_neighborhood_function_monotone_and_sane(self, spark):
+        # directed path 0->1->...->n-1: N(t) = sum_i min(t+1, n-i) exactly
+        n = 80
+        g = nx.path_graph(n, create_using=nx.DiGraph)
+        g = nx.relabel_nodes(g, str)
+        nf = neighborhood_function(
+            _edges_df(spark, g), max_rounds=n, num_registers=32
+        )
+        ests = [e for _, e in nf]
+        assert all(b >= a - 1e-9 for a, b in zip(ests, ests[1:]))
+        # N(0) = n exactly, but FM overestimates singletons by up to
+        # ~2x (documented PCSA small-range bias) — band check only
+        assert 0.8 * n < ests[0] < 2.5 * n
+        # at the fixed point the mean ball is ~n/2 elements, where the
+        # phi-corrected estimate applies: +-(0.78/sqrt(32)) ~ 14% stderr
+        exact_full = n * (n + 1) / 2
+        assert abs(ests[-1] - exact_full) / exact_full < 0.35
+
+    def test_effective_diameter_path(self, spark):
+        n = 80
+        g = nx.path_graph(n, create_using=nx.DiGraph)
+        g = nx.relabel_nodes(g, str)
+        d, nf = effective_diameter(
+            _edges_df(spark, g), q=0.9, max_rounds=n, num_registers=32
+        )
+        # exact 0.9-effective diameter of the path: smallest t with
+        # sum_i min(t+1, n-i) >= 0.9 * n(n+1)/2
+        target = 0.9 * n * (n + 1) / 2
+        exact = next(
+            t
+            for t in range(n + 1)
+            if sum(min(t + 1, n - i) for i in range(n)) >= target
+        )
+        assert abs(d - exact) / exact < 0.35
