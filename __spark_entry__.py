@@ -2257,6 +2257,112 @@ FROM s
 """
 
 
+def _hash_labels(verts):
+    """Deterministic 3-bucket portable-md5 partition of a vertex frame
+    — a fixed, SQL-replayable stand-in partition for the
+    partition-quality value checks."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("id"), F.lit("lbl"), F.lit(42))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    return verts.select(
+        "id", F.concat(F.lit("c"), (h % 3).cast("string")).alias("label")
+    )
+
+
+_PQ_COMMON_SQL = f"""e0 AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT src, dst, weight * 1.0 AS w FROM e0 WHERE src <> dst),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+lab AS (SELECT id, 'c' || CAST(CAST('0x' || substring(md5(id || '|lbl|42'), 1, 15) AS BIGINT) % 3 AS VARCHAR) AS label FROM verts),
+le AS (SELECT e.w, la.label AS l_src, lb.label AS l_dst
+       FROM e JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst)"""
+
+
+def q_partition_quality(spark, sf_dir):
+    """Per-community quality metrics (operators/community.py) for a
+    deterministic md5-bucket partition of the weighted reply graph:
+    internal/cut weight, volume, conductance."""
+    from grandiso_networkx_spark.operators.community import (
+        partition_quality,
+    )
+
+    e = q_reply_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return partition_quality(
+        e.where(F.col("src") != F.col("dst")),
+        _hash_labels(verts),
+        weight_col="weight",
+    )
+
+
+_PARTITION_QUALITY_SQL = f"""
+WITH {_PQ_COMMON_SQL},
+internal AS (SELECT l_src AS label, sum(w) AS iw FROM le WHERE l_src = l_dst GROUP BY 1),
+cut AS (SELECT label, sum(w) AS cw FROM (
+    SELECT l_src AS label, w FROM le WHERE l_src <> l_dst
+    UNION ALL SELECT l_dst AS label, w FROM le WHERE l_src <> l_dst) u GROUP BY 1),
+sizes AS (SELECT label, count(*) AS n_vertices FROM lab GROUP BY 1),
+per AS (SELECT s.label, s.n_vertices,
+        coalesce(i.iw, 0) AS internal_w, coalesce(c.cw, 0) AS cut_w,
+        2 * coalesce(i.iw, 0) + coalesce(c.cw, 0) AS volume
+        FROM sizes s
+        LEFT JOIN internal i ON i.label = s.label
+        LEFT JOIN cut c ON c.label = s.label),
+tot AS (SELECT sum(volume) AS tv FROM per)
+SELECT label, n_vertices,
+       round(internal_w, 6) AS internal_w,
+       round(cut_w, 6) AS cut_w,
+       round(volume, 6) AS volume,
+       round(CASE WHEN least(volume, tv - volume) > 0
+                  THEN cut_w / least(volume, tv - volume) END, 6) AS conductance
+FROM per, tot
+"""
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity (operators/community.py) of the same
+    md5-bucket partition — nx.community.modularity semantics,
+    1-row value check."""
+    from grandiso_networkx_spark.operators.community import modularity
+
+    e = q_reply_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return modularity(
+        e.where(F.col("src") != F.col("dst")),
+        _hash_labels(verts),
+        weight_col="weight",
+    )
+
+
+_MODULARITY_SQL = f"""
+WITH {_PQ_COMMON_SQL},
+m AS (SELECT sum(w) AS m FROM le),
+vols AS (SELECT label, sum(w) AS vol FROM (
+    SELECT l_src AS label, w FROM le
+    UNION ALL SELECT l_dst AS label, w FROM le) u GROUP BY 1),
+ints AS (SELECT l_src AS label, sum(w) AS iw FROM le WHERE l_src = l_dst GROUP BY 1)
+SELECT round(sum(coalesce(i.iw, 0) / (SELECT m FROM m)
+             - pow(v.vol / (2 * (SELECT m FROM m)), 2)), 6) AS modularity
+FROM vols v LEFT JOIN ints i ON i.label = v.label
+"""
+
+
 def q_hyperball(spark, sf_dir):
     """HyperBall FM reachability sketches (operators/hyperball.py) —
     3 OR-propagation rounds, 8 registers, over the directed reply
@@ -2445,6 +2551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed": q_pagerank_fixed,
         "ppr_multi_seed": q_ppr_fixed,
         "hyperball_sketches": q_hyperball,
+        "partition_quality": q_partition_quality,
+        "modularity": q_modularity,
         "hits_fixed": q_hits_invoke,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
@@ -2524,6 +2632,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "ppr_multi_seed": _ppr_fixed_sql(6),
         "hyperball_sketches": _hyperball_sql(3, 8),
+        "partition_quality": _PARTITION_QUALITY_SQL,
+        "modularity": _MODULARITY_SQL,
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),
         "node2vec_walks": _node2vec_sql(3, 2, 2.0, 0.5, 7),

@@ -22,6 +22,7 @@ from .operators.closeness import (
     eccentricity,
     harmonic_centrality,
 )
+from .operators.community import modularity, partition_quality
 from .operators.curation import curate_corpus, dataset_split
 from .operators.eigenvector import eigenvector_centrality
 from .operators.features import feature_propagation, neighbor_mean_features
@@ -100,6 +101,8 @@ __all__ = [
     "link_training_pairs",
     "maximal_independent_set",
     "minimum_spanning_forest",
+    "modularity",
+    "partition_quality",
     "neighbor_mean_features",
     "node2vec_walks",
     "pagerank",
