@@ -1307,6 +1307,75 @@ live{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def q_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy coloring (operators/coloring.py) of the
+    undirected reply graph — deterministic in (edge set, seed), so
+    value-checked against an unrolled MATERIALIZED-CTE replay of the
+    identical priority arithmetic (like maximal_independent_set)."""
+    from grandiso_networkx_spark.operators.coloring import greedy_coloring
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return greedy_coloring(e)
+
+
+def _coloring_sql(rounds: int = 12, seed: int = 42) -> str:
+    """Unrolled JP: round r colors live vertices whose (priority, id)
+    beats every live neighbor's, picking min({0} U {used+1}) \\ used
+    over already-colored neighbors.  ``rounds`` must be >= the actual
+    round count (later rounds see an empty live set)."""
+    parts = [
+        f"""WITH e0 AS MATERIALIZED (SELECT src, dst FROM ({_REPLY_EDGES_SQL})),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
+lp0 AS MATERIALIZED (
+  SELECT id, CAST('0x' || substring(md5(id || '|color|{seed}'), 1, 15) AS BIGINT) AS p
+  FROM (SELECT DISTINCT src AS id FROM sym)),
+col0 AS MATERIALIZED (SELECT src AS id, 0 AS color FROM sym WHERE 1 = 0)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+nm{r} AS MATERIALIZED (
+  SELECT e.src AS id, max(struct_pack(p := n.p, id := n.id)) AS nm
+  FROM sym e
+  JOIN lp{r} n ON n.id = e.dst
+  JOIN lp{r} l ON l.id = e.src
+  GROUP BY e.src),
+rdy{r} AS MATERIALIZED (
+  SELECT v.id FROM lp{r} v LEFT JOIN nm{r} m ON m.id = v.id
+  WHERE m.nm IS NULL OR struct_pack(p := v.p, id := v.id) > m.nm),
+nc{r} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS id, c.color
+  FROM sym e
+  JOIN rdy{r} rd ON rd.id = e.src
+  JOIN col{r} c ON c.id = e.dst),
+pick{r} AS MATERIALIZED (
+  SELECT id, CAST(min(m) AS INT) AS color FROM (
+    SELECT id, m FROM (
+      SELECT id, 0 AS m FROM rdy{r}
+      UNION ALL SELECT id, color + 1 AS m FROM nc{r}
+    ) c
+    WHERE NOT EXISTS (SELECT 1 FROM nc{r} n
+                      WHERE n.id = c.id AND n.color = c.m)
+  ) w GROUP BY id),
+col{r + 1} AS MATERIALIZED (
+  SELECT id, color FROM col{r} UNION ALL SELECT id, color FROM pick{r}),
+lp{r + 1} AS MATERIALIZED (
+  SELECT id, p FROM lp{r}
+  WHERE id NOT IN (SELECT id FROM rdy{r}))"""
+        )
+    parts.append(
+        f""",
+loop_only AS (
+  SELECT DISTINCT src AS id, 0 AS color FROM e0
+  WHERE src = dst AND src NOT IN (SELECT src FROM sym))
+SELECT id, color FROM col{rounds}
+UNION ALL SELECT id, color FROM loop_only"""
+    )
+    return "".join(parts)
+
+
 def q_mst(spark, sf_dir):
     """Minimum spanning forest of the weighted reply graph (distributed
     Borůvka, operators/mst.py).  MST is not SQL-expressible → rows-only
@@ -2540,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_3": q_ktruss,
         "minimum_spanning_forest": q_mst,
         "maximal_independent_set": q_mis,
+        "greedy_coloring": q_coloring,
         "feature_neighbor_mean": q_feature_neighbor_mean,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "closeness_centrality": q_closeness,
@@ -2622,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity": _ECCENTRICITY_SQL,
         "ktruss_3": _ktruss_sql(3, 5),
         "maximal_independent_set": _mis_sql(6, 42),
+        "greedy_coloring": _coloring_sql(12, 42),
         "feature_neighbor_mean": _FEATURE_MEAN_SQL,
         "semantic_dedup_keep": _SEMANTIC_DEDUP_KEEP_SQL,
         "closeness_centrality": _CLOSENESS_SQL,

@@ -22,6 +22,7 @@ from .operators.closeness import (
     eccentricity,
     harmonic_centrality,
 )
+from .operators.coloring import greedy_coloring
 from .operators.community import modularity, partition_quality
 from .operators.curation import curate_corpus, dataset_split
 from .operators.eigenvector import eigenvector_centrality
@@ -87,6 +88,7 @@ __all__ = [
     "neighborhood_function",
     "feature_propagation",
     "find_motifs",
+    "greedy_coloring",
     "find_motifs_df",
     "find_motifs_iter",
     "get_spark",
