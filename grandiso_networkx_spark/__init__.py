@@ -57,6 +57,11 @@ from .operators.stats import (
 from .operators.triangles import per_vertex_triangles, triangle_count
 from .operators.walks import node2vec_walks, random_walks
 from .session import get_spark
+from .sources.bucketed import (
+    drop_bucketed,
+    read_bucketed,
+    write_bucketed_edges,
+)
 
 # Public surface mirrors the reference's exports (grandiso/__init__.py:
 # find_motifs, find_motifs_iter, get_next_backbone_candidates,
@@ -79,6 +84,9 @@ __all__ = [
     "dataset_split",
     "degree_assortativity",
     "degree_distribution",
+    "drop_bucketed",
+    "read_bucketed",
+    "write_bucketed_edges",
     "eccentricity",
     "ego_net",
     "eigenvector_centrality",
