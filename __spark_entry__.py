@@ -1307,6 +1307,60 @@ live{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def q_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest arrival (operators/temporal.py) over
+    per-user event-type transitions (edge time = the later event's
+    unix_micros), 6 fixed rounds from the lexicographically smallest
+    source type — after k rounds both engines hold EXACTLY the min
+    arrival over ≤k-hop time-respecting paths, so value-checked like
+    sssp_weighted."""
+    from pyspark.sql import Window
+
+    from grandiso_networkx_spark.operators.temporal import earliest_arrival
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+            # micros since epoch, timezone-free (ts is TIMESTAMP_NTZ —
+            # matches DuckDB's epoch_us on the same wall-clock value)
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("ts"),
+        )
+        .where(F.col("src").isNotNull())
+    )
+    source = tr.agg(F.min("src")).collect()[0][0]
+    return earliest_arrival(tr, source, fixed_rounds=6)
+
+
+def _temporal_reach_sql(rounds: int = 6) -> str:
+    parts = [
+        """WITH tr AS MATERIALIZED (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst,
+         epoch_us(ts) AS t
+  FROM events),
+e AS MATERIALIZED (SELECT src, dst, t FROM tr WHERE src IS NOT NULL),
+a0 AS MATERIALIZED (SELECT (SELECT min(src) FROM e) AS id, CAST(0 AS BIGINT) AS arr)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+g{i} AS (SELECT e.dst AS id, min(e.t) AS arr
+         FROM e JOIN a{i} a ON a.id = e.src AND e.t >= a.arr
+         GROUP BY e.dst),
+a{i + 1} AS MATERIALIZED (SELECT id, min(arr) AS arr FROM (
+    SELECT id, arr FROM a{i} UNION ALL SELECT id, arr FROM g{i}) u
+  GROUP BY id)"""
+        )
+    parts.append(f"\nSELECT id, arr FROM a{rounds}")
+    return "".join(parts)
+
+
 def q_coloring(spark, sf_dir):
     """Jones-Plassmann greedy coloring (operators/coloring.py) of the
     undirected reply graph — deterministic in (edge set, seed), so
@@ -2610,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimum_spanning_forest": q_mst,
         "maximal_independent_set": q_mis,
         "greedy_coloring": q_coloring,
+        "temporal_reach": q_temporal_reach,
         "feature_neighbor_mean": q_feature_neighbor_mean,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "closeness_centrality": q_closeness,
@@ -2693,6 +2748,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_3": _ktruss_sql(3, 5),
         "maximal_independent_set": _mis_sql(6, 42),
         "greedy_coloring": _coloring_sql(12, 42),
+        "temporal_reach": _temporal_reach_sql(6),
         "feature_neighbor_mean": _FEATURE_MEAN_SQL,
         "semantic_dedup_keep": _SEMANTIC_DEDUP_KEEP_SQL,
         "closeness_centrality": _CLOSENESS_SQL,

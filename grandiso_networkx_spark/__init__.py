@@ -47,6 +47,7 @@ from .operators.retrieval import bm25_topk, tfidf_terms
 from .operators.sampling import ego_net, link_training_pairs
 from .operators.scc import strongly_connected_components
 from .operators.sssp import sssp
+from .operators.temporal import earliest_arrival
 from .operators.stats import (
     avg_clustering,
     degree_assortativity,
@@ -85,6 +86,7 @@ __all__ = [
     "degree_assortativity",
     "degree_distribution",
     "drop_bucketed",
+    "earliest_arrival",
     "read_bucketed",
     "write_bucketed_edges",
     "eccentricity",
