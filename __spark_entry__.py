@@ -1307,6 +1307,32 @@ live{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def q_neighbor_minhash(spark, sf_dir):
+    """Neighborhood MinHash signatures (operators/neighbor_minhash.py)
+    over the undirected invoke graph — one pass, 8 min-aggregates of
+    portable md5 hashes; value-checked bit-for-bit."""
+    from grandiso_networkx_spark.operators.neighbor_minhash import (
+        minhash_neighbor_signatures,
+    )
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    return minhash_neighbor_signatures(e, num_hashes=8)
+
+
+def _neighbor_minhash_sql(num_hashes: int = 8, seed: int = 42) -> str:
+    sig = ", ".join(
+        f"min(CAST('0x' || substring(md5(dst || '|{h}|{seed}'), 1, 15) AS BIGINT)) AS sig{h}"
+        for h in range(num_hashes)
+    )
+    return f"""
+WITH e0 AS ({_INVOKE_EDGES_SQL}),
+be AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+sym AS (SELECT src, dst FROM be UNION SELECT dst AS src, src AS dst FROM be)
+SELECT src AS id, {sig}
+FROM sym GROUP BY src
+"""
+
+
 def q_temporal_reach(spark, sf_dir):
     """Time-respecting earliest arrival (operators/temporal.py) over
     per-user event-type transitions (edge time = the later event's
@@ -2665,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_independent_set": q_mis,
         "greedy_coloring": q_coloring,
         "temporal_reach": q_temporal_reach,
+        "neighbor_minhash": q_neighbor_minhash,
         "feature_neighbor_mean": q_feature_neighbor_mean,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "closeness_centrality": q_closeness,
@@ -2749,6 +2776,7 @@ def oracle_sql() -> dict[str, str]:
         "maximal_independent_set": _mis_sql(6, 42),
         "greedy_coloring": _coloring_sql(12, 42),
         "temporal_reach": _temporal_reach_sql(6),
+        "neighbor_minhash": _neighbor_minhash_sql(8),
         "feature_neighbor_mean": _FEATURE_MEAN_SQL,
         "semantic_dedup_keep": _SEMANTIC_DEDUP_KEEP_SQL,
         "closeness_centrality": _CLOSENESS_SQL,

@@ -41,6 +41,10 @@ from .operators.linkpred import link_prediction_scores
 from .operators.match import find_motifs, find_motifs_df, find_motifs_iter
 from .operators.mis import maximal_independent_set
 from .operators.mst import minimum_spanning_forest
+from .operators.neighbor_minhash import (
+    minhash_neighbor_signatures,
+    neighbor_similarity_pairs,
+)
 from .operators.pagerank import pagerank
 from .operators.ppr import personalized_pagerank
 from .operators.retrieval import bm25_topk, tfidf_terms
@@ -112,8 +116,10 @@ __all__ = [
     "local_clustering",
     "link_training_pairs",
     "maximal_independent_set",
+    "minhash_neighbor_signatures",
     "minimum_spanning_forest",
     "modularity",
+    "neighbor_similarity_pairs",
     "partition_quality",
     "neighbor_mean_features",
     "node2vec_walks",
