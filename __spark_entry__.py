@@ -2512,6 +2512,50 @@ FROM vols v LEFT JOIN ints i ON i.label = v.label
 """
 
 
+def q_attr_assortativity(spark, sf_dir):
+    """Categorical attribute assortativity
+    (operators/stats.py attribute_assortativity,
+    nx.attribute_assortativity_coefficient semantics) of the
+    undirected reply graph under the deterministic md5-bucket
+    categories."""
+    from grandiso_networkx_spark.operators.stats import (
+        attribute_assortativity,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    attrs = _hash_labels(verts).select("id", F.col("label").alias("cat"))
+    r = attribute_assortativity(e, attrs)
+    return r.select(
+        F.round("attr_assortativity", 6).alias("attr_assortativity")
+    )
+
+
+_ATTR_ASSORT_SQL = f"""
+WITH e0 AS ({_REPLY_EDGES_SQL}),
+base AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+sym AS (SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base),
+verts AS (SELECT src AS id FROM sym),
+lab AS (SELECT DISTINCT id, 'c' || CAST(CAST('0x' || substring(md5(id || '|lbl|42'), 1, 15) AS BIGINT) % 3 AS VARCHAR) AS label FROM verts),
+p AS (SELECT la.label AS ca, lb.label AS cb
+      FROM sym JOIN lab la ON la.id = sym.src JOIN lab lb ON lb.id = sym.dst),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+               CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS DOUBLE) AS diag
+        FROM p),
+a AS (SELECT ca AS cat, CAST(count(*) AS DOUBLE) AS na FROM p GROUP BY 1),
+b AS (SELECT cb AS cat, CAST(count(*) AS DOUBLE) AS nb FROM p GROUP BY 1),
+ab AS (SELECT sum(na * nb) AS sab FROM a JOIN b USING (cat))
+SELECT CASE WHEN sab / (m * m) < 1.0
+            THEN round((diag / m - sab / (m * m)) / (1.0 - sab / (m * m)), 6)
+       END AS attr_assortativity
+FROM tot, ab
+"""
+
+
 def q_hyperball(spark, sf_dir):
     """HyperBall FM reachability sketches (operators/hyperball.py) —
     3 OR-propagation rounds, 8 registers, over the directed reply
@@ -2692,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": q_coloring,
         "temporal_reach": q_temporal_reach,
         "neighbor_minhash": q_neighbor_minhash,
+        "attr_assortativity": q_attr_assortativity,
         "feature_neighbor_mean": q_feature_neighbor_mean,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "closeness_centrality": q_closeness,
@@ -2777,6 +2822,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_coloring": _coloring_sql(12, 42),
         "temporal_reach": _temporal_reach_sql(6),
         "neighbor_minhash": _neighbor_minhash_sql(8),
+        "attr_assortativity": _ATTR_ASSORT_SQL,
         "feature_neighbor_mean": _FEATURE_MEAN_SQL,
         "semantic_dedup_keep": _SEMANTIC_DEDUP_KEEP_SQL,
         "closeness_centrality": _CLOSENESS_SQL,

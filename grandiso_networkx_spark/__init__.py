@@ -53,6 +53,7 @@ from .operators.scc import strongly_connected_components
 from .operators.sssp import sssp
 from .operators.temporal import earliest_arrival
 from .operators.stats import (
+    attribute_assortativity,
     avg_clustering,
     degree_assortativity,
     degree_distribution,
@@ -76,6 +77,7 @@ from .sources.bucketed import (
 __all__ = [
     "HostGraph",
     "Motif",
+    "attribute_assortativity",
     "avg_clustering",
     "betweenness_centrality",
     "bfs_levels",

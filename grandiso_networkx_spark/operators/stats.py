@@ -128,3 +128,70 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.col("cov") / (F.col("s1") * F.col("s2")),
         ).alias("assortativity")
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    attrs: DataFrame,
+    directed: bool = False,
+) -> DataFrame:
+    """Categorical attribute assortativity as a 1-row
+    ``(attr_assortativity double)`` frame —
+    ``nx.attribute_assortativity_coefficient`` semantics:
+
+        r = (Σ_i e_ii − Σ_i a_i·b_i) / (1 − Σ_i a_i·b_i)
+
+    over the normalized category mixing matrix ``e`` of edge endpoints
+    (undirected: both orientations of every edge; directed: stored
+    orientation, ``a``/``b`` = out/in margins).  ``attrs (id, cat)``
+    must cover every endpoint (edges touching unlabeled vertices are
+    dropped by the inner joins — networkx raises there instead);
+    degenerate single-category graphs return null (nx returns nan).
+
+    Scale shape: two label-attach equi joins, then every aggregate is
+    keyed by category (cardinality = #distinct labels, tiny) — the
+    Σ a_i·b_i term is a category⋈category join, never per-vertex.
+    """
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    if not directed:
+        e = symmetrize(e)
+    pairs = (
+        e.join(
+            attrs.select(F.col("id").alias("src"), F.col("cat").alias("ca")),
+            "src",
+        )
+        .join(
+            attrs.select(F.col("id").alias("dst"), F.col("cat").alias("cb")),
+            "dst",
+        )
+        .select("ca", "cb")
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(
+            F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
+        ).cast("double").alias("diag"),
+    )
+    a = pairs.groupBy(F.col("ca").alias("cat")).agg(
+        F.count(F.lit(1)).cast("double").alias("na")
+    )
+    b = pairs.groupBy(F.col("cb").alias("cat")).agg(
+        F.count(F.lit(1)).cast("double").alias("nb")
+    )
+    ab = (
+        a.join(b, "cat")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("sab"))
+    )
+    return (
+        tot.crossJoin(ab)
+        .select(
+            (F.col("diag") / F.col("m")).alias("tr"),
+            (F.col("sab") / (F.col("m") * F.col("m"))).alias("ab"),
+        )
+        .select(
+            F.when(
+                F.col("ab") < 1.0,
+                (F.col("tr") - F.col("ab")) / (1.0 - F.col("ab")),
+            ).alias("attr_assortativity")
+        )
+    )
