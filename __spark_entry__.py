@@ -2677,6 +2677,47 @@ FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
 
 
+def q_pmi_pairs(spark, sf_dir):
+    """Skip-gram co-occurrence + PMI (operators/cooccur.py) over the
+    documents corpus, window 2, min pair count 5 — the word2vec-style
+    pair table with collocation scores; explode-shift-join shape
+    (T·window work, never Σ len²)."""
+    from grandiso_networkx_spark.operators.cooccur import pmi_pairs
+
+    out = pmi_pairs(
+        _t(spark, sf_dir, "documents"), window=2, min_pair_count=5
+    )
+    return out.select(
+        "left_tok", "right_tok", "n_pairs", F.round("pmi", 6).alias("pmi")
+    )
+
+
+_PMI_SQL = f"""
+WITH d AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, len(toks) AS nw, toks FROM d),
+pos AS (SELECT doc_id, unnest(range(1, nw + 1)) AS p, toks FROM base WHERE nw >= 1),
+tok AS (SELECT doc_id, p, toks[p] AS tok FROM pos),
+probes AS (SELECT t.doc_id, t.tok AS left_tok,
+                  unnest(range(t.p + 1, t.p + 3)) AS p
+           FROM tok t),
+pairs AS (SELECT pr.left_tok, t2.tok AS right_tok, count(*) AS n_pairs
+          FROM probes pr
+          JOIN tok t2 ON t2.doc_id = pr.doc_id AND t2.p = pr.p
+          GROUP BY 1, 2),
+tokc AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT (SELECT sum(n_pairs) FROM pairs) AS n_all,
+               (SELECT count(*) FROM tok) AS t_tokens)
+SELECT p.left_tok, p.right_tok, p.n_pairs,
+       round(ln((p.n_pairs * 1.0 / n_all)
+                / ((cl.c * 1.0 / t_tokens) * (cr.c * 1.0 / t_tokens))), 6)
+         AS pmi
+FROM pairs p
+JOIN tokc cl ON cl.tok = p.left_tok
+JOIN tokc cr ON cr.tok = p.right_tok, tot
+WHERE p.n_pairs >= 5
+"""
+
+
 # -- driver contract -----------------------------------------------------------
 
 
@@ -2713,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "repetition_features": q_repetition,
         "contamination": q_contamination,
+        "pmi_pairs": q_pmi_pairs,
         "quality_features": q_quality,
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2798,6 +2840,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_SQL,
         "repetition_features": _REPETITION_SQL,
         "contamination": _CONTAMINATION_SQL,
+        "pmi_pairs": _PMI_SQL,
         "quality_features": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "winnow_fingerprints": _WINNOW_SQL,

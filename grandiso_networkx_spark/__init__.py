@@ -24,6 +24,7 @@ from .operators.closeness import (
 )
 from .operators.coloring import greedy_coloring
 from .operators.community import modularity, partition_quality
+from .operators.cooccur import pmi_pairs, skipgram_pairs
 from .operators.curation import curate_corpus, dataset_split
 from .operators.eigenvector import eigenvector_centrality
 from .operators.features import feature_propagation, neighbor_mean_features
@@ -128,6 +129,8 @@ __all__ = [
     "pagerank",
     "personalized_pagerank",
     "per_vertex_triangles",
+    "pmi_pairs",
+    "skipgram_pairs",
     "random_walks",
     "sssp",
     "strongly_connected_components",
