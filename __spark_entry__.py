@@ -2677,6 +2677,76 @@ FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
 
 
+def q_event_rollup(spark, sf_dir):
+    """ROLLUP subtotals over (event_type, hour-of-day)
+    (operators/olap.py) — one Expand + hash aggregate; subtotal keys
+    coalesced to '(all)'/-1 for unambiguous cross-engine hashing."""
+    from grandiso_networkx_spark.operators.olap import event_rollup
+
+    return event_rollup(_t(spark, sf_dir, "events"))
+
+
+_EVENT_ROLLUP_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(hour, -1) AS hour,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hour, value FROM events) t
+GROUP BY ROLLUP(event_type, hour)
+"""
+
+
+def q_user_running(spark, sf_dir):
+    """Per-user running value totals + sequence numbers under the
+    stable (ts, event_id) ordering (operators/olap.py) — the window
+    surface of the relational checklist."""
+    from grandiso_networkx_spark.operators.olap import user_running_totals
+
+    return user_running_totals(_t(spark, sf_dir, "events"))
+
+
+_USER_RUNNING_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER w AS seq,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_top_transitions(spark, sf_dir):
+    """Each user's top-2 event-type transitions with deterministic
+    (count desc, src, dst) tie-break (operators/olap.py) — top-k per
+    group via rank window, no global sort."""
+    from grandiso_networkx_spark.operators.olap import (
+        top_transitions_per_user,
+    )
+
+    return top_transitions_per_user(_t(spark, sf_dir, "events"), k=2)
+
+
+_TOP_TRANSITIONS_SQL = """
+WITH trans AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+counts AS (
+  SELECT user_id, src, dst, count(*) AS n
+  FROM trans WHERE src IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, src, dst, n, rnk FROM (
+  SELECT user_id, src, dst, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, src, dst) AS rnk
+  FROM counts) r
+WHERE rnk <= 2
+"""
+
+
 def q_pmi_pairs(spark, sf_dir):
     """Skip-gram co-occurrence + PMI (operators/cooccur.py) over the
     documents corpus, window 2, min pair count 5 — the word2vec-style
@@ -2755,6 +2825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": q_repetition,
         "contamination": q_contamination,
         "pmi_pairs": q_pmi_pairs,
+        "event_rollup": q_event_rollup,
+        "user_running_totals": q_user_running,
+        "top_transitions": q_top_transitions,
         "quality_features": q_quality,
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2841,6 +2914,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_features": _REPETITION_SQL,
         "contamination": _CONTAMINATION_SQL,
         "pmi_pairs": _PMI_SQL,
+        "event_rollup": _EVENT_ROLLUP_SQL,
+        "user_running_totals": _USER_RUNNING_SQL,
+        "top_transitions": _TOP_TRANSITIONS_SQL,
         "quality_features": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "winnow_fingerprints": _WINNOW_SQL,

