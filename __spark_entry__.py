@@ -2148,6 +2148,71 @@ s{s} AS (SELECT start, rep, cur AS prev, x AS cur FROM (
     return "".join(parts)
 
 
+def q_weighted_walks(spark, sf_dir):
+    """Edge-weight-biased first-order walks (operators/walks.py
+    weighted_random_walks) over the weighted reply graph — cumulative
+    inversion at portable md5 draws; integer-valued weights make every
+    partial sum exact in double, so the independent DuckDB rebuild
+    matches bit-for-bit."""
+    from grandiso_networkx_spark.operators.walks import (
+        weighted_random_walks,
+    )
+
+    e = q_reply_edges(spark, sf_dir)
+    return weighted_random_walks(
+        e, walk_length=3, walks_per_vertex=2, seed=11
+    )
+
+
+def _weighted_walks_sql(
+    walk_length: int = 3, walks_per_vertex: int = 2, seed: int = 11
+) -> str:
+    h = (
+        "CAST(CAST('0x' || substring(md5(concat_ws('|', w.start, w.rep, "
+        "{step}, " + str(seed) + ")), 1, 15) AS BIGINT) AS DOUBLE) "
+        "/ 1152921504606846976.0"
+    )
+    parts = [
+        f"""WITH e0 AS ({_REPLY_EDGES_SQL}),
+pairs AS (SELECT src, dst, sum(weight * 1.0) AS w
+          FROM e0 WHERE src <> dst GROUP BY 1, 2),
+adj AS (SELECT src,
+        list_transform(lst, x -> x.dst) AS nbrs,
+        list_transform(lst, x -> x.w) AS ws
+        FROM (SELECT src,
+                     list_sort(list(struct_pack(dst := dst, w := w))) AS lst
+              FROM pairs GROUP BY src)),
+w0 AS (SELECT a.src AS start, CAST(r.r AS INT) AS rep, a.src AS cur
+       FROM adj a CROSS JOIN
+            (SELECT unnest(range(0, {walks_per_vertex})) AS r) r)"""
+    ]
+    for s in range(1, walk_length + 1):
+        parts.append(
+            f""",
+c{s} AS (SELECT start, rep, cur, u, nbrs, ws,
+    unnest(range(1, len(nbrs) + 1)) AS i
+  FROM (SELECT w.start, w.rep, w.cur, a.nbrs, a.ws,
+               {h.format(step=s)} AS u
+        FROM w{s - 1} w JOIN adj a ON a.src = w.cur)),
+t{s} AS (SELECT *,
+    sum(ws[CAST(i AS INT)]) OVER (PARTITION BY start, rep ORDER BY i) AS cum,
+    sum(ws[CAST(i AS INT)]) OVER (PARTITION BY start, rep) AS tot
+  FROM c{s}),
+w{s} AS (SELECT start, rep, x AS cur FROM (
+    SELECT *, nbrs[CAST(i AS INT)] AS x,
+           row_number() OVER (PARTITION BY start, rep
+             ORDER BY (cum > u * tot) DESC,
+                      CASE WHEN cum > u * tot THEN i ELSE -i END) AS rn
+    FROM t{s}) z WHERE rn = 1)"""
+        )
+    selects = [
+        f"SELECT start, rep, {s} AS step, cur AS vertex FROM w{s}"
+        for s in range(walk_length + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL ".join(selects))
+    return "".join(parts)
+
+
 def q_degree_distribution(spark, sf_dir):
     """Undirected degree histogram of the event-transition graph
     (operators/stats.py) — the first hub-skew diagnostic; value-checked."""
@@ -2868,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_fixed": q_hits_invoke,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
+        "weighted_walks": q_weighted_walks,
         "ego_net": q_ego_net,
         "degree_distribution": q_degree_distribution,
         "graph_stats": q_graph_stats,
@@ -2957,6 +3023,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_fixed": _hits_fixed_sql(8),
         "random_walks": _walks_sql(3, 2, 42),
         "node2vec_walks": _node2vec_sql(3, 2, 2.0, 0.5, 7),
+        "weighted_walks": _weighted_walks_sql(3, 2, 11),
         "ego_net": _EGO_SQL,
         "degree_distribution": _DEGREE_DIST_SQL,
         "graph_stats": _GRAPH_STATS_SQL,

@@ -67,7 +67,11 @@ from .operators.stats import (
     transitivity,
 )
 from .operators.triangles import per_vertex_triangles, triangle_count
-from .operators.walks import node2vec_walks, random_walks
+from .operators.walks import (
+    node2vec_walks,
+    random_walks,
+    weighted_random_walks,
+)
 from .session import get_spark
 from .sources.bucketed import (
     drop_bucketed,
@@ -144,6 +148,7 @@ __all__ = [
     "top_transitions_per_user",
     "transitivity",
     "user_running_totals",
+    "weighted_random_walks",
     "triangle_count",
     "uniform_node_interestingness",
 ]

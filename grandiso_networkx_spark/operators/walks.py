@@ -255,3 +255,115 @@ def node2vec_walks(
         )
     adj.unpersist()
     return out
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    seed: int = 42,
+    max_degree: int | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """First-order edge-weight-biased walks: the next vertex is drawn
+    proportionally to edge weight, by inverting the cumulative weight
+    of the dst-sorted neighbor list at ``u = hash(start|rep|step|seed)
+    / 2^60`` — the same deterministic draw-and-fold machinery as
+    ``node2vec_walks``, one adjacency join per step instead of two.
+
+    Weights must be positive (ValueError otherwise); duplicate
+    ``(src, dst)`` rows sum their weights (multi-edge semantics).
+    With integer-valued weights every partial sum is exact in double,
+    so an independent SQL rebuild (ordered window cumsum) reproduces
+    the corpus bit-for-bit — the driver value check
+    ``weighted_walks``.  Output format matches ``random_walks``:
+    ``(start, rep, step, vertex)``.
+    """
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
+    )
+    if not directed:
+        e = e.unionAll(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    e = e.where(F.col("src") != F.col("dst"))
+    if e.where((F.col("w").isNull()) | (F.col("w") <= 0)).limit(1).count():
+        raise ValueError("weights must be positive and non-null")
+    pairs = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    nw = F.array_sort(F.collect_list(F.struct("dst", "w")))
+    if max_degree is not None:
+        nw = F.slice(nw, 1, max_degree)
+    adj = (
+        pairs.groupBy("src")
+        .agg(nw.alias("nw"))
+        .select(
+            "src",
+            F.transform("nw", lambda x: x["dst"]).alias("nbrs"),
+            F.transform("nw", lambda x: x["w"]).alias("ws"),
+        )
+        .persist()
+    )
+
+    frontier = adj.select(
+        F.col("src").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("rep"),
+        F.col("src").alias("cur"),
+    )
+    out = frontier.select(
+        "start", "rep", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+    )
+    for step in range(1, walk_length + 1):
+        u = (
+            _hash60(
+                F.concat_ws(
+                    "|", F.col("start"), F.col("rep"), F.lit(step), F.lit(seed)
+                )
+            ).cast("double")
+            / F.lit(_TWO_POW_60)
+        )
+        cand = frontier.join(
+            adj.withColumnRenamed("src", "cur"), "cur"
+        ).withColumn(
+            "target",
+            u * F.aggregate("ws", F.lit(0.0), lambda acc, w: acc + w),
+        )
+        sel = F.aggregate(
+            "ws",
+            F.struct(
+                F.lit(0.0).alias("cum"),
+                F.lit(0).alias("sel"),
+                F.lit(0).alias("pos"),
+            ),
+            lambda acc, w: F.struct(
+                (acc["cum"] + w).alias("cum"),
+                F.when(
+                    (acc["sel"] == 0) & (acc["cum"] + w > F.col("target")),
+                    acc["pos"] + 1,
+                )
+                .otherwise(acc["sel"])
+                .alias("sel"),
+                (acc["pos"] + 1).alias("pos"),
+            ),
+            lambda acc: acc["sel"],
+        )
+        idx = F.when(sel == 0, F.size("nbrs")).otherwise(sel).cast("int")
+        frontier = cand.select(
+            "start", "rep", F.element_at("nbrs", idx).alias("cur")
+        ).localCheckpoint()
+        out = out.unionAll(
+            frontier.select(
+                "start", "rep", F.lit(step).alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    adj.unpersist()
+    return out
