@@ -156,3 +156,29 @@ def stream_reply_edges(transcripts: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_distinct_convs(
+    transcripts: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Windowed approximate distinct conversations per role
+    ``(window_start, role, n_convs)`` — the streaming cardinality
+    monitor (how many conversations touched each role per window).
+
+    Uses the built-in HyperLogLog++ (``approx_count_distinct``) so the
+    per-window state is a constant-size sketch, never a distinct-set:
+    the same watermark discipline as the other windowed aggregates,
+    O(1) memory per (window, role) regardless of conversation count —
+    the only formulation that survives 10^9 conversations/window.
+    HLL++ is deterministic for a given input set (hash-based, merge
+    commutative), so streaming output equals the batch aggregate over
+    the same files (pinned in tests/test_streaming.py)."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("role"))
+        .agg(F.approx_count_distinct("conv_id", rsd).alias("n_convs"))
+        .select(F.col("win.start").alias("window_start"), "role", "n_convs")
+    )

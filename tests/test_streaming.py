@@ -177,3 +177,41 @@ def test_stream_dedup_first_wins(spark, tmp_path):
     assert len(got) == 2 and len(fps) == 2
     kept_ids = {r.doc_id for r in got}
     assert "d3" in kept_ids and len(kept_ids & {"d1", "d2", "d4"}) == 1
+
+def test_stream_distinct_convs_match_batch(spark, transcript_dir, tmp_path):
+    from grandiso_networkx_spark.streaming.derive_stream import (
+        stream_distinct_convs,
+    )
+
+    stream = read_transcript_stream(spark, transcript_dir, max_files=2)
+    got = _run_stream(
+        spark,
+        stream_distinct_convs(stream, window="1 hour", watermark="2 hours"),
+        "distinct_convs",
+        tmp_path,
+        mode="complete",
+    )
+    batch = spark.read.parquet(transcript_dir)
+    want = {
+        (r.window_start, r.role): r.n_convs
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("win"), F.col("role")
+        )
+        .agg(F.approx_count_distinct("conv_id", 0.05).alias("n_convs"))
+        .select(F.col("win.start").alias("window_start"), "role", "n_convs")
+        .collect()
+    }
+    got_m = {(r.window_start, r.role): r.n_convs for r in got.collect()}
+    assert got_m == want
+    # sketch estimates stay within the configured rsd of exact
+    exact = {
+        (r.window_start, r.role): r.n
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("win"), F.col("role")
+        )
+        .agg(F.count_distinct("conv_id").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "role", "n")
+        .collect()
+    }
+    for k, est in got_m.items():
+        assert abs(est - exact[k]) <= max(3, 0.2 * exact[k]), k
