@@ -2742,6 +2742,40 @@ FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
 
 
+def q_event_outliers(spark, sf_dir):
+    """Robust median/MAD outlier scores per event_type
+    (operators/anomaly.py) — modified z-scores, |z| > 3.5 flags;
+    exact percentile matches quantile_cont bit-for-bit."""
+    from grandiso_networkx_spark.operators.anomaly import robust_outliers
+
+    out = robust_outliers(_t(spark, sf_dir, "events"))
+    return out.select(
+        "id",
+        "event_type",
+        "value",
+        F.round("robust_z", 6).alias("robust_z"),
+        "is_outlier",
+    )
+
+
+_EVENT_OUTLIERS_SQL = """
+WITH rows_ AS (SELECT event_id AS id, event_type AS grp,
+                      CAST(value AS DOUBLE) AS v
+               FROM events WHERE value IS NOT NULL),
+med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM rows_ GROUP BY 1),
+wm AS (SELECT r.id, r.grp, r.v, m.med FROM rows_ r JOIN med m USING (grp)),
+mad AS (SELECT grp, quantile_cont(abs(v - med), 0.5) AS mad
+        FROM wm GROUP BY 1)
+SELECT w.id, w.grp AS event_type, w.v AS value,
+       round(CASE WHEN d.mad > 0
+                  THEN 0.6745 * (w.v - w.med) / d.mad END, 6) AS robust_z,
+       coalesce(CASE WHEN d.mad > 0
+                     THEN abs(0.6745 * (w.v - w.med) / d.mad) > 3.5 END,
+                false) AS is_outlier
+FROM wm w JOIN mad d USING (grp)
+"""
+
+
 def q_event_rollup(spark, sf_dir):
     """ROLLUP subtotals over (event_type, hour-of-day)
     (operators/olap.py) — one Expand + hash aggregate; subtotal keys
@@ -2891,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pmi_pairs": q_pmi_pairs,
         "event_rollup": q_event_rollup,
+        "event_outliers": q_event_outliers,
         "user_running_totals": q_user_running,
         "top_transitions": q_top_transitions,
         "quality_features": q_quality,
@@ -2981,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "pmi_pairs": _PMI_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
+        "event_outliers": _EVENT_OUTLIERS_SQL,
         "user_running_totals": _USER_RUNNING_SQL,
         "top_transitions": _TOP_TRANSITIONS_SQL,
         "quality_features": _QUALITY_SQL,

@@ -12,6 +12,7 @@ __version__ = "0.1.0"
 from .graph import HostGraph
 from .plans.motif import Motif, compile_plan, uniform_node_interestingness
 from .operators.betweenness import betweenness_centrality
+from .operators.anomaly import robust_outliers
 from .operators.bfs import bfs_levels
 from .operators.components import (
     connected_components,
@@ -142,6 +143,7 @@ __all__ = [
     "pmi_pairs",
     "skipgram_pairs",
     "random_walks",
+    "robust_outliers",
     "sssp",
     "strongly_connected_components",
     "tfidf_terms",
