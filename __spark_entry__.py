@@ -2742,6 +2742,20 @@ FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Deterministic k-means semantic sharding of the embeddings table
+    (operators/similarity.py embedding_clusters) — xxhash64-seeded
+    codebook is not SQL-portable, so rows-only here; nearest-centroid
+    exactness + determinism pinned in tests/test_embedding_clusters.py."""
+    from grandiso_networkx_spark.operators.similarity import (
+        embedding_clusters,
+    )
+
+    return embedding_clusters(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, lloyd_iters=2
+    )
+
+
 def q_event_outliers(spark, sf_dir):
     """Robust median/MAD outlier scores per event_type
     (operators/anomaly.py) — modified z-scores, |z| > 3.5 flags;
@@ -2988,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "embedding_clusters": q_embedding_clusters,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
     }

@@ -57,6 +57,7 @@ from .operators.ppr import personalized_pagerank
 from .operators.retrieval import bm25_topk, tfidf_terms
 from .operators.sampling import ego_net, link_training_pairs
 from .operators.scc import strongly_connected_components
+from .operators.similarity import embedding_clusters
 from .operators.sssp import sssp
 from .operators.temporal import earliest_arrival
 from .operators.stats import (
@@ -109,6 +110,7 @@ __all__ = [
     "eccentricity",
     "ego_net",
     "eigenvector_centrality",
+    "embedding_clusters",
     "event_rollup",
     "effective_diameter",
     "expand_step",

@@ -300,3 +300,46 @@ def lsh_bucketed_topk(
         .where(F.col("__rn") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_clusters(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    lloyd_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic k-means clustering of an embedding column as a
+    first-class op: ``(vec_id, cid, cosine)`` — each vector's cluster
+    and its similarity to the final centroid.
+
+    This is the same codebook the IVF index builds
+    (:func:`ivf_centroids`: hash-sampled seeds + synchronous Lloyd
+    steps, JVM-side throughout) surfaced for the pipeline uses beyond
+    ANN — semantic sharding of a corpus, diversity sampling, topic
+    bucketing before dedup.  Deterministic in (data, seed): seeds are
+    the ``n_clusters`` vectors with the smallest ``xxhash64(id, seed)``
+    (hash-based, so a driver value check would need Spark's xxhash64 in
+    SQL — the driver records rows-only; exactness properties are pinned
+    in pytest instead).  Scale: every pass is a broadcast of the tiny
+    centroid table against the corpus + one posexplode mean — linear in
+    corpus size, no corpus x corpus term anywhere.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    cents = ivf_centroids(base, n_clusters, lloyd_iters, seed)
+    scored = with_cosine(
+        base.crossJoin(F.broadcast(cents)), "__v", "__cv", "__sim"
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("__sim"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__id").alias(id_col),
+            "cid",
+            F.round("__sim", 6).alias("cosine"),
+        )
+    )
