@@ -2742,6 +2742,50 @@ FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
 
 
+def q_user_projection(spark, sf_dir):
+    """One-mode projection of the bipartite invoke graph
+    (operators/bipartite.py) — user–user edges weighted by shared
+    event types, over-shared items dropped by the hub guard."""
+    from grandiso_networkx_spark.operators.bipartite import (
+        bipartite_project,
+    )
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    return bipartite_project(e, max_item_degree=500)
+
+
+_USER_PROJECTION_SQL = f"""
+WITH e0 AS ({_INVOKE_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+keep AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 500),
+g AS (SELECT e.src, e.dst FROM e JOIN keep USING (dst))
+SELECT a.src AS a, b.src AS b, count(*) AS weight
+FROM g a JOIN g b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
+def q_reciprocity(spark, sf_dir):
+    """Overall reciprocity of the directed reply graph
+    (operators/stats.py, nx.overall_reciprocity semantics)."""
+    from grandiso_networkx_spark.operators.stats import reciprocity
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return reciprocity(e).select(
+        F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
+_RECIPROCITY_SQL = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL}) WHERE src <> dst)
+SELECT round(
+  CAST((SELECT count(*) FROM e
+        WHERE EXISTS (SELECT 1 FROM e r
+                      WHERE r.src = e.dst AND r.dst = e.src)) AS DOUBLE)
+  / nullif((SELECT count(*) FROM e), 0), 6) AS reciprocity
+"""
+
+
 def q_embedding_clusters(spark, sf_dir):
     """Deterministic k-means semantic sharding of the embeddings table
     (operators/similarity.py embedding_clusters) — xxhash64-seeded
@@ -2940,6 +2984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "event_rollup": q_event_rollup,
         "event_outliers": q_event_outliers,
+        "user_projection": q_user_projection,
+        "reciprocity": q_reciprocity,
         "user_running_totals": q_user_running,
         "top_transitions": q_top_transitions,
         "quality_features": q_quality,
@@ -3032,6 +3078,8 @@ def oracle_sql() -> dict[str, str]:
         "pmi_pairs": _PMI_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
         "event_outliers": _EVENT_OUTLIERS_SQL,
+        "user_projection": _USER_PROJECTION_SQL,
+        "reciprocity": _RECIPROCITY_SQL,
         "user_running_totals": _USER_RUNNING_SQL,
         "top_transitions": _TOP_TRANSITIONS_SQL,
         "quality_features": _QUALITY_SQL,

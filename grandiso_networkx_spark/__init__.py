@@ -14,6 +14,7 @@ from .plans.motif import Motif, compile_plan, uniform_node_interestingness
 from .operators.betweenness import betweenness_centrality
 from .operators.anomaly import robust_outliers
 from .operators.bfs import bfs_levels
+from .operators.bipartite import bipartite_project
 from .operators.components import (
     connected_components,
     connected_components_star,
@@ -62,6 +63,7 @@ from .operators.sssp import sssp
 from .operators.temporal import earliest_arrival
 from .operators.stats import (
     attribute_assortativity,
+    reciprocity,
     avg_clustering,
     degree_assortativity,
     degree_distribution,
@@ -93,6 +95,7 @@ __all__ = [
     "avg_clustering",
     "betweenness_centrality",
     "bfs_levels",
+    "bipartite_project",
     "bm25_topk",
     "closeness_centrality",
     "compile_plan",
@@ -145,6 +148,7 @@ __all__ = [
     "pmi_pairs",
     "skipgram_pairs",
     "random_walks",
+    "reciprocity",
     "robust_outliers",
     "sssp",
     "strongly_connected_components",

@@ -195,3 +195,30 @@ def attribute_assortativity(
             ).alias("attr_assortativity")
         )
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Overall reciprocity of the directed simple graph as a 1-row
+    ``(reciprocity double)`` frame — ``nx.overall_reciprocity``
+    semantics: the fraction of (distinct, non-loop) directed edges
+    whose reverse edge also exists; null on an empty edge set (nx
+    raises there).
+
+    One self-semi-join on the swapped key + two counts — the
+    reciprocated check is an equi join on (dst, src), fully
+    shuffled-hash-joinable at any scale."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    counts = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("recip")
+    )
+    total = e.agg(F.count(F.lit(1)).alias("m"))
+    return counts.crossJoin(total).select(
+        F.when(
+            F.col("m") > 0, F.col("recip") / F.col("m")
+        ).alias("reciprocity")
+    )
