@@ -226,6 +226,23 @@ def _word_ngrams(
     )
 
 
+def _word_positions(docs: DataFrame, text_col: str) -> DataFrame:
+    """``(doc_id, p, tok)`` — 1-based token positions, one scan."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(t, r"\s+")
+    nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
+    return (
+        docs.select("doc_id", toks.alias("__t"), nw.alias("nw"))
+        .where(F.col("nw") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("nw"))).alias("p"),
+            F.col("__t"),
+        )
+        .select("doc_id", "p", F.element_at("__t", F.col("p")).alias("tok"))
+    )
+
+
 def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted
     to word fractions for a single-line corpus): per document
@@ -237,33 +254,66 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
       ≥2 times × 3 / n_words.
 
     High values mark the degenerate repeated-boilerplate documents a
-    pretraining pipeline drops before dedup.  Scale shape: three
-    explode → ``groupBy(doc_id, gram)`` (map-side combine; per-key
-    cardinality is bounded by the document's own length, so no global
-    hot keys) → per-doc aggregate, joined back to the doc spine.  All
-    built-in expressions, SQL-mirrorable (driver value check
-    ``repetition_features``).
+    pretraining pipeline drops before dedup.  Scale shape: the corpus
+    is tokenized and exploded ONCE (one column-pruned scan, T rows);
+    bigrams/trigrams come from ``lead`` windows over the same
+    positions frame, so the three gram branches share one identical
+    window subtree — Spark's ReusedExchange materializes the
+    ``(doc_id)``-keyed shuffle once and every branch reads it (at
+    100 TB this is 1× the scan+window I/O where a naive 3-explode
+    formulation pays 3×).  Per-gram counts then reduce by
+    ``groupBy(doc_id, gram)`` with map-side combine (per-key
+    cardinality bounded by the doc's own length — no global hot
+    keys).  All built-in expressions, SQL-mirrorable (driver value
+    check ``repetition_features``).
     """
+    from pyspark.sql import Window
+
     t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )
     spine = docs.select("doc_id", nw.cast("long").alias("n_words"))
 
-    def _per_doc(n: int, agg: F.Column, name: str) -> DataFrame:
+    w = Window.partitionBy("doc_id").orderBy("p")
+    pos = _word_positions(docs, text_col)
+    grams = pos.select(
+        "doc_id",
+        # lead(tok, 0) IS tok — written as a window function so the
+        # unigram branch keeps the Window node and shares the same
+        # (doc_id)-keyed exchange as the bigram/trigram branches
+        # (otherwise Catalyst prunes the window there and that branch
+        # re-scans the source)
+        F.lead("tok", 0).over(w).alias("tok"),
+        F.lead("tok", 1).over(w).alias("t2"),
+        F.lead("tok", 2).over(w).alias("t3"),
+    )
+
+    def _reduce(col: F.Column, agg: F.Column, name: str) -> DataFrame:
         counts = (
-            _word_ngrams(docs, n, text_col)
-            .groupBy("doc_id", "gram")
+            grams.where(col.isNotNull())
+            .groupBy("doc_id", col.alias("gram"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
         return counts.groupBy("doc_id").agg(agg.alias(name))
 
-    dup1 = _per_doc(
-        1, F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)), "d1"
+    dup_agg = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+    dup1 = _reduce(F.col("tok"), dup_agg, "d1")
+    top2 = _reduce(
+        F.when(
+            F.col("t2").isNotNull(),
+            F.concat_ws(" ", F.col("tok"), F.col("t2")),
+        ),
+        F.max("c"),
+        "m2",
     )
-    top2 = _per_doc(2, F.max("c"), "m2")
-    dup3 = _per_doc(
-        3, F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)), "d3"
+    dup3 = _reduce(
+        F.when(
+            F.col("t3").isNotNull(),
+            F.concat_ws(" ", F.col("tok"), F.col("t2"), F.col("t3")),
+        ),
+        dup_agg,
+        "d3",
     )
     safe = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
     return (
