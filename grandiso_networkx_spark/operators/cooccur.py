@@ -79,7 +79,8 @@ def pmi_pairs(
     tok_counts = pos.groupBy(F.col("tok")).agg(
         F.count(F.lit(1)).alias("c_tok")
     )
-    totals = pos.agg(F.count(F.lit(1)).alias("t_tokens"))
+    # T from the (vocabulary-sized) count frame, not another corpus scan
+    totals = tok_counts.agg(F.sum("c_tok").alias("t_tokens"))
     pairs_all = skipgram_pairs(docs, window, text_col)
     # N counts ALL pairs — the min_pair_count filter trims output rows,
     # not the probability denominator
