@@ -2742,6 +2742,44 @@ FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
 
 
+_EVENT_TS_MICROS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+
+
+def q_event_asof_signup(spark, sf_dir):
+    """As-of join (operators/asof.py): every event enriched with the
+    user's most recent at-or-before 'signup' event — union-sort-carry
+    formulation (one shuffle, linear per key); value-checked against
+    DuckDB's native ASOF LEFT JOIN."""
+    from grandiso_networkx_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr(_EVENT_TS_MICROS).alias("ts")
+    )
+    signups = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .select("user_id", F.expr(_EVENT_TS_MICROS).alias("ts"), "event_id")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("signup_id"))
+    )
+    return asof_join(ev, signups, on="user_id").select(
+        "event_id", "user_id", "ts", "signup_id_right", "ts_right"
+    )
+
+
+_EVENT_ASOF_SQL = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+s AS (SELECT user_id, epoch_us(ts) AS ts, min(event_id) AS signup_id
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+SELECT ev.event_id, ev.user_id, ev.ts,
+       s.signup_id AS signup_id_right, s.ts AS ts_right
+FROM ev ASOF LEFT JOIN s
+  ON ev.user_id = s.user_id AND ev.ts >= s.ts
+"""
+
+
 def q_user_projection(spark, sf_dir):
     """One-mode projection of the bipartite invoke graph
     (operators/bipartite.py) — user–user edges weighted by shared
@@ -2985,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "event_outliers": q_event_outliers,
         "user_projection": q_user_projection,
+        "event_asof_signup": q_event_asof_signup,
         "reciprocity": q_reciprocity,
         "user_running_totals": q_user_running,
         "top_transitions": q_top_transitions,
@@ -3079,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         "event_rollup": _EVENT_ROLLUP_SQL,
         "event_outliers": _EVENT_OUTLIERS_SQL,
         "user_projection": _USER_PROJECTION_SQL,
+        "event_asof_signup": _EVENT_ASOF_SQL,
         "reciprocity": _RECIPROCITY_SQL,
         "user_running_totals": _USER_RUNNING_SQL,
         "top_transitions": _TOP_TRANSITIONS_SQL,

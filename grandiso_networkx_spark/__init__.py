@@ -13,6 +13,7 @@ from .graph import HostGraph
 from .plans.motif import Motif, compile_plan, uniform_node_interestingness
 from .operators.betweenness import betweenness_centrality
 from .operators.anomaly import robust_outliers
+from .operators.asof import asof_join
 from .operators.bfs import bfs_levels
 from .operators.bipartite import bipartite_project
 from .operators.components import (
@@ -91,6 +92,7 @@ from .sources.bucketed import (
 __all__ = [
     "HostGraph",
     "Motif",
+    "asof_join",
     "attribute_assortativity",
     "avg_clustering",
     "betweenness_centrality",
