@@ -2780,6 +2780,42 @@ FROM ev ASOF LEFT JOIN s
 """
 
 
+def q_event_interval_join(spark, sf_dir):
+    """Bin-bucketed range join (operators/rangejoin.py): events inside
+    each user's first-two-hours activity window — equi join on
+    (key, bin) + exact residual, never the per-key quadratic range
+    join; value-checked against a plain DuckDB range join."""
+    from grandiso_networkx_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr(_EVENT_TS_MICROS).alias("ts")
+    )
+    two_h = 2 * 3_600_000_000
+    iv = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start"))
+        .select(
+            "user_id",
+            "start",
+            (F.col("start") + two_h).alias("end"),
+            F.lit("early").alias("label"),
+        )
+    )
+    out = interval_join(ev, iv, on="user_id", bin_width=3_600_000_000)
+    return out.select("event_id", "user_id", "ts", "start", "end", "label")
+
+
+_EVENT_INTERVAL_SQL = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+iv AS (SELECT user_id, min(ts) AS start,
+              min(ts) + 7200000000 AS "end", 'early' AS label
+       FROM ev GROUP BY user_id)
+SELECT ev.event_id, ev.user_id, ev.ts, iv.start, iv."end", iv.label
+FROM ev JOIN iv ON ev.user_id = iv.user_id
+               AND ev.ts >= iv.start AND ev.ts < iv."end"
+"""
+
+
 def q_user_projection(spark, sf_dir):
     """One-mode projection of the bipartite invoke graph
     (operators/bipartite.py) — user–user edges weighted by shared
@@ -3024,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_outliers": q_event_outliers,
         "user_projection": q_user_projection,
         "event_asof_signup": q_event_asof_signup,
+        "event_interval_join": q_event_interval_join,
         "reciprocity": q_reciprocity,
         "user_running_totals": q_user_running,
         "top_transitions": q_top_transitions,
@@ -3119,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
         "event_outliers": _EVENT_OUTLIERS_SQL,
         "user_projection": _USER_PROJECTION_SQL,
         "event_asof_signup": _EVENT_ASOF_SQL,
+        "event_interval_join": _EVENT_INTERVAL_SQL,
         "reciprocity": _RECIPROCITY_SQL,
         "user_running_totals": _USER_RUNNING_SQL,
         "top_transitions": _TOP_TRANSITIONS_SQL,

@@ -55,6 +55,7 @@ from .operators.olap import (
     user_running_totals,
 )
 from .operators.pagerank import pagerank
+from .operators.rangejoin import interval_join
 from .operators.ppr import personalized_pagerank
 from .operators.retrieval import bm25_topk, tfidf_terms
 from .operators.sampling import ego_net, link_training_pairs
@@ -120,6 +121,7 @@ __all__ = [
     "effective_diameter",
     "expand_step",
     "hyperball",
+    "interval_join",
     "neighborhood_function",
     "feature_propagation",
     "find_motifs",
