@@ -2816,6 +2816,44 @@ FROM ev JOIN iv ON ev.user_id = iv.user_id
 """
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Multi-resolution continuous-aggregate rollup
+    (operators/hypertable.py): minute/hour/day buckets where each
+    coarser level re-aggregates the finer level's partials (one raw
+    scan total; DECIMAL-exact totals make the rollup lossless) —
+    value-checked against DuckDB computing every level from raw."""
+    from grandiso_networkx_spark.operators.hypertable import (
+        hypertable_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(_EVENT_TS_MICROS).alias("ts"), "value"
+    )
+    out = hypertable_rollup(ev)
+    return out.select(
+        "resolution",
+        "bucket_start",
+        "n_rows",
+        F.round(F.col("total").cast("double"), 6).alias("total"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
+
+
+_HYPERTABLE_SQL = """
+WITH ev AS (SELECT epoch_us(ts) AS ts, value FROM events),
+lvl AS (SELECT unnest([60000000, 3600000000, 86400000000]) AS resolution)
+SELECT l.resolution,
+       CAST(floor(ev.ts / l.resolution) * l.resolution AS BIGINT) AS bucket_start,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(ev.value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total,
+       round(min(CAST(ev.value AS DOUBLE)), 6) AS vmin,
+       round(max(CAST(ev.value AS DOUBLE)), 6) AS vmax
+FROM ev CROSS JOIN lvl l
+GROUP BY 1, 2
+"""
+
+
 def q_user_projection(spark, sf_dir):
     """One-mode projection of the bipartite invoke graph
     (operators/bipartite.py) — user–user edges weighted by shared
@@ -3061,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_projection": q_user_projection,
         "event_asof_signup": q_event_asof_signup,
         "event_interval_join": q_event_interval_join,
+        "hypertable_rollup": q_hypertable_rollup,
         "reciprocity": q_reciprocity,
         "user_running_totals": q_user_running,
         "top_transitions": q_top_transitions,
@@ -3157,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         "user_projection": _USER_PROJECTION_SQL,
         "event_asof_signup": _EVENT_ASOF_SQL,
         "event_interval_join": _EVENT_INTERVAL_SQL,
+        "hypertable_rollup": _HYPERTABLE_SQL,
         "reciprocity": _RECIPROCITY_SQL,
         "user_running_totals": _USER_RUNNING_SQL,
         "top_transitions": _TOP_TRANSITIONS_SQL,

@@ -33,6 +33,7 @@ from .operators.eigenvector import eigenvector_centrality
 from .operators.features import feature_propagation, neighbor_mean_features
 from .operators.frontier import expand_step
 from .operators.hits import hits
+from .operators.hypertable import hypertable_rollup
 from .operators.hyperball import (
     effective_diameter,
     hyperball,
@@ -121,6 +122,7 @@ __all__ = [
     "effective_diameter",
     "expand_step",
     "hyperball",
+    "hypertable_rollup",
     "interval_join",
     "neighborhood_function",
     "feature_propagation",
