@@ -3016,6 +3016,33 @@ WHERE rnk <= 2
 """
 
 
+def q_cms_sketch(spark, sf_dir):
+    """Count-min sketch grid (operators/cms.py) over the corpus token
+    stream — 4x256 portable-md5 counter cells, value-checked
+    BIT-FOR-BIT against a DuckDB replay of the same cell arithmetic."""
+    from grandiso_networkx_spark.operators.cms import cms_build
+    from grandiso_networkx_spark.operators.textstats import (
+        _word_positions,
+    )
+
+    toks = _word_positions(
+        _t(spark, sf_dir, "documents"), "text"
+    ).select(F.col("tok").alias("key"))
+    return cms_build(toks, depth=4, width=256)
+
+
+_CMS_SQL = f"""
+WITH d AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, len(toks) AS nw, toks FROM d),
+tok AS (SELECT unnest(toks) AS tok FROM base),
+g AS (SELECT r.r AS r,
+             CAST('0x' || substring(md5(tok || '|' || r.r || '|42'), 1, 15)
+               AS BIGINT) % 256 AS c
+      FROM tok CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r)
+SELECT CAST(r AS INT) AS r, c, count(*) AS n FROM g GROUP BY 1, 2
+"""
+
+
 def q_pmi_pairs(spark, sf_dir):
     """Skip-gram co-occurrence + PMI (operators/cooccur.py) over the
     documents corpus, window 2, min pair count 5 — the word2vec-style
@@ -3094,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": q_repetition,
         "contamination": q_contamination,
         "pmi_pairs": q_pmi_pairs,
+        "cms_sketch": q_cms_sketch,
         "event_rollup": q_event_rollup,
         "event_outliers": q_event_outliers,
         "user_projection": q_user_projection,
@@ -3191,6 +3219,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_features": _REPETITION_SQL,
         "contamination": _CONTAMINATION_SQL,
         "pmi_pairs": _PMI_SQL,
+        "cms_sketch": _CMS_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
         "event_outliers": _EVENT_OUTLIERS_SQL,
         "user_projection": _USER_PROJECTION_SQL,

@@ -26,6 +26,7 @@ from .operators.closeness import (
     harmonic_centrality,
 )
 from .operators.coloring import greedy_coloring
+from .operators.cms import cms_build, cms_heavy_hitters, cms_query
 from .operators.community import modularity, partition_quality
 from .operators.cooccur import pmi_pairs, skipgram_pairs
 from .operators.curation import curate_corpus, dataset_split
@@ -102,6 +103,9 @@ __all__ = [
     "bipartite_project",
     "bm25_topk",
     "closeness_centrality",
+    "cms_build",
+    "cms_heavy_hitters",
+    "cms_query",
     "compile_plan",
     "connected_components",
     "connected_components_star",
