@@ -1065,6 +1065,99 @@ x{i + 1} AS (SELECT seed, vid, sum(t) AS r FROM (
     return "".join(parts)
 
 
+def q_vertex_features(spark, sf_dir):
+    """Composed per-vertex training-feature table over the reply graph
+    — undirected degree, 6-round weighted PageRank, triangle
+    participation, local clustering in ONE frame: the feature-
+    engineering join a GNN/ranking pipeline materializes before
+    training.  Every constituent is an engine operator; the whole
+    composition is value-checked against one composed SQL oracle."""
+    from grandiso_networkx_spark.operators.stats import local_clustering
+    from grandiso_networkx_spark.operators.triangles import (
+        per_vertex_triangles,
+    )
+
+    e = q_reply_edges(spark, sf_dir)
+    simple = e.select("src", "dst")
+    nl = simple.where(F.col("src") != F.col("dst"))
+    und = nl.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    pr = pagerank(e, weight_col="weight", fixed_iterations=6)
+    tri = per_vertex_triangles(simple)
+    lc = local_clustering(simple)
+    return (
+        pr.join(deg, "id", "left")
+        .join(tri, "id", "left")
+        .join(lc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.round("rank", 6).alias("rank"),
+            F.coalesce(F.col("tri_count").cast("long"), F.lit(0)).alias(
+                "tri_count"
+            ),
+            F.round(F.coalesce("clustering", F.lit(0.0)), 9).alias(
+                "clustering"
+            ),
+        )
+    )
+
+
+def _vertex_features_sql(iters: int = 6) -> str:
+    parts = [
+        f"""WITH e0 AS ({_REPLY_EDGES_SQL}),
+raw AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw GROUP BY 1, 2),
+deg AS (SELECT id, count(*) AS degree FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) u GROUP BY id),
+tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+pvt AS (SELECT id, count(*) AS tri_count FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+    UNION ALL SELECT c AS id FROM tri) u GROUP BY id),
+verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+nn AS (SELECT count(*) AS c FROM verts),
+outw AS (SELECT src, sum(weight * 1.0) AS w FROM e0 GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT c FROM nn) AS rank FROM verts)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i}
+         WHERE id NOT IN (SELECT src FROM outw)),
+g{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS g
+         FROM e0 e JOIN r{i} r ON r.id = e.src JOIN outw o ON o.src = e.src
+         GROUP BY e.dst),
+r{i + 1} AS (SELECT v.id,
+    0.85 * (coalesce(g.g, 0) + (SELECT dm FROM d{i}) / (SELECT c FROM nn))
+    + 0.15 / (SELECT c FROM nn) AS rank
+  FROM verts v LEFT JOIN g{i} g ON v.id = g.id)"""
+        )
+    parts.append(
+        f"""
+SELECT r.id,
+       coalesce(d.degree, 0) AS degree,
+       round(r.rank, 6) AS rank,
+       coalesce(p.tri_count, 0) AS tri_count,
+       round(coalesce(CASE WHEN d.degree >= 2
+             THEN 2.0 * coalesce(p.tri_count, 0) / (d.degree * (d.degree - 1))
+             ELSE 0 END, 0), 9) AS clustering
+FROM r{iters} r
+LEFT JOIN deg d ON d.id = r.id
+LEFT JOIN pvt p ON p.id = r.id"""
+    )
+    return "".join(parts)
+
+
 def q_connected_components(spark, sf_dir):
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return connected_components(e)
@@ -3164,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_number": q_core_number,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
+        "vertex_features": q_vertex_features,
         "ppr_multi_seed": q_ppr_fixed,
         "hyperball_sketches": q_hyperball,
         "partition_quality": q_partition_quality,
@@ -3262,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_centrality": _brandes_sql(6),
         "core_number": _core_number_sql(5, 6),
         "pagerank_fixed": _pagerank_fixed_sql(6),
+        "vertex_features": _vertex_features_sql(6),
         "ppr_multi_seed": _ppr_fixed_sql(6),
         "hyperball_sketches": _hyperball_sql(3, 8),
         "partition_quality": _PARTITION_QUALITY_SQL,
