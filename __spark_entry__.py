@@ -3039,6 +3039,37 @@ FROM wm w JOIN mad d USING (grp)
 """
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered signup → view → purchase funnel completion times per
+    user (operators/funnel.py) — step i counts only at-or-after the
+    completed step i-1; value-checked against a chained-CTE replay."""
+    from grandiso_networkx_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_EVENT_TS_MICROS).alias("ts")
+    )
+    return funnel(ev, ["signup", "view", "purchase"]).select(
+        F.col("user").alias("user_id"), "t0", "t1", "t2"
+    )
+
+
+_EVENT_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id AS u, event_type AS etype, epoch_us(ts) AS ts
+            FROM events
+            WHERE event_type IN ('signup', 'view', 'purchase')),
+s0 AS (SELECT u, min(ts) AS t0 FROM ev WHERE etype = 'signup' GROUP BY u),
+s1 AS (SELECT s0.u, s0.t0,
+              min(CASE WHEN ev.etype = 'view' AND ev.ts >= s0.t0
+                       THEN ev.ts END) AS t1
+       FROM s0 JOIN ev ON ev.u = s0.u GROUP BY s0.u, s0.t0),
+s2 AS (SELECT s1.u, s1.t0, s1.t1,
+              min(CASE WHEN ev.etype = 'purchase' AND ev.ts >= s1.t1
+                       THEN ev.ts END) AS t2
+       FROM s1 JOIN ev ON ev.u = s1.u GROUP BY s1.u, s1.t0, s1.t1)
+SELECT u AS user_id, t0, t1, t2 FROM s2
+"""
+
+
 def q_event_rollup(spark, sf_dir):
     """ROLLUP subtotals over (event_type, hour-of-day)
     (operators/olap.py) — one Expand + hash aggregate; subtotal keys
@@ -3216,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "cms_sketch": q_cms_sketch,
         "event_rollup": q_event_rollup,
+        "event_funnel": q_event_funnel,
         "event_outliers": q_event_outliers,
         "user_projection": q_user_projection,
         "event_asof_signup": q_event_asof_signup,
@@ -3315,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_pairs": _PMI_SQL,
         "cms_sketch": _CMS_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
+        "event_funnel": _EVENT_FUNNEL_SQL,
         "event_outliers": _EVENT_OUTLIERS_SQL,
         "user_projection": _USER_PROJECTION_SQL,
         "event_asof_signup": _EVENT_ASOF_SQL,

@@ -33,6 +33,7 @@ from .operators.curation import curate_corpus, dataset_split
 from .operators.eigenvector import eigenvector_centrality
 from .operators.features import feature_propagation, neighbor_mean_features
 from .operators.frontier import expand_step
+from .operators.funnel import funnel
 from .operators.hits import hits
 from .operators.hypertable import hypertable_rollup
 from .operators.hyperball import (
@@ -133,6 +134,7 @@ __all__ = [
     "find_motifs",
     "greedy_coloring",
     "find_motifs_df",
+    "funnel",
     "find_motifs_iter",
     "get_spark",
     "harmonic_centrality",
