@@ -3005,6 +3005,32 @@ def q_embedding_clusters(spark, sf_dir):
     )
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention triangle (operators/olap.py
+    retention_cohorts): users bucketed by first-event day, distinct
+    actives per day offset."""
+    from grandiso_networkx_spark.operators.olap import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(_EVENT_TS_MICROS).alias("ts")
+    )
+    return retention_cohorts(ev, bucket=86_400_000_000)
+
+
+_RETENTION_SQL = """
+WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS ts FROM events),
+f AS (SELECT u, CAST(floor(min(ts) / 86400000000) * 86400000000 AS BIGINT)
+             AS cohort_start
+      FROM ev GROUP BY u)
+SELECT f.cohort_start,
+       CAST(floor(ev.ts / 86400000000) - f.cohort_start / 86400000000
+            AS BIGINT) AS period,
+       count(DISTINCT ev.u) AS n_users
+FROM ev JOIN f ON f.u = ev.u
+GROUP BY 1, 2
+"""
+
+
 def q_event_outliers(spark, sf_dir):
     """Robust median/MAD outlier scores per event_type
     (operators/anomaly.py) — modified z-scores, |z| > 3.5 flags;
@@ -3248,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_sketch": q_cms_sketch,
         "event_rollup": q_event_rollup,
         "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "event_outliers": q_event_outliers,
         "user_projection": q_user_projection,
         "event_asof_signup": q_event_asof_signup,
@@ -3348,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_sketch": _CMS_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
         "event_funnel": _EVENT_FUNNEL_SQL,
+        "retention_cohorts": _RETENTION_SQL,
         "event_outliers": _EVENT_OUTLIERS_SQL,
         "user_projection": _USER_PROJECTION_SQL,
         "event_asof_signup": _EVENT_ASOF_SQL,

@@ -54,6 +54,7 @@ from .operators.neighbor_minhash import (
 )
 from .operators.olap import (
     event_rollup,
+    retention_cohorts,
     top_transitions_per_user,
     user_running_totals,
 )
@@ -161,6 +162,7 @@ __all__ = [
     "skipgram_pairs",
     "random_walks",
     "reciprocity",
+    "retention_cohorts",
     "robust_outliers",
     "sssp",
     "strongly_connected_components",

@@ -86,3 +86,49 @@ def top_transitions_per_user(
     return trans.select(
         "user_id", "src", "dst", "n", F.row_number().over(rw).alias("rnk")
     ).where(F.col("rnk") <= k)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention triangle: ``(cohort_start, period, n_users)``
+    — users grouped by the time bucket of their FIRST event, counted
+    distinct in every later bucket they returned in (``period`` =
+    buckets since cohort start; period 0 is the cohort size).
+
+    ``ts_col`` numeric (e.g. unix micros), ``bucket`` the cohort/
+    activity granularity in the same units.  Scale shape: one
+    ``groupBy(user).min`` for cohort assignment, one broadcast-or-
+    shuffled user-keyed join back, one distinct-count aggregate — no
+    self-join over the event log."""
+    ts = F.col(ts_col).cast("long")
+    firsts = (
+        events.select(F.col(user_col).alias("u"), ts.alias("__ts"))
+        .groupBy("u")
+        .agg(F.min("__ts").alias("first_ts"))
+        .select(
+            "u",
+            (F.floor(F.col("first_ts") / bucket) * bucket)
+            .cast("long")
+            .alias("cohort_start"),
+        )
+    )
+    return (
+        events.select(F.col(user_col).alias("u"), ts.alias("__ts"))
+        .join(firsts, "u")
+        .select(
+            "cohort_start",
+            (
+                F.floor(F.col("__ts") / bucket)
+                - F.col("cohort_start") / bucket
+            )
+            .cast("long")
+            .alias("period"),
+            "u",
+        )
+        .groupBy("cohort_start", "period")
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

@@ -69,3 +69,27 @@ class TestTopTransitions:
         assert got[1] == (1, "b", "a", 1, 2)
         # user 2: single a->a transition
         assert got[2] == (2, "a", "a", 1, 1)
+
+
+class TestRetentionCohorts:
+    def test_triangle(self, spark):
+        from grandiso_networkx_spark.operators.olap import retention_cohorts
+
+        # bucket = 10; users: 1 starts in bucket 0 and returns in 2;
+        # 2 starts in bucket 1 only; 3 starts bucket 0, active 0 and 1
+        rows = [
+            (0, 1, 3), (1, 1, 25),
+            (2, 2, 12),
+            (3, 3, 5), (4, 3, 9), (5, 3, 15),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+        got = {
+            (r.cohort_start, r.period): r.n_users
+            for r in retention_cohorts(df, bucket=10).collect()
+        }
+        assert got == {
+            (0, 0): 2,   # users 1 and 3 in their cohort bucket
+            (0, 1): 1,   # user 3 returned next bucket
+            (0, 2): 1,   # user 1 returned two buckets later
+            (10, 0): 1,  # user 2's cohort
+        }
