@@ -2759,6 +2759,28 @@ s{i + 1} AS MATERIALIZED (SELECT s.id, {mcols}
     return "".join(parts)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language document sample (operators/
+    curation.py stratified_sample) — portable md5 order, identical
+    under any partitioning/retry/engine; value-checked."""
+    from grandiso_networkx_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), "lang", 50)
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY CAST('0x' || substring(md5(doc_id || '|42'), 1, 15) AS BIGINT),
+             doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 50
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition filters (operators/textstats.py
     repetition_features): per-doc duplicate-word / top-bigram /
@@ -3265,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "curate_corpus": q_curate_corpus,
         "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
         "token_quantiles": q_token_quantiles,
         "event_window_volume": q_event_window_volume,
         "token_counts": q_token_counts,
@@ -3366,6 +3389,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_SQL,
         "curate_corpus": _curate_sql(),
         "dataset_split": _DATASET_SPLIT_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
         "token_quantiles": _TOKEN_QUANTILES_SQL,
         "event_window_volume": _EVENT_WINDOW_SQL,
         "token_counts": _TOKEN_SQL,

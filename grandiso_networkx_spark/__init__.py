@@ -29,7 +29,11 @@ from .operators.coloring import greedy_coloring
 from .operators.cms import cms_build, cms_heavy_hitters, cms_query
 from .operators.community import modularity, partition_quality
 from .operators.cooccur import pmi_pairs, skipgram_pairs
-from .operators.curation import curate_corpus, dataset_split
+from .operators.curation import (
+    curate_corpus,
+    dataset_split,
+    stratified_sample,
+)
 from .operators.eigenvector import eigenvector_centrality
 from .operators.features import feature_propagation, neighbor_mean_features
 from .operators.frontier import expand_step
@@ -165,6 +169,7 @@ __all__ = [
     "retention_cohorts",
     "robust_outliers",
     "sssp",
+    "stratified_sample",
     "strongly_connected_components",
     "tfidf_terms",
     "top_transitions_per_user",

@@ -137,3 +137,41 @@ def dataset_split(
         else F.lit(names[-1])
     )
     return df.withColumn("split", label)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group sample: up to ``n_per_group`` rows per
+    ``group_col`` value, chosen by portable md5 order of ``(id, seed)``
+    with the id as tie-break — the balanced-sampling op a pipeline uses
+    to cap over-represented languages/sources/domains.
+
+    Unlike ``DataFrame.sample``/``sampleBy`` (partitioning- and
+    retry-sensitive), the selection is a pure function of (ids, seed):
+    any engine, partitioning, or re-run picks the identical rows, so
+    the driver value-checks it (``stratified_sample``).  Scale shape:
+    one window rank per group (single shuffle keyed by the group;
+    skewed groups are bounded by the rank cutoff's early filter under
+    WholeStageCodegen, and a two-phase top-n rewrite applies when a
+    single group outgrows a partition).
+    """
+    if n_per_group < 1:
+        raise ValueError("n_per_group must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col), F.lit(seed))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

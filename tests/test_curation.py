@@ -129,3 +129,48 @@ def test_dataset_split_custom_weights_and_validation(spark):
         dataset_split(docs, weights={})
     with pytest.raises(ValueError):
         dataset_split(docs, weights={"a": 0, "b": 1})
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_capped(self, spark):
+        import hashlib
+
+        from grandiso_networkx_spark.operators.curation import (
+            stratified_sample,
+        )
+
+        rows = [(i, "g%d" % (i % 3)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, grp string")
+        out1 = sorted(
+            (r.doc_id, r.grp)
+            for r in stratified_sample(df, "grp", 5).collect()
+        )
+        out2 = sorted(
+            (r.doc_id, r.grp)
+            for r in stratified_sample(df, "grp", 5).collect()
+        )
+        assert out1 == out2
+        per = {}
+        for d, g in out1:
+            per.setdefault(g, []).append(d)
+        assert all(len(v) == 5 for v in per.values())
+        # python replay of the md5 order picks the same ids
+        for g, ids in per.items():
+            cands = [d for d, gg in rows if gg == g]
+            key = lambda d: (
+                int(hashlib.md5(f"{d}|42".encode()).hexdigest()[:15], 16),
+                d,
+            )
+            want = sorted(sorted(cands, key=key)[:5])
+            assert sorted(ids) == want, g
+
+    def test_small_groups_kept_whole(self, spark):
+        from grandiso_networkx_spark.operators.curation import (
+            stratified_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string"
+        )
+        out = stratified_sample(df, "grp", 10).collect()
+        assert len(out) == 3
