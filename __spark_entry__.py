@@ -1480,6 +1480,47 @@ a{i + 1} AS MATERIALIZED (SELECT id, min(arr) AS arr FROM (
     return "".join(parts)
 
 
+def q_wl_colors(spark, sf_dir):
+    """Weisfeiler-Lehman refinement colors (operators/wl.py), 3 rounds
+    over the undirected reply graph — the isomorphism-invariant
+    pre-filter next to the exact motif matcher; portable md5 +
+    modular-sum multiset combine, value-checked BIT-FOR-BIT."""
+    from grandiso_networkx_spark.operators.wl import wl_colors
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return wl_colors(e, rounds=3)
+
+
+def _wl_colors_sql(rounds: int = 3) -> str:
+    mod = 1 << 61
+    parts = [
+        f"""WITH e0 AS (SELECT src, dst FROM ({_REPLY_EDGES_SQL})),
+raw AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+sym AS MATERIALIZED (SELECT src, dst FROM raw
+      UNION SELECT dst AS src, src AS dst FROM raw),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+c0 AS MATERIALIZED (
+  SELECT id, CAST('0x' || substring(md5('init|' || deg), 1, 15) AS BIGINT)
+           AS color
+  FROM deg)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+m{i} AS (SELECT s.src AS id,
+    CAST(sum(CAST(CAST('0x' || substring(md5('nbr|' || c.color), 1, 15)
+                   AS BIGINT) AS HUGEINT)) % {mod} AS BIGINT) AS m
+  FROM sym s JOIN c{i} c ON c.id = s.dst GROUP BY s.src),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.id,
+         CAST('0x' || substring(md5(c.color || '|' || m.m), 1, 15) AS BIGINT)
+           AS color
+  FROM c{i} c JOIN m{i} m ON m.id = c.id)"""
+        )
+    parts.append(f"\nSELECT id, color FROM c{rounds}")
+    return "".join(parts)
+
+
 def q_coloring(spark, sf_dir):
     """Jones-Plassmann greedy coloring (operators/coloring.py) of the
     undirected reply graph — deterministic in (edge set, seed), so
@@ -3327,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimum_spanning_forest": q_mst,
         "maximal_independent_set": q_mis,
         "greedy_coloring": q_coloring,
+        "wl_colors": q_wl_colors,
         "temporal_reach": q_temporal_reach,
         "neighbor_minhash": q_neighbor_minhash,
         "attr_assortativity": q_attr_assortativity,
@@ -3430,6 +3472,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_3": _ktruss_sql(3, 5),
         "maximal_independent_set": _mis_sql(6, 42),
         "greedy_coloring": _coloring_sql(12, 42),
+        "wl_colors": _wl_colors_sql(3),
         "temporal_reach": _temporal_reach_sql(6),
         "neighbor_minhash": _neighbor_minhash_sql(8),
         "attr_assortativity": _ATTR_ASSORT_SQL,

@@ -81,6 +81,7 @@ from .operators.stats import (
     transitivity,
 )
 from .operators.triangles import per_vertex_triangles, triangle_count
+from .operators.wl import wl_colors, wl_graph_hash
 from .operators.walks import (
     node2vec_walks,
     random_walks,
@@ -176,6 +177,8 @@ __all__ = [
     "transitivity",
     "user_running_totals",
     "weighted_random_walks",
+    "wl_colors",
+    "wl_graph_hash",
     "triangle_count",
     "uniform_node_interestingness",
 ]
