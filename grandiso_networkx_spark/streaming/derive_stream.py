@@ -182,3 +182,22 @@ def stream_distinct_convs(
         .agg(F.approx_count_distinct("conv_id", rsd).alias("n_convs"))
         .select(F.col("win.start").alias("window_start"), "role", "n_convs")
     )
+
+
+def stream_enrich_turns(
+    transcripts: DataFrame, conv_dim: DataFrame
+) -> DataFrame:
+    """Stream-static join: each streaming turn enriched with its
+    conversation's static dimension row (tenant/experiment metadata —
+    whatever the batch side carries alongside ``conv_id``).
+
+    The static side is planned per micro-batch (re-read each trigger,
+    so slowly-changing dims stay fresh) and broadcast when small —
+    the standard enrichment shape; no watermark needed because a
+    stream-static INNER join is stateless.  Rows whose ``conv_id`` is
+    missing from the dimension are dropped (inner semantics; use a
+    left join on the caller side for keep-unmatched)."""
+    dim = conv_dim.withColumnRenamed("conv_id", "__dim_conv")
+    return transcripts.join(
+        dim, transcripts["conv_id"] == dim["__dim_conv"], "inner"
+    ).drop("__dim_conv")

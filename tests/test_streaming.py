@@ -215,3 +215,29 @@ def test_stream_distinct_convs_match_batch(spark, transcript_dir, tmp_path):
     }
     for k, est in got_m.items():
         assert abs(est - exact[k]) <= max(3, 0.2 * exact[k]), k
+
+
+def test_stream_static_enrichment(spark, transcript_dir, tmp_path):
+    from grandiso_networkx_spark.streaming.derive_stream import (
+        stream_enrich_turns,
+    )
+
+    batch = spark.read.parquet(transcript_dir)
+    dim = (
+        batch.select("conv_id")
+        .distinct()
+        .withColumn(
+            "tenant",
+            F.when(F.col("conv_id") < "conv-2", "acme").otherwise("globex"),
+        )
+    )
+    stream = read_transcript_stream(spark, transcript_dir, max_files=2)
+    got = _run_stream(
+        spark, stream_enrich_turns(stream, dim), "enriched_turns", tmp_path
+    )
+    want = batch.join(dim, "conv_id").count()
+    assert got.count() == want
+    bad = got.where(
+        (F.col("conv_id") < "conv-2") != (F.col("tenant") == "acme")
+    ).count()
+    assert bad == 0
