@@ -2867,6 +2867,26 @@ LEFT JOIN d3 ON d3.doc_id = b.doc_id
 """
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-doc unigram entropy (operators/textstats.py token_entropy)
+    — the repetitiveness complement to the Gopher filters."""
+    from grandiso_networkx_spark.operators.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+_TOKEN_ENTROPY_SQL = f"""
+WITH d AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, len(toks) AS nw, toks FROM d),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+      FROM c GROUP BY 1)
+SELECT b.doc_id, b.nw AS n_words, round(coalesce(h.h, 0), 6) AS entropy
+FROM base b LEFT JOIN h ON h.doc_id = b.doc_id
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination (operators/textstats.py
     ngram_contamination): distinct 8-gram overlap of every document
@@ -3333,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_volume": q_event_window_volume,
         "token_counts": q_token_counts,
         "repetition_features": q_repetition,
+        "token_entropy": q_token_entropy,
         "contamination": q_contamination,
         "pmi_pairs": q_pmi_pairs,
         "cms_sketch": q_cms_sketch,
@@ -3436,6 +3457,7 @@ def oracle_sql() -> dict[str, str]:
         "event_window_volume": _EVENT_WINDOW_SQL,
         "token_counts": _TOKEN_SQL,
         "repetition_features": _REPETITION_SQL,
+        "token_entropy": _TOKEN_ENTROPY_SQL,
         "contamination": _CONTAMINATION_SQL,
         "pmi_pairs": _PMI_SQL,
         "cms_sketch": _CMS_SQL,

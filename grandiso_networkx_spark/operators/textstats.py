@@ -394,3 +394,38 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.xxhash64(norm).alias("fp"), F.md5(norm).alias("fp_md5")
     )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram entropy ``(doc_id, n_words, entropy)`` in
+    bits: ``H = -Σ (c/n)·log2(c/n)`` over the doc's token counts — low
+    entropy marks repetitive/templated text (complements
+    :func:`repetition_features`; a doc of one repeated word scores 0,
+    an all-distinct doc scores log2(n)).  Empty docs score 0.
+
+    One tokenize-explode pass + ``groupBy(doc_id, tok)`` then a
+    per-doc aggregate — same shuffle discipline as the other gram
+    ops; SQL-mirrorable (driver value check ``token_entropy``)."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    spine = docs.select("doc_id", nw.cast("long").alias("n_words"))
+    counts = (
+        _word_positions(docs, text_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # H = -sum (c/n) log2(c/n) = log2(n) - (sum c*log2 c)/n — one
+    # per-doc aggregate, no per-row probability column needed
+    ent = counts.groupBy("doc_id").agg(
+        (
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("__h")
+    )
+    return spine.join(ent, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(F.coalesce("__h", F.lit(0.0)), 6).alias("entropy"),
+    )

@@ -108,3 +108,36 @@ class TestContamination:
         bench = spark.createDataFrame([("a b c d",)], "text string")
         (row,) = ngram_contamination(docs, bench, n=4).collect()
         assert row.shared_ngrams == 1
+
+
+class TestTokenEntropy:
+    def test_vs_math(self, spark):
+        import math
+        from collections import Counter
+
+        from grandiso_networkx_spark.operators.textstats import (
+            token_entropy,
+        )
+
+        rows = [
+            (0, "a a a a"),          # H = 0
+            (1, "a b c d"),          # H = 2
+            (2, "a a b b"),          # H = 1
+            (3, ""),                 # empty -> 0
+            (4, "x y y z z z"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in token_entropy(df).collect()}
+        for i, text in rows:
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                want = 0.0
+            else:
+                cnt = Counter(toks)
+                want = -sum(
+                    (c / n) * math.log2(c / n) for c in cnt.values()
+                )
+            assert abs(got[i].entropy - round(want, 6)) < 2e-6, i
+            assert got[i].n_words == n
+        assert got[0].entropy == 0.0 and got[1].entropy == 2.0
