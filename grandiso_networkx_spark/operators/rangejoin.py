@@ -81,10 +81,15 @@ def interval_join(
     if how == "inner":
         return matched
     # left: true join multiplicity for matches, one null-padded row for
-    # events with no matching interval (anti join on the event tuple)
-    unmatched = events.join(
-        matched.select(*events.columns).distinct(),
-        events.columns,
-        "left_anti",
-    )
+    # events with no matching interval.  The anti join must be
+    # NULL-SAFE on every event column — plain equality would let a
+    # matched row carrying a NULL column "miss itself" and come back a
+    # second time null-padded.
+    mk = matched.select(*events.columns).distinct().alias("__mk")
+    ev_l = events.alias("__ev")
+    cond = None
+    for c in events.columns:
+        t = F.col(f"__ev.{c}").eqNullSafe(F.col(f"__mk.{c}"))
+        cond = t if cond is None else cond & t
+    unmatched = ev_l.join(mk, cond, "left_anti")
     return matched.unionByName(unmatched, allowMissingColumns=True)

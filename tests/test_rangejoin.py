@@ -79,3 +79,21 @@ class TestIntervalJoin:
             ).collect()
         }
         assert got == {"hit": "a", "miss": None}
+
+    def test_left_mode_null_event_column_not_duplicated(self, spark):
+        # a matched event carrying a NULL payload column must not come
+        # back a second time as a spurious null-padded "unmatched" row
+        ev = spark.createDataFrame(
+            [(1, 15, None), (2, 15, "m")], "uid long, ts long, ev string"
+        )
+        iv = spark.createDataFrame(
+            [(1, 10, 20, "a")],
+            "uid long, start long, end long, label string",
+        )
+        rows = interval_join(
+            ev, iv, on="uid", bin_width=16, how="left"
+        ).collect()
+        by_uid = {}
+        for r in rows:
+            by_uid.setdefault(r.uid, []).append(r.label)
+        assert by_uid == {1: ["a"], 2: [None]}
