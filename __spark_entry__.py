@@ -3189,8 +3189,9 @@ def q_event_rollup(spark, sf_dir):
 
 
 _EVENT_ROLLUP_SQL = """
-SELECT coalesce(event_type, '(all)') AS event_type,
-       coalesce(hour, -1) AS hour,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+            ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(hour) = 1 THEN -1 ELSE hour END AS hour,
        count(*) AS n_events,
        round(sum(value), 6) AS total_value
 FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hour, value FROM events) t

@@ -25,17 +25,9 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _cell(col: F.Column, r: int, seed: int, width: int) -> F.Column:
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", col, F.lit(r), F.lit(seed))), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-    )
-    return F.pmod(h, F.lit(width))
+    from ..functions.hashing import hash60_keyed
+
+    return F.pmod(hash60_keyed(col, F.lit(r), F.lit(seed)), F.lit(width))
 
 
 def cms_build(

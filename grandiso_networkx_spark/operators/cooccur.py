@@ -26,24 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-
-def _positions(docs: DataFrame, text_col: str) -> DataFrame:
-    """``(doc_id, p, tok)`` — 1-based token positions, JVM-side."""
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    toks = F.split(t, r"\s+")
-    nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
-    return (
-        docs.select("doc_id", toks.alias("__t"), nw.alias("nw"))
-        .where(F.col("nw") >= 1)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.col("nw"))).alias("p"),
-            F.col("__t"),
-        )
-        .select(
-            "doc_id", "p", F.element_at("__t", F.col("p")).alias("tok")
-        )
-    )
+# single tokenizer definition point — the SQL oracles mirror THIS
+from .textstats import _word_positions as _positions
 
 
 def skipgram_pairs(
@@ -81,11 +65,22 @@ def pmi_pairs(
     )
     # T from the (vocabulary-sized) count frame, not another corpus scan
     totals = tok_counts.agg(F.sum("c_tok").alias("t_tokens"))
-    pairs_all = skipgram_pairs(docs, window, text_col)
     # N counts ALL pairs — the min_pair_count filter trims output rows,
-    # not the probability denominator
-    n_total = pairs_all.agg(F.sum("n_pairs").alias("n_all"))
-    pairs = pairs_all.where(F.col("n_pairs") >= min_pair_count)
+    # not the probability denominator.  Closed form per doc (never
+    # re-running the heavy pair-generation subtree just to count it):
+    # total pairs = Σ_i min(w, nw-i) = m·nw − m(m+1)/2, m = min(w, nw−1)
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+    m = F.least(F.lit(window), nw - 1)
+    per_doc = F.when(nw >= 2, m * nw - (m * (m + 1) / 2).cast("long")).otherwise(0)
+    n_total = docs.select(per_doc.alias("__p")).agg(
+        F.sum("__p").alias("n_all")
+    )
+    pairs = skipgram_pairs(docs, window, text_col).where(
+        F.col("n_pairs") >= min_pair_count
+    )
     return (
         pairs.join(
             tok_counts.select(

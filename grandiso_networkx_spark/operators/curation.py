@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.hashing import hash60_keyed
 from .textstats import language_guess_col, quality_columns
 
 
@@ -76,13 +77,7 @@ def curate_corpus(
         .drop("__text", "__keep_id")
     )
     if sample_mod is not None:
-        draw = F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col("doc_id"), F.lit(seed))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+        draw = hash60_keyed(F.col("doc_id"), F.lit(seed))
         kept = kept.where(F.pmod(draw, F.lit(sample_mod)) < sample_keep)
     return kept
 
@@ -113,14 +108,7 @@ def dataset_split(
         raise ValueError("weights must be positive integers")
     mod = sum(weights.values())
     bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(id_col), F.lit(seed))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(mod),
+        hash60_keyed(F.col(id_col), F.lit(seed)), F.lit(mod)
     )
     expr = None
     cum = 0
@@ -162,13 +150,7 @@ def stratified_sample(
     """
     if n_per_group < 1:
         raise ValueError("n_per_group must be >= 1")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col(id_col), F.lit(seed))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = hash60_keyed(F.col(id_col), F.lit(seed))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

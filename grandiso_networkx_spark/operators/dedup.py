@@ -120,7 +120,9 @@ def _portable_hash28(col):
 
 def _portable_hash60(col):
     """60-bit variant (15 hex chars — stays inside signed BIGINT)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    from ..functions.hashing import hash60
+
+    return hash60(col)
 
 
 def portable_minhash_signatures(

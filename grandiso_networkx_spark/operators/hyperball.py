@@ -55,18 +55,9 @@ _PHI = 0.77351
 def _h(col: F.Column, r: int, seed: int) -> F.Column:
     """Portable 60-bit md5 hash, identical in DuckDB as
     CAST('0x' || substring(md5(id || '|r|seed'), 1, 15) AS BIGINT)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", col.cast("string"), F.lit(r), F.lit(seed))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-    )
+    from ..functions.hashing import hash60_keyed
+
+    return hash60_keyed(col.cast("string"), F.lit(r), F.lit(seed))
 
 
 def _lowbit(h: F.Column) -> F.Column:

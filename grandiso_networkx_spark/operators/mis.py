@@ -37,16 +37,12 @@ from pyspark.sql import DataFrame, functions as F
 from .components import symmetrize
 
 
-def _priority(col, rnd: int, seed: int):
+def _priority(col, rnd, seed: int):
     """Portable md5-affine priority — bit-identical in DuckDB:
     ``CAST('0x' || substring(md5(id|round|seed), 1, 15) AS BIGINT)``."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", col, F.lit(rnd), F.lit(seed))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    from ..functions.hashing import hash60_keyed
+
+    return hash60_keyed(col, F.lit(rnd), F.lit(seed))
 
 
 def maximal_independent_set(

@@ -36,16 +36,9 @@ from .components import symmetrize
 
 
 def _h(col: F.Column, h: int, seed: int) -> F.Column:
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", col, F.lit(h), F.lit(seed))), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-    )
+    from ..functions.hashing import hash60_keyed
+
+    return hash60_keyed(col, F.lit(h), F.lit(seed))
 
 
 def minhash_neighbor_signatures(

@@ -33,10 +33,20 @@ def event_rollup(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("total_value"),
+            # grouping() is only legal inside the aggregate — carry the
+            # bits out so the sentinel applies ONLY to subtotal rows
+            # (a genuinely-NULL data value stays NULL and can never
+            # collide with the rollup sentinels)
+            F.grouping("event_type").alias("__g1"),
+            F.grouping("hour").alias("__g2"),
         )
         .select(
-            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
-            F.coalesce("hour", F.lit(-1)).alias("hour"),
+            F.when(F.col("__g1") == 1, F.lit("(all)"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("__g2") == 1, F.lit(-1))
+            .otherwise(F.col("hour"))
+            .alias("hour"),
             "n_events",
             "total_value",
         )

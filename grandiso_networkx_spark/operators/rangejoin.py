@@ -38,13 +38,17 @@ def interval_join(
     end: str = "end",
     bin_width: int = 3_600_000_000,
     how: str = "inner",
+    suffix: str = "",
 ) -> DataFrame:
     """Join point rows to ``[start, end)`` intervals per ``on`` key.
 
     ``ts``/``start``/``end`` must be numeric (e.g. unix micros —
     default ``bin_width`` is 1 hour in micros).  ``how`` is ``inner``
     or ``left`` (unmatched events keep nulls on the interval side).
-    Returns every event column plus the interval's non-key columns.
+    Returns every event column plus the interval's non-key columns,
+    renamed with ``suffix``; a collision between an (un-suffixed)
+    interval column and an event column raises up front — pass e.g.
+    ``suffix="_iv"`` like :func:`~.asof.asof_join`'s ``_right``.
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
@@ -52,6 +56,12 @@ def interval_join(
     if w <= 0:
         raise ValueError("bin_width must be positive")
     iv_cols = [c for c in intervals.columns if c != on]
+    clash = {f"{c}{suffix}" for c in iv_cols} & set(events.columns)
+    if clash:
+        raise ValueError(
+            f"interval columns {sorted(clash)} collide with event "
+            "columns — pass a suffix (e.g. suffix='_iv')"
+        )
     iv = intervals.where(F.col(end) > F.col(start)).select(
         F.col(on).alias("__k"),
         F.explode(
@@ -75,7 +85,7 @@ def interval_join(
         .where(residual)
         .select(
             *events.columns,
-            *[F.col(f"__iv.{c}").alias(c) for c in iv_cols],
+            *[F.col(f"__iv.{c}").alias(f"{c}{suffix}") for c in iv_cols],
         )
     )
     if how == "inner":

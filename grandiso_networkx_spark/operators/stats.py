@@ -152,7 +152,13 @@ def attribute_assortativity(
     keyed by category (cardinality = #distinct labels, tiny) — the
     Σ a_i·b_i term is a category⋈category join, never per-vertex.
     """
-    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    # distinct() on the directed path for simple-digraph semantics —
+    # symmetrize() already dedups on the undirected path
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
     if not directed:
         e = symmetrize(e)
     pairs = (

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.hashing import hash60
+
 # Tiny stopword marker sets per language — heuristic langid by marker
 # hit counts (deterministic, SQL-parity).
 LANG_MARKERS = {
@@ -137,13 +139,7 @@ def winnow_fingerprints(
         "doc_id",
         "__ng",
         "pos",
-        F.conv(
-            F.substring(F.md5(F.col("__t").substr(F.col("pos"), F.lit(k))), 1, 15),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("__h"),
+        hash60(F.col("__t").substr(F.col("pos"), F.lit(k))).alias("__h"),
     )
     from pyspark.sql import Window
 

@@ -33,7 +33,9 @@ _TWO_POW_60 = float(1 << 60)
 def _hash60(col) -> F.Column:
     """60-bit portable hash (first 15 hex chars of md5) — identical
     expression exists in ANSI SQL, enabling DuckDB value checks."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    from ..functions.hashing import hash60
+
+    return hash60(col)
 
 
 def random_walks(

@@ -39,9 +39,9 @@ _MOD = 1 << 61
 
 
 def _h(col: F.Column) -> F.Column:
-    return (
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-    )
+    from ..functions.hashing import hash60
+
+    return hash60(col)
 
 
 def wl_colors(

@@ -97,3 +97,21 @@ class TestIntervalJoin:
         for r in rows:
             by_uid.setdefault(r.uid, []).append(r.label)
         assert by_uid == {1: ["a"], 2: [None]}
+
+    def test_suffix_and_collision_guard(self, spark):
+        import pytest
+
+        ev = spark.createDataFrame(
+            [(1, 15, "e")], "uid long, ts long, label string"
+        )
+        iv = spark.createDataFrame(
+            [(1, 10, 20, "a")],
+            "uid long, start long, end long, label string",
+        )
+        # colliding 'label' without a suffix: refuse up front
+        with pytest.raises(ValueError):
+            interval_join(ev, iv, on="uid", bin_width=16)
+        (row,) = interval_join(
+            ev, iv, on="uid", bin_width=16, suffix="_iv"
+        ).collect()
+        assert row.label == "e" and row.label_iv == "a"
