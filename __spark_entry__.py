@@ -2867,6 +2867,18 @@ LEFT JOIN d3 ON d3.doc_id = b.doc_id
 """
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (operators/textstats.py)
+    — the ccnet-style redundancy filter; Arrow-batched mapInPandas
+    kernel (zlib has no SQL equivalent → rows-only; exactness vs
+    direct zlib pinned in pytest)."""
+    from grandiso_networkx_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-doc unigram entropy (operators/textstats.py token_entropy)
     — the repetitiveness complement to the Gopher filters."""
@@ -3432,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_clusters": q_embedding_clusters,
+        "compression_ratio": q_compression_ratio,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
     }

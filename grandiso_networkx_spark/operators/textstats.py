@@ -2,9 +2,11 @@
 quality scoring, token counting, document fingerprinting.
 
 All pure ``pyspark.sql.functions`` column expressions (whole-stage
-codegen friendly, pushdown-safe) — no UDFs at all.  Every op is also
-expressible in ANSI SQL, so each has a DuckDB oracle in
-``__spark_entry__.oracle_sql``.
+codegen friendly, pushdown-safe), each with a DuckDB oracle in
+``__spark_entry__.oracle_sql`` — except :func:`compression_ratio`,
+the one op whose kernel (zlib) has no JVM/SQL equivalent: it uses the
+engine's Arrow-batched ``mapInPandas`` escape hatch and a rows-only
+driver check.
 """
 
 from __future__ import annotations
@@ -425,3 +427,44 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_words",
         F.round(F.coalesce("__h", F.lit(0.0)), 6).alias("entropy"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-doc zlib compression ratio ``(doc_id, n_bytes, ratio)`` —
+    ``compressed_len / raw_len`` of the UTF-8 text (1-byte docs and
+    blanks score null).  Low ratios flag templated/repetitive text
+    with redundancy that token-level signals miss (the ccnet-style
+    "compression filter").
+
+    This is the engine's vectorized-Python escape hatch used for
+    REAL work (not a stub): zlib has no JVM-side column expression,
+    so the kernel is an Arrow-batched ``mapInPandas`` — whole pandas
+    batches in/out, no per-row Python round trips, projection pushed
+    to (doc_id, text) before the Python stage.  Deterministic (zlib
+    level fixed), so rows-equal across runs; no SQL oracle exists →
+    rows-only driver check (``compression_ratio``), exactness pinned
+    in pytest vs direct zlib.
+    """
+    import pandas as pd  # noqa: F401 - signature requirement
+
+    schema = "doc_id long, n_bytes long, ratio double"
+    src = docs.select("doc_id", F.col(text_col).alias("__t"))
+
+    def _kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf["__t"].fillna("")
+            raw = texts.str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = n_bytes
+            out["ratio"] = (comp / n_bytes.clip(lower=1)).where(
+                n_bytes > 1
+            ).round(6)
+            yield out
+
+    return src.mapInPandas(_kernel, schema)

@@ -141,3 +141,31 @@ class TestTokenEntropy:
             assert abs(got[i].entropy - round(want, 6)) < 2e-6, i
             assert got[i].n_words == n
         assert got[0].entropy == 0.0 and got[1].entropy == 2.0
+
+
+class TestCompressionRatio:
+    def test_vs_zlib(self, spark):
+        import zlib
+
+        from grandiso_networkx_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        rows = [
+            (0, "abc " * 200),                    # highly compressible
+            (1, "the quick brown fox jumps"),
+            (2, ""),                              # blank -> null ratio
+            (3, "x"),                             # 1 byte -> null ratio
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in compression_ratio(df).collect()}
+        for i, text in rows:
+            raw = text.encode()
+            assert got[i].n_bytes == len(raw), i
+            if len(raw) > 1:
+                want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+                assert abs(got[i].ratio - want) < 1e-9, i
+            else:
+                assert got[i].ratio is None, i
+        # the repetitive doc compresses far better than the prose doc
+        assert got[0].ratio < got[1].ratio
