@@ -1065,6 +1065,48 @@ x{i + 1} AS (SELECT seed, vid, sum(t) AS r FROM (
     return "".join(parts)
 
 
+def q_rmat_edges(spark, sf_dir):
+    """Deterministic R-MAT benchmark-graph generator
+    (sources/rmat.py) — scale 8, 1024 edges; the only generator whose
+    oracle needs no input table; value-checked BIT-FOR-BIT."""
+    from grandiso_networkx_spark.sources.rmat import rmat_edges
+
+    return rmat_edges(spark, scale=8, n_edges=1024)
+
+
+def _rmat_sql(
+    scale: int = 8,
+    m: int = 1024,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+) -> str:
+    def u(level: int) -> str:
+        return (
+            f"(CAST(CAST('0x' || substring(md5(i || '|{level}|{seed}'), 1, 15)"
+            " AS BIGINT) AS DOUBLE) / 1152921504606846976.0)"
+        )
+
+    src_terms, dst_terms = [], []
+    for level in range(scale):
+        w = 1 << (scale - 1 - level)
+        src_terms.append(
+            f"(CASE WHEN {u(level)} < {a + b!r} THEN 0 ELSE 1 END) * {w}"
+        )
+        dst_terms.append(
+            f"(CASE WHEN {u(level)} < {a!r} THEN 0"
+            f" WHEN {u(level)} < {a + b!r} THEN 1"
+            f" WHEN {u(level)} < {a + b + c!r} THEN 0"
+            f" ELSE 1 END) * {w}"
+        )
+    return f"""
+SELECT CAST({' + '.join(src_terms)} AS BIGINT) AS src,
+       CAST({' + '.join(dst_terms)} AS BIGINT) AS dst
+FROM (SELECT unnest(range(0, {m})) AS i) t
+"""
+
+
 def q_vertex_features(spark, sf_dir):
     """Composed per-vertex training-feature table over the reply graph
     — undirected degree, 6-round weighted PageRank, triangle
@@ -3416,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
         "vertex_features": q_vertex_features,
+        "rmat_edges": q_rmat_edges,
         "ppr_multi_seed": q_ppr_fixed,
         "hyperball_sketches": q_hyperball,
         "partition_quality": q_partition_quality,
@@ -3521,6 +3564,7 @@ def oracle_sql() -> dict[str, str]:
         "core_number": _core_number_sql(5, 6),
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "vertex_features": _vertex_features_sql(6),
+        "rmat_edges": _rmat_sql(8, 1024),
         "ppr_multi_seed": _ppr_fixed_sql(6),
         "hyperball_sketches": _hyperball_sql(3, 8),
         "partition_quality": _PARTITION_QUALITY_SQL,

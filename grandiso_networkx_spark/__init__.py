@@ -88,6 +88,7 @@ from .operators.walks import (
     weighted_random_walks,
 )
 from .session import get_spark
+from .sources.rmat import rmat_edges
 from .sources.bucketed import (
     drop_bucketed,
     read_bucketed,
@@ -167,6 +168,7 @@ __all__ = [
     "skipgram_pairs",
     "random_walks",
     "reciprocity",
+    "rmat_edges",
     "retention_cohorts",
     "robust_outliers",
     "sssp",
