@@ -2864,6 +2864,27 @@ WHERE rn <= 50
 """
 
 
+def q_two_hop_counts(spark, sf_dir):
+    """Exact ≤2-hop out-reach per vertex (operators/hyperball.py
+    two_hop_counts) — the exact small-radius companion the FM
+    sketches approximate; wedge join, value-checked."""
+    from grandiso_networkx_spark.operators.hyperball import two_hop_counts
+
+    return two_hop_counts(q_reply_edges(spark, sf_dir).select("src", "dst"))
+
+
+_TWO_HOP_SQL = f"""
+WITH e0 AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+two AS (SELECT a.src AS a, b.dst AS b FROM e a JOIN e b ON b.src = a.dst),
+reach AS (SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT a, b FROM two) u
+  WHERE a <> b)
+SELECT a AS id, count(*) AS n_reach FROM reach GROUP BY a
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition filters (operators/textstats.py
     repetition_features): per-doc duplicate-word / top-bigram /
@@ -3461,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat_edges": q_rmat_edges,
         "ppr_multi_seed": q_ppr_fixed,
         "hyperball_sketches": q_hyperball,
+        "two_hop_counts": q_two_hop_counts,
         "partition_quality": q_partition_quality,
         "modularity": q_modularity,
         "hits_fixed": q_hits_invoke,
@@ -3567,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
         "rmat_edges": _rmat_sql(8, 1024),
         "ppr_multi_seed": _ppr_fixed_sql(6),
         "hyperball_sketches": _hyperball_sql(3, 8),
+        "two_hop_counts": _TWO_HOP_SQL,
         "partition_quality": _PARTITION_QUALITY_SQL,
         "modularity": _MODULARITY_SQL,
         "hits_fixed": _hits_fixed_sql(8),

@@ -44,6 +44,7 @@ from .operators.hyperball import (
     effective_diameter,
     hyperball,
     neighborhood_function,
+    two_hop_counts,
 )
 from .operators.katz import katz_centrality
 from .operators.kcore import core_number, k_core, k_truss
@@ -182,5 +183,6 @@ __all__ = [
     "wl_colors",
     "wl_graph_hash",
     "triangle_count",
+    "two_hop_counts",
     "uniform_node_interestingness",
 ]

@@ -218,3 +218,45 @@ def effective_diameter(
                 return float(t1), nf
             return t0 + (target - n0) / (n1 - n0), nf
     return float(nf[-1][0]), nf
+
+
+def two_hop_counts(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """EXACT ≤2-hop out-reach counts ``(id, n_reach)`` (self excluded)
+    — the exact small-radius companion to the FM sketches above: use
+    this when k is small and degrees are bounded, the sketches when
+    either explodes.
+
+    One edges⋈edges wedge join + union + distinct per vertex — work is
+    Σ deg² (the quantity :func:`hyperball` exists to avoid), so
+    ``max_degree`` optionally drops mid-vertices above the cap before
+    the wedge join (the usual hub guard; counts then lower-bound the
+    truth on guarded graphs)."""
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    mid = e
+    if max_degree is not None:
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") <= max_degree)
+            .select("src")
+        )
+        mid = e.join(keep, "src", "left_semi")
+    two = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+        .join(
+            mid.select(F.col("src").alias("m"), F.col("dst").alias("b")),
+            "m",
+        )
+        .select("a", "b")
+    )
+    reach = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(two)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return reach.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_reach")
+    )

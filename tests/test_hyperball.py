@@ -133,3 +133,27 @@ class TestEstimates:
             if sum(min(t + 1, n - i) for i in range(n)) >= target
         )
         assert abs(d - exact) / exact < 0.35
+
+
+class TestTwoHop:
+    def test_exact_vs_networkx(self, spark):
+        g = nx.fast_gnp_random_graph(35, 0.08, directed=True, seed=4)
+        g = nx.relabel_nodes(g, str)
+        g.remove_edges_from(nx.selfloop_edges(g))
+        from grandiso_networkx_spark.operators.hyperball import (
+            two_hop_counts,
+        )
+
+        got = {
+            r.id: r.n_reach
+            for r in two_hop_counts(_edges_df(spark, g)).collect()
+        }
+        for v in g.nodes():
+            ball = set(g.successors(v))
+            for u in list(ball):
+                ball |= set(g.successors(u))
+            ball.discard(v)
+            if ball:
+                assert got.get(v, 0) == len(ball), v
+            else:
+                assert v not in got
