@@ -13,14 +13,44 @@ Matches the classic networkx power-iteration recurrence
 Spark shape: the two half-steps of a round are each one
 edges-join-state + ``groupBy().sum`` (map-side combine absorbs hub
 skew exactly as in PageRank's gather), materialized with
-``localCheckpoint`` for flat lineage; the 1/max scale factors are
-driver literals folded into the NEXT consumer's plan, so scaling
-never costs a pass of its own.
+``localCheckpoint`` for flat lineage.  Driver serial cost per round is
+minimized with PageRank's carried-literal pattern
+(``operators/pagerank.py``):
+
+- ``a``'s per-round 1/max scale is NEVER collected in the loop — the h
+  half-step consumes the RAW a (exactly as networkx does), so a's max
+  only matters for the final output and is computed once after the
+  loop.
+- the previous h rides the new h frame as an ``hlast`` column (the
+  verts-complete state frame IS the join target of the h update, so
+  carrying it is free), and ONE combined agg per round returns both
+  ``max(h)`` and the L1 delta — the 1/max needed inside the delta is a
+  broadcast 1-row subquery over the already-materialized frame, not a
+  separate driver job.
+- fixed-iteration mode runs the RAW recurrence — per-round 1/max
+  scaling is a pure stability device that cancels telescopically in
+  every output (normalized: by the final 1/sum; unnormalized: by the
+  final 1/max), so short fixed runs skip it entirely and apply the
+  scale once at the end.  Deep fixed runs (where unscaled doubles
+  could overflow) rescale in-plan from a broadcast 1-row max — still
+  no driver collect.
+
+Per-round driver jobs: 2 materializations + 1 combined agg
+(convergence mode; the 1/max inside the L1 delta is a broadcast
+subquery over the already-cached frame, not a second collect) or
+2 materializations + 0 collects (fixed mode), down from +3/+2
+collects — the serial fraction the N->4N scaling legs feel hardest
+(pinned by the job-count gate in tests/test_hits_retrieval.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _guarded_max(col):
+    """max with networkx's ``or 1.0`` guard (empty/all-zero -> 1)."""
+    return F.coalesce(F.nullif(F.max(col), F.lit(0.0)), F.lit(1.0))
 
 
 def hits(
@@ -56,14 +86,30 @@ def hits(
         verts.unpersist()
         return spark.createDataFrame([], "id string, hub double, authority double")
 
-    # h state is (vid, h) — max-normalized per round, like networkx.
+    # h state is (vid, h[, hlast]) — h stored RAW; the per-round 1/max
+    # scale is a carried literal (convergence mode, from the combined
+    # agg), skipped (short fixed runs — it cancels in every output),
+    # or an in-plan broadcast max (deep fixed runs, stability only).
     h_frame = verts.select("vid", F.lit(1.0 / n).alias("h")).localCheckpoint()
-    h_scale = 1.0
+    h_scale: float | None = 1.0  # None -> scale in-plan from broadcast max
+    # Unscaled iterates grow ~lambda_max(A^T A)^rounds; doubles hold
+    # ~1e308, so short fixed runs never get near overflow and skip the
+    # stability rescale entirely (zero extra jobs per round).
+    raw_fixed = fixed_iterations is not None and fixed_iterations <= 40
     a_frame = None
-    a_scale = 1.0
     converged = fixed_iterations is not None
     for _ in range(max_iter):
-        h_state = h_frame.select("vid", (F.col("h") * F.lit(h_scale)).alias("h"))
+        if raw_fixed:
+            h_state = h_frame.select("vid", "h")
+        elif h_scale is not None:
+            h_state = h_frame.select(
+                "vid", (F.col("h") * F.lit(h_scale)).alias("h")
+            )
+        else:
+            mx = h_frame.agg(_guarded_max("h").alias("__hm"))
+            h_state = h_frame.crossJoin(F.broadcast(mx)).select(
+                "vid", (F.col("h") * (F.lit(1.0) / F.col("__hm"))).alias("h")
+            )
         a_raw = (
             e.join(h_state.withColumnRenamed("vid", "src"), "src")
             .select("dst", (F.col("h") * F.col("w")).alias("c"))
@@ -75,42 +121,54 @@ def hits(
             .select("vid", F.coalesce("a", F.lit(0.0)).alias("a"))
             .localCheckpoint()
         )
-        a_max = a_frame_new.agg(F.max("a")).collect()[0][0] or 1.0
-        a_scale_new = 1.0 / a_max
+        # h from the RAW a (networkx scales a only for output).
         h_raw = (
             e.join(a_frame_new.withColumnRenamed("vid", "dst"), "dst")
-            .select("src", (F.col("a") * F.col("w")).alias("c"))
+            .select("src", (F.col("a") * F.col("w")).alias("__hn"))
             .groupBy("src")
-            .agg(F.sum("c").alias("h"))
+            .agg(F.sum("__hn").alias("__hn"))
         )
+        # h_state is verts-complete, so it is BOTH the update-join
+        # spine and the free carrier of hlast for the L1 delta.
         h_frame_new = (
-            verts.join(h_raw, verts["vid"] == h_raw["src"], "left")
-            .select("vid", F.coalesce("h", F.lit(0.0)).alias("h"))
+            h_state.join(
+                h_raw, h_state["vid"] == h_raw["src"], "left"
+            )
+            .select(
+                h_state["vid"],
+                F.coalesce("__hn", F.lit(0.0)).alias("h"),
+                h_state["h"].alias("hlast"),
+            )
             .localCheckpoint()
         )
         if fixed_iterations is None:
-            # The L1 delta needs the max-scaled new h, and the scale is
-            # only known after the max agg — two tiny aggs over the
-            # already-cached frame (no recompute).
-            h_max = h_frame_new.agg(F.max("h")).collect()[0][0] or 1.0
-            h_scale_new = 1.0 / h_max
-            err = (
-                h_frame_new.join(
-                    h_state.withColumnRenamed("h", "hlast"), "vid"
-                )
+            # ONE combined agg: the new max AND the L1 delta against
+            # the previous scaled h — the 1/max inside the delta is a
+            # broadcast 1-row subquery over the SAME materialized
+            # frame (no recompute, no second driver job).
+            mx = h_frame_new.agg(_guarded_max("h").alias("__hm"))
+            row = (
+                h_frame_new.crossJoin(F.broadcast(mx))
                 .agg(
+                    F.max("__hm").alias("hm"),
                     F.sum(
-                        F.abs(F.col("h") * F.lit(h_scale_new) - F.col("hlast"))
-                    )
+                        F.abs(
+                            F.col("h") * (F.lit(1.0) / F.col("__hm"))
+                            - F.col("hlast")
+                        )
+                    ).alias("err"),
                 )
-                .collect()[0][0]
+                .collect()[0]
             )
+            h_scale = 1.0 / row["hm"]
+            err = row["err"]
         else:
-            h_max = h_frame_new.agg(F.max("h")).collect()[0][0] or 1.0
-            h_scale_new = 1.0 / h_max
+            # raw short runs keep scale 1 (cancels in output); deep
+            # runs switch to in-plan broadcast scaling — no collects.
+            h_scale = 1.0 if raw_fixed else None
             err = None
-        h_frame, h_scale = h_frame_new, h_scale_new
-        a_frame, a_scale = a_frame_new, a_scale_new
+        h_frame = h_frame_new
+        a_frame = a_frame_new
         if err is not None and err < tol:
             converged = True
             break
@@ -119,6 +177,15 @@ def hits(
         e.unpersist()
         verts.unpersist()
         raise RuntimeError(f"HITS failed to converge in {max_iter} iterations.")
+
+    # Final scales: a's max was never collected in the loop; h's max is
+    # already the carried literal in convergence mode.  Two tiny aggs
+    # total, once per CALL (not per round).
+    a_max = a_frame.agg(F.max("a")).collect()[0][0] or 1.0
+    a_scale = 1.0 / a_max
+    if h_scale is None or raw_fixed:
+        h_max = h_frame.agg(F.max("h")).collect()[0][0] or 1.0
+        h_scale = 1.0 / h_max
 
     out = (
         h_frame.select("vid", (F.col("h") * F.lit(h_scale)).alias("hub"))

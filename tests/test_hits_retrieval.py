@@ -61,6 +61,64 @@ def test_hits_not_converged_raises(spark):
         )
 
 
+def _jobs_during(spark, fn):
+    """Run fn under a job group; return the number of Spark jobs it
+    submitted from this thread (materializations + collects alike)."""
+    sc = spark.sparkContext
+    group = "job-count-gate"
+    sc.setJobGroup(group, "counting")
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+@pytest.mark.parametrize("mode,budget_per_round,fixed", [
+    # fixed mode: 2 localCheckpoints per round, ZERO per-round collects.
+    ("fixed", 2, 12),
+    # convergence mode: 2 localCheckpoints + ONE combined (max, L1) agg.
+    ("converge", 3, None),
+])
+def test_hits_per_round_job_count(spark, mode, budget_per_round, fixed):
+    """Serial-fraction gate: the loop body must stay at <= 2
+    materializations (+1 combined agg in convergence mode) per round —
+    the a-max / h-max / err collects may NOT creep back in as separate
+    driver jobs (VERDICT r1 finding #4)."""
+    g = nx.DiGraph([(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 0)])
+    e = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in g.edges()], "src string, dst string"
+    )
+    if mode == "fixed":
+        rounds = fixed
+        run = lambda: hits(e, fixed_iterations=fixed).collect()
+    else:
+        rounds = 40  # generous upper bound on rounds-to-converge
+        run = lambda: hits(e, max_iter=200, tol=1e-10).collect()
+    jobs = _jobs_during(spark, run)
+    # One-time jobs outside the loop: verts.count, initial h checkpoint,
+    # final a-max (+h-max in fixed mode), normalization sums, output
+    # checkpoint + the caller's collect -> <= 8.
+    assert jobs <= budget_per_round * rounds + 8, jobs
+
+
+def test_hits_weighted_matches_networkx(spark):
+    from tests.oracles import hits_oracle
+
+    wedges = [("0", "1", 2.0), ("0", "2", 0.5), ("1", "2", 3.0), ("2", "0", 1.0)]
+    want_h, want_a = hits_oracle(wedges, max_iter=2000, tol=1e-12)
+    e = spark.createDataFrame(
+        wedges, "src string, dst string, weight double"
+    )
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in hits(e, max_iter=2000, tol=1e-12, weight_col="weight").collect()
+    }
+    for k, (h, a) in got.items():
+        assert math.isclose(h, want_h[k], abs_tol=1e-6), (k, h, want_h[k])
+        assert math.isclose(a, want_a[k], abs_tol=1e-6), (k, a, want_a[k])
+
+
 # ------------------------------------------------------- BM25 / TF-IDF
 
 DOCS = [
