@@ -737,10 +737,14 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs (≥0.5) — the
-    verification stage LSH candidates feed at scale."""
+    """Exact word-3-gram Jaccard near-dup pairs (≥0.5) over the
+    stop-gram-guarded gram sets (``max_df=50`` — grams in more than 50
+    documents are boilerplate and excluded from sizes AND
+    intersections, keeping the gram self-join's hot buckets bounded);
+    the verification stage LSH candidates feed at scale.  The SQL
+    oracle applies the identical ``HAVING count(*) <= 50`` guard."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=50
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -748,12 +752,15 @@ _NGRAM_JACCARD_SQL = r"""
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
 ),
-grams AS (
+grams0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(ws)-2, 1)+1),
                                i -> array_to_string(ws[i:i+2], ' '))) AS gram
   FROM words
 ),
+-- stop-gram guard: mirror of ngram_jaccard_pairs(max_df=50)
+keep AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) <= 50),
+grams AS (SELECT g.doc_id, g.gram FROM grams0 g JOIN keep USING (gram)),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
   SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS ni
@@ -2071,8 +2078,12 @@ l{i + 1} AS (SELECT l.id, coalesce(p.new_label, l.label) AS label
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """The numpy Arrow-batch MinHash family (portable=False) — batch-
+    vectorized kernel, engine-seeded hashes, hence rows-only here; the
+    default (portable) family is value-checked by
+    ``minhash_portable_pairs``."""
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"), threshold=0.5, portable=False
     ).select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 

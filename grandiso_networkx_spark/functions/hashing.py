@@ -34,5 +34,18 @@ def hash60(col: Column) -> Column:
 
 def hash60_keyed(*cols) -> Column:
     """``hash60`` of the '|'-joined key parts (columns or literals
-    already wrapped as Columns)."""
+    already wrapped as Columns).
+
+    PRECONDITION — all key parts must be NON-NULL.  ``concat_ws``
+    silently *drops* null parts, so ``hash60_keyed(a, NULL, b) ==
+    hash60_keyed(a, b)`` (cross-key collisions), and it diverges from
+    a naive ``'||'`` SQL replay where any NULL nulls the whole key.
+    Every internal caller feeds literals, generated ids, or
+    already-coalesced columns; external callers hashing nullable data
+    must ``F.coalesce(col, F.lit(sentinel))`` each part FIRST, with
+    the same sentinel applied in any SQL oracle.  (Kept as a
+    documented precondition rather than a per-row assert: this hash
+    sits in the innermost loop of every deterministic operator, and a
+    null-check expression per part would tax all of them to guard a
+    misuse none of them can make.)"""
     return hash60(F.concat_ws("|", *cols))

@@ -58,6 +58,18 @@ def asof_join(
     payload_cols = [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    # Output-name collision guard (mirrors interval_join): produced
+    # `{c}{suffix}` columns and the internal temporaries must not
+    # already exist on the left frame, else the result would silently
+    # carry duplicate/ambiguous names.
+    produced = {f"{c}{suffix}" for c in payload_cols} | {f"{right_ts}{suffix}"}
+    internal = {"__k", "__ts", "__side", "__r", "__m"}
+    clash = (produced | internal) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {sorted(clash)} collide with "
+            "left columns — pass a different suffix or rename"
+        )
     # left rows keep their original columns; right rows contribute ONE
     # atomic payload struct (carrying columns independently could mix
     # values from different right rows when payloads contain nulls)

@@ -147,6 +147,45 @@ def eccentricity(
     return per_src.select(F.col("source").alias("id"), "ecc")
 
 
+def distance_profile(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    wf_improved: bool = True,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """``(id, closeness double, harmonic double, ecc long)`` from ONE
+    multi-source BFS over the undirected graph — closeness, harmonic
+    and eccentricity differ only in the per-source aggregate, so a
+    combined profile pays for the (source, reached) distance frame
+    once instead of three times.  Undirected only: on digraphs nx's
+    closeness/harmonic use incoming distance but eccentricity uses
+    outgoing, so a single BFS cannot serve all three.
+
+    Semantics match ``closeness_centrality`` (Wasserman–Faust scaled),
+    ``harmonic_centrality`` and ``eccentricity(require_connected=
+    False)`` exactly — pinned by tests/test_centrality.py."""
+    dist, n = _multi_source_bfs(edges, sources, False, max_depth)
+    per_src = dist.groupBy("source").agg(
+        F.count("*").alias("r"),
+        F.sum("dist").alias("s"),
+        F.sum(
+            F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("harmonic"),
+        F.max("dist").alias("ecc"),
+    )
+    base = (F.col("r") - 1) / F.col("s")
+    if wf_improved and n > 1:
+        base = base * (F.col("r") - 1) / F.lit(float(n - 1))
+    return per_src.select(
+        F.col("source").alias("id"),
+        F.when(F.col("s") > 0, base).otherwise(F.lit(0.0)).alias("closeness"),
+        "harmonic",
+        "ecc",
+    )
+
+
 def harmonic_centrality(
     edges: DataFrame,
     sources: DataFrame | None = None,

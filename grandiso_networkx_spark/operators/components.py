@@ -118,8 +118,21 @@ def connected_components_star(
         else:
             new_e = new_e.localCheckpoint()
         # Exact convergence: the (symmetric-closure-free) edge sets of
-        # two star-forest rounds are equal iff nothing moved.
-        changed = new_e.exceptAll(e).unionAll(e.exceptAll(new_e)).limit(1).count()
+        # two star-forest rounds are equal iff nothing moved.  Both
+        # frames are (src, dst)-distinct, so the symmetric difference
+        # is exactly the groups the tagged union sees only once — ONE
+        # shuffle with map-side combine over both materialized frames,
+        # where the exceptAll ∪ exceptAll formulation paid two
+        # full-frame set-differences.
+        changed = (
+            new_e.select("src", "dst")
+            .unionAll(e.select("src", "dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") == 1)
+            .limit(1)
+            .count()
+        )
         if checkpoint is not None and it % checkpoint_every == 0:
             checkpoint.annotate(it, {"edges_changed": changed})
         e = new_e

@@ -13,8 +13,10 @@ All four families work over a ``documents(doc_id, text, ...)`` table:
 - **n-gram Jaccard**: exact verification on LSH candidates (or small
   inputs) via explode + pair aggregation.
 
-Everything JVM-side except the minhash kernel, which is a single
-`mapInPandas` numpy pass (no per-row Python).
+Everything JVM-side by default (the MinHash default is the portable
+md5-affine family — pure column expressions); the alternative numpy
+MinHash kernel is a single batch-vectorized `mapInPandas` pass with
+no per-document Python.
 """
 
 from __future__ import annotations
@@ -166,32 +168,70 @@ def portable_minhash_signatures(
     )
 
 
+_POLY = np.uint64(1000003)  # FNV-ish odd multiplier for the byte hash
+
+
 def _minhash_kernel(num_perm: int, shingle_k: int, seed: int):
+    """Batch-vectorized MinHash: the whole Arrow batch is one numpy
+    computation — encode, byte-shingle via ``sliding_window_view``,
+    polynomial-hash every window in ``k`` vectorized passes, then one
+    ``np.minimum.reduceat`` per permutation over the ragged per-doc
+    segments.  No per-document Python loop anywhere (the only Python
+    iteration is over the ``num_perm`` permutations and the ``k``
+    bytes of the window hash, both batch-wide vector ops), and no
+    ``hash()`` — signatures are PYTHONHASHSEED-independent.
+
+    Hash domain: 31-bit (mod 2^31-1) so ``a*h + b`` stays below 2^62
+    inside uint64 — same overflow discipline as the portable family.
+    """
+    p31 = np.uint64(_PORTABLE_P)
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, _PORTABLE_P, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, _PORTABLE_P, size=num_perm).astype(np.uint64)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for text in pdf["text"]:
-                t = text or ""
-                if len(t) < shingle_k:
-                    shingles = {t}
-                else:
-                    shingles = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
-                hv = np.fromiter(
-                    (hash(s) & 0x7FFFFFFFFFFFFFFF for s in shingles),
-                    dtype=np.int64,
-                    count=len(shingles),
-                )
-                # (a*x + b) mod p, min over shingles, vectorized
-                m = (
-                    (hv[None, :].astype(np.uint64) * a[:, None].astype(np.uint64) + b[:, None].astype(np.uint64))
-                    % np.uint64(_MERSENNE)
-                ).min(axis=1)
-                sigs.append(m.astype(np.int64))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            if len(pdf) == 0:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": []})
+                continue
+            # Pad short texts to k chars (utf-8 length >= char length),
+            # so every doc owns >= 1 window — required by reduceat and
+            # matches "whole text is the shingle" semantics for shorts.
+            texts = pdf["text"].fillna("").str.ljust(shingle_k, "\x00")
+            enc = texts.str.encode("utf-8")
+            lens = enc.str.len().to_numpy(np.int64)
+            buf = np.frombuffer(
+                b"".join(enc.tolist()) + b"\x00" * (shingle_k - 1),
+                dtype=np.uint8,
+            )
+            offs = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            # Hash EVERY k-byte window of the concatenated buffer...
+            win = np.lib.stride_tricks.sliding_window_view(buf, shingle_k)
+            h = np.zeros(win.shape[0], np.uint64)
+            for j in range(shingle_k):
+                h = h * _POLY + win[:, j]
+            h %= p31
+            # ...then keep only windows fully inside a document
+            # (ragged-range gather: doc i owns positions
+            # offs[i] .. offs[i] + len_i - k).
+            counts = lens - shingle_k + 1
+            cc = np.cumsum(counts)
+            seg = cc - counts
+            idx = (
+                np.arange(cc[-1], dtype=np.int64)
+                - np.repeat(seg, counts)
+                + np.repeat(offs[:-1], counts)
+            )
+            hv = h[idx]
+            sig = np.empty((len(lens), num_perm), np.int64)
+            for k in range(num_perm):
+                sig[:, k] = np.minimum.reduceat(
+                    (hv * a[k] + b[k]) % p31, seg
+                ).astype(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": list(sig)}
+            )
 
     return kernel
 
@@ -203,11 +243,13 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """``(doc_id, sig array<long>)`` MinHash signatures.
-
-    NOTE: uses Python's ``hash`` on shingles — deterministic within a
-    job only if PYTHONHASHSEED is pinned; the engine pins it via the
-    session factory for reproducible pipelines.
+    """``(doc_id, sig array<long>)`` MinHash signatures — the numpy
+    fast path (one vectorized Arrow batch kernel, see
+    :func:`_minhash_kernel`).  Deterministic for a given seed across
+    runs, sessions, and PYTHONHASHSEED values.  The SQL-replayable
+    twin is :func:`portable_minhash_signatures` (all-JVM, value-checked
+    against DuckDB), which is also the :func:`minhash_lsh_pairs`
+    default.
     """
     sel = docs.select("doc_id", F.col(text_col).alias("text"))
     return sel.mapInPandas(
@@ -224,7 +266,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
-    portable: bool = False,
+    portable: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs ``(a, b, est_jaccard)``.
 
@@ -232,9 +274,14 @@ def minhash_lsh_pairs(
     become candidates; estimated Jaccard = fraction of matching minhash
     positions; filtered at ``threshold``.
 
-    ``portable=True`` switches to the md5-affine hash family and md5
-    band buckets (both SQL-expressible — the driver value-checks this
-    path against DuckDB); default stays the faster numpy/xxhash family.
+    The DEFAULT signature family is the portable md5-affine one —
+    entirely JVM-side column expressions (zero Python in the hot path)
+    and SQL-expressible, so the default pipeline is value-checked
+    end-to-end against DuckDB by the driver (``minhash_portable_pairs``).
+    ``portable=False`` switches to the numpy Arrow-batch kernel
+    (:func:`minhash_signatures`) — batch-vectorized, useful when the
+    corpus is already flowing through a Python stage; quality is
+    equivalent (both families are uniform hashes).
     """
     rows_per_band = num_perm // bands
     if portable:
@@ -382,13 +429,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all pairs sharing at
     least one n-gram: ``(a, b, jaccard)``.
 
     explode → gram-pair join → |A∩B| per pair; |A| via per-doc distinct
-    counts.  The gram join is the scale risk (stop-gram hubs); callers
-    at scale should feed LSH candidates instead of the full corpus.
+    counts.  The gram self-join is Σ|bucket|², so ``max_df`` drops
+    *stop-grams* — n-grams occurring in more than that many documents
+    (boilerplate) — the same hot-bucket guard as
+    :func:`~.textstats.winnow_near_pairs`: without it one gram shared
+    by 10^6 docs is a 10^12-row bucket.  The guard is applied to the
+    WHOLE computation (sizes and intersections), so the score stays an
+    exact Jaccard over the filtered gram sets — SQL-replayable with a
+    plain ``HAVING``.  ``max_df=None`` disables it (exact full-corpus
+    semantics; only for small inputs or pre-bucketed LSH candidates).
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams_arr = F.transform(
@@ -399,6 +454,14 @@ def ngram_jaccard_pairs(
         docs.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
         .persist()
     )
+    if max_df is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     l = grams.select(F.col("doc_id").alias("a"), "gram")
     r = grams.select(F.col("doc_id").alias("b"), "gram")

@@ -116,6 +116,7 @@ def hyperball(
 
     n_rounds = rounds if rounds is not None else max_rounds
     prev_sum = None
+    converged = rounds is not None
     for _ in range(n_rounds):
         gathered = (
             e.join(state.withColumnRenamed("id", "dst"), "dst")
@@ -135,8 +136,19 @@ def hyperball(
                 ).alias("s")
             ).collect()[0][0]
             if cur == prev_sum:
+                converged = True
                 break
             prev_sum = cur
+    if not converged:
+        # Same contract as temporal.earliest_arrival: a fixed-point
+        # promise that cannot be kept must be loud, not silently
+        # truncated (sketches would understate the reachable set on
+        # graphs with directed diameter > max_rounds).
+        raise RuntimeError(
+            f"hyperball(rounds=None) did not reach the register fixed "
+            f"point within max_rounds={max_rounds}; raise max_rounds "
+            f"or pass an explicit rounds= for a bounded-radius ball."
+        )
 
     if with_estimate:
         return state.select("id", *regs, _est_col(regs).alias("est_reach"))
@@ -207,7 +219,17 @@ def effective_diameter(
 ) -> tuple[float, list[tuple[int, float]]]:
     """Effective diameter at quantile ``q``: the (interpolated)
     smallest t with N(t) ≥ q · N(final), plus the neighborhood
-    function it was read from (Boldi et al.'s standard definition)."""
+    function it was read from (Boldi et al.'s standard definition).
+
+    Truncation caveat: :func:`neighborhood_function` stops at
+    ``max_rounds`` even if the register sums are still growing, so on
+    a graph whose directed diameter exceeds ``max_rounds`` the
+    returned value is a LOWER BOUND read off a truncated curve —
+    raise ``max_rounds`` until the final entries plateau (the sibling
+    :func:`hyperball` with ``rounds=None`` raises in the analogous
+    case because its contract is the exact fixed point; here the
+    curve itself is the deliverable, so truncation is documented
+    rather than fatal)."""
     nf = neighborhood_function(edges, max_rounds, num_registers, seed)
     target = q * nf[-1][1]
     if nf[0][1] >= target:

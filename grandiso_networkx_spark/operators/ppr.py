@@ -97,32 +97,41 @@ def personalized_pagerank(
         for df in persisted:
             df.unpersist()
 
-    blocks = _persist(
-        build_adjacency_blocks(
-            e, weight_col="w", chunk_size=chunk_size,
-            num_partitions=num_partitions,
-        )
-    )
-    sd = _persist(seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct())
-
-    # Seed validation + N (for the convergence threshold) in two tiny jobs.
-    verts = e.select(F.col("src").alias("id")).unionAll(
-        e.select(F.col("dst").alias("id"))
-    ).distinct()
-    n = verts.count()
-    n_missing = sd.join(verts, sd["seed"] == verts["id"], "left_anti").count()
-    if n_missing:
-        _cleanup()
-        raise ValueError(f"{n_missing} seed(s) not present in the graph")
-
-    # State: sparse (seed, vid, rank); round 0 = unit mass at the seed.
-    state = _persist(sd.select("seed", F.col("seed").alias("vid"),
-                               F.lit(1.0).alias("rank")))
-
-    # Fixed-shape loop — same rationale as pagerank.py for pinning AQE off.
-    old_aqe = spark.conf.get(_AQE_KEY, "true")
-    spark.conf.set(_AQE_KEY, "false")
+    # Everything below runs under one try/finally: _cleanup() is
+    # idempotent and MUST run even when an exception escapes mid-loop
+    # (e.g. a per-round collect failing) — otherwise the persisted
+    # blocks/seeds/state frames leak executor memory.
+    old_aqe: str | None = None
     try:
+        blocks = _persist(
+            build_adjacency_blocks(
+                e, weight_col="w", chunk_size=chunk_size,
+                num_partitions=num_partitions,
+            )
+        )
+        sd = _persist(
+            seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+        )
+
+        # Seed validation + N (for the convergence threshold): two tiny jobs.
+        verts = e.select(F.col("src").alias("id")).unionAll(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
+        n = verts.count()
+        n_missing = sd.join(
+            verts, sd["seed"] == verts["id"], "left_anti"
+        ).count()
+        if n_missing:
+            raise ValueError(f"{n_missing} seed(s) not present in the graph")
+
+        # State: sparse (seed, vid, rank); round 0 = unit mass at the seed.
+        state = _persist(sd.select("seed", F.col("seed").alias("vid"),
+                                   F.lit(1.0).alias("rank")))
+
+        # Fixed-shape loop — same rationale as pagerank.py for pinning
+        # AQE off.
+        old_aqe = spark.conf.get(_AQE_KEY, "true")
+        spark.conf.set(_AQE_KEY, "false")
         it = 0
         while it < max_iter:
             # Gather: state ⋈ CSR blocks (left join keeps dangling rows,
@@ -185,13 +194,15 @@ def personalized_pagerank(
             # once the previous state frame is unreferenced.
             state = new_state
             if delta is not None and delta < n * tol:
-                _cleanup()
                 return state.select("seed", F.col("vid").alias("id"), "rank")
-    finally:
-        spark.conf.set(_AQE_KEY, old_aqe)
 
-    if fixed_iterations is not None:
+        if fixed_iterations is not None:
+            # state is localCheckpoint-ed, so it survives _cleanup().
+            return state.select("seed", F.col("vid").alias("id"), "rank")
+        raise RuntimeError(
+            f"PPR failed to converge in {max_iter} iterations."
+        )
+    finally:
+        if old_aqe is not None:
+            spark.conf.set(_AQE_KEY, old_aqe)
         _cleanup()
-        return state.select("seed", F.col("vid").alias("id"), "rank")
-    _cleanup()
-    raise RuntimeError(f"PPR failed to converge in {max_iter} iterations.")

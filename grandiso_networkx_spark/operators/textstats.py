@@ -449,7 +449,10 @@ def compression_ratio(
     """
     import pandas as pd  # noqa: F401 - signature requirement
 
-    schema = "doc_id long, n_bytes long, ratio double"
+    # doc_id keeps its source type (string corpora exist) — only the
+    # computed columns pin theirs.
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_type}, n_bytes long, ratio double"
     src = docs.select("doc_id", F.col(text_col).alias("__t"))
 
     def _kernel(batches):

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from grandiso_networkx_spark.operators.closeness import (
     closeness_centrality,
+    distance_profile,
     eccentricity,
     harmonic_centrality,
 )
@@ -249,3 +250,40 @@ class TestCloseness:
         want = nx.closeness_centrality(g, wf_improved=False)
         for k, v in want.items():
             assert abs(got[str(k)] - v) < 1e-9, k
+
+
+class TestDistanceProfile:
+    """One multi-source BFS serving closeness + harmonic + eccentricity
+    must equal the three standalone operators (and their nx oracles)."""
+
+    def test_matches_all_three_nx(self, spark):
+        g = nx.karate_club_graph()
+        rows = {
+            r.id: r for r in distance_profile(_edges_df(spark, g)).collect()
+        }
+        close = nx.closeness_centrality(g)
+        harm = nx.harmonic_centrality(g)
+        ecc = nx.eccentricity(g)
+        assert set(rows) == {str(k) for k in close}
+        for k in close:
+            got = rows[str(k)]
+            assert abs(got.closeness - close[k]) < 1e-9, k
+            assert abs(got.harmonic - harm[k]) < 1e-9, k
+            assert got.ecc == ecc[k], k
+
+    def test_disconnected(self, spark):
+        # Per-component semantics: WF-scaled closeness, harmonic sums
+        # over reached only, eccentricity within the component.
+        g = nx.union(nx.path_graph(3), nx.path_graph(2), rename=("a", "b"))
+        rows = {
+            r.id: r for r in distance_profile(_edges_df(spark, g)).collect()
+        }
+        close = nx.closeness_centrality(g)
+        harm = nx.harmonic_centrality(g)
+        for k in close:
+            got = rows[str(k)]
+            assert abs(got.closeness - close[k]) < 1e-9, k
+            assert abs(got.harmonic - harm[k]) < 1e-9, k
+        assert {k: r.ecc for k, r in rows.items()} == {
+            "a0": 2, "a1": 1, "a2": 2, "b0": 1, "b1": 1
+        }

@@ -81,6 +81,35 @@ class TestMinhash:
         b = dedup.minhash_signatures(docs).orderBy("doc_id").collect()
         assert [r.sig for r in a] == [r.sig for r in b]
 
+    def test_vectorized_kernel_matches_reference_loop(self, spark, docs):
+        """The batch-vectorized numpy kernel (ragged reduceat over a
+        concatenated byte buffer) must equal a trivially-correct
+        per-document Python recomputation of the same hash family."""
+        num_perm, k, seed = 16, 5, 7
+        got = {
+            r.doc_id: list(r.sig)
+            for r in dedup.minhash_signatures(
+                docs, num_perm=num_perm, shingle_k=k, seed=seed
+            ).collect()
+        }
+        P = (1 << 31) - 1
+        rng = np.random.RandomState(seed)
+        a = [int(x) for x in rng.randint(1, P, size=num_perm)]
+        b = [int(x) for x in rng.randint(0, P, size=num_perm)]
+        for row in docs.collect():
+            t = (row.text or "").ljust(k, "\x00").encode("utf-8")
+            hs = set()
+            for i in range(len(t) - k + 1):
+                h = 0
+                for byte in t[i : i + k]:
+                    h = (h * 1000003 + byte) % (1 << 64)
+                hs.add(h % P)
+            want = [
+                min((ai * h + bi) % P for h in hs)
+                for ai, bi in zip(a, b)
+            ]
+            assert got[row.doc_id] == want, f"doc {row.doc_id}"
+
 
 class TestSimhash:
     def test_exact_dups_collide(self, spark, docs):
@@ -101,6 +130,30 @@ class TestNgramJaccard:
         assert got[(0, 1)] == 1.0
         assert 0.3 <= got[(0, 2)] < 1.0
         assert (0, 5) not in got
+
+    def test_max_df_stop_gram_guard(self, spark):
+        # 6 docs all sharing the boilerplate header gram; two true dups.
+        boiler = "terms of service apply here"
+        rows = [(i, f"{boiler} document body number {i}") for i in range(4)]
+        rows += [(10, f"{boiler} same exact body text"),
+                 (11, f"{boiler} same exact body text")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        # Unguarded: every pair shares the boilerplate grams → all
+        # C(6,2)=15 pairs surface at threshold 0.
+        full = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=None)
+        assert full.count() == 15
+        # Guarded at max_df=2: grams in >2 docs (the boilerplate) are
+        # dropped from sizes AND intersections — only the true dup
+        # pair's body grams survive, and its Jaccard over the filtered
+        # sets is exactly 1.0.
+        guarded = {
+            (r.a, r.b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                d, n=3, threshold=0.0, max_df=2
+            ).collect()
+        }
+        assert guarded[(10, 11)] == 1.0
+        assert all(a == 10 and b == 11 for (a, b) in guarded)
 
 
 class TestTextStats:
