@@ -1297,14 +1297,34 @@ def q_connected_components_star(spark, sf_dir):
 def q_scc(spark, sf_dir):
     """Strongly connected components (directed coloring + backward
     confirm + peel, operators/scc.py); exactness vs
-    nx.strongly_connected_components is pinned by tests/test_scc.py —
-    convergence loops are not SQL-expressible, so rows-only here."""
+    nx.strongly_connected_components is pinned by tests/test_scc.py.
+    The SCC partition with component = min member id is unique
+    regardless of algorithm, so the value check replays it in SQL as
+    a recursive transitive closure + mutual-reachability min."""
     from grandiso_networkx_spark.operators.scc import (
         strongly_connected_components,
     )
 
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return strongly_connected_components(e)
+
+
+_SCC_SQL = f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL})),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS id, r1.b AS other
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS component
+FROM verts v LEFT JOIN mutual m ON m.id = v.id
+GROUP BY v.id
+"""
 
 
 def q_core_number(spark, sf_dir):
@@ -3691,6 +3711,7 @@ def _standalone_oracles() -> dict[str, str]:
         "label_propagation_weighted": _lpa_weighted_sql(8),
         "minhash_portable_pairs": _minhash_portable_sql(),
         "simhash_portable": _SIMHASH_PORTABLE_SQL,
+        "strongly_connected_components": _SCC_SQL,
     }
 
 
@@ -3808,6 +3829,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_user_graph": ["user_projection", "reciprocity", "cms_sketch"],
     "fused_components": [
         "connected_components", "connected_components_star", "bfs_levels",
+        "strongly_connected_components",
     ],
     "fused_spectral": ["katz_fixed", "eigenvector_fixed", "pagerank_fixed"],
     "fused_distance_centrality": [
@@ -3845,7 +3867,7 @@ _FUSED_ROWS_ONLY: dict[str, list[str]] = {
     "fused_media_rows": ["media_features", "media_resize", "compression_ratio"],
     "fused_graph_rows": [
         "minimum_spanning_forest", "pagerank_invoke_graph",
-        "strongly_connected_components", "semantic_dedup_keep_lsh",
+        "semantic_dedup_keep_lsh",
     ],
 }
 
