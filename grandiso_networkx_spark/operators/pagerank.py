@@ -74,6 +74,10 @@ from pyspark.sql import types as T
 from ..checkpoint import CheckpointManager
 
 _INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+# Auto partition-width target for the iterative state/blocks frames:
+# one shuffle partition per this many edges (see pagerank()'s P).
+_EDGES_PER_PARTITION = 50_000
 _AQE_KEY = "spark.sql.adaptive.enabled"
 
 
@@ -230,6 +234,12 @@ def pagerank(
     no convergence test (deterministic benchmark workload; skips one
     aggregation job per round).
 
+    ``num_partitions``: width of the CSR-block and rank-state frames.
+    Default (``None``) auto-sizes to ``ceil(|E| / 50k)`` capped at the
+    session's ``spark.sql.shuffle.partitions`` — identical to the
+    configured width at cluster scale, narrower on small graphs where
+    per-task dispatch would dominate each round.
+
     ``iter_seconds``: caller-supplied list; each round's wall seconds
     (covering that round's materializing jobs) is appended — the
     instrumentation the scaling bench uses to time steady-state rounds
@@ -260,7 +270,19 @@ def pagerank(
     if fixed_iterations is not None:
         max_iter = fixed_iterations
     spark = edges.sparkSession
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    P = num_partitions
+    if P is None:
+        # Auto width: one shuffle partition per ~50k edges, capped at
+        # the session default.  At cluster scale |E| >> cap*50k so this
+        # is exactly the configured width; on small graphs it stops the
+        # per-round scheduler cost from dominating (measured at 400k
+        # edges / local[32] / 64 default: P=64 15.8s vs P=8 10.5s for
+        # 10 iterations — every stage pays per-task dispatch for tasks
+        # with microseconds of work).  Costs one count job over the
+        # caller's edge frame; callers on expensive un-persisted
+        # lineage should pass num_partitions explicitly.
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        P = max(1, min(default_p, -(-edges.count() // _EDGES_PER_PARTITION)))
 
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select("src", "dst", w.alias("w"))
