@@ -1001,6 +1001,70 @@ FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
 )
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup (operators/dedup.py passage_dedup):
+    20-word-window passages, first corpus-wide occurrence wins,
+    surviving text reassembled — the C4/Gopher boilerplate remover.
+    Value-checked against a window-function SQL replay."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.passage_dedup(docs, window=20)
+
+
+_PASSAGE_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+),
+p AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(t[(i*20+1):(i*20+20)], ' ') AS passage
+  FROM toks,
+       UNNEST(range(GREATEST(CAST(ceil(len(t)/20.0) AS BIGINT), 1))) AS u(i)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+  FROM p
+),
+kept AS (SELECT doc_id, pos, passage FROM ranked WHERE rn = 1),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(passage, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_passages FROM p GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_passages, 0) AS n_passages,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN reb r USING (doc_id)
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Corpus vocabulary-coverage curve (operators/textstats.py
+    vocab_coverage): top-200 tokens with cumulative coverage of all
+    token occurrences — the tokenizer/vocab planning table."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocab_coverage(docs, top_v=200)
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH tk AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+counts AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS s FROM counts),
+top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok ASC LIMIT 200)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INT) AS rank,
+       tok, n,
+       round(sum(n) OVER (ORDER BY n DESC, tok ASC ROWS UNBOUNDED PRECEDING)
+             / (SELECT s FROM tot), 6) AS cum_frac
+FROM top
+"""
+
+
 def q_semantic_dedup_keep_lsh(spark, sf_dir):
     """Scale-path semantic dedup: sign-LSH bucketed candidate pairs
     (similarity.embedding_near_pairs — candidates only ever meet
@@ -3523,6 +3587,8 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "top_customers": q_top_customers,
         "regional_volume": q_regional_volume,
         "exact_dedup": q_exact_dedup,
+        "passage_dedup": q_passage_dedup,
+        "vocab_coverage": q_vocab_coverage,
         "curate_corpus": q_curate_corpus,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
@@ -3632,6 +3698,8 @@ def _standalone_oracles() -> dict[str, str]:
         "top_customers": _TOP_CUSTOMERS_SQL,
         "regional_volume": _REGIONAL_VOLUME_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
+        "passage_dedup": _PASSAGE_DEDUP_SQL,
+        "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "curate_corpus": _curate_sql(),
         "dataset_split": _DATASET_SPLIT_SQL,
         "stratified_sample": _STRATIFIED_SQL,
@@ -3810,9 +3878,11 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
         "triangle_count", "triangle_per_vertex", "local_clustering",
     ],
     "fused_tpch": ["pricing_summary", "top_customers", "regional_volume"],
-    "fused_dedup_exact": ["exact_dedup", "dedup_keep"],
+    "fused_dedup_exact": ["exact_dedup", "dedup_keep", "passage_dedup"],
     "fused_curation": ["curate_corpus", "dataset_split", "stratified_sample"],
-    "fused_token_stats": ["token_counts", "token_quantiles", "token_entropy"],
+    "fused_token_stats": [
+        "token_counts", "token_quantiles", "token_entropy", "vocab_coverage",
+    ],
     "fused_quality": ["quality_features", "repetition_features", "lang_guess"],
     "fused_contamination": ["contamination", "fingerprint"],
     "fused_winnowing": ["winnow_fingerprints", "winnow_near_pairs"],

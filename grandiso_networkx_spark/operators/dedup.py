@@ -49,6 +49,86 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
+def passage_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = None,
+    window: int = 20,
+) -> DataFrame:
+    """Passage-level exact dedup (the C4/Gopher-style boilerplate
+    remover): split each document into passages, keep only the FIRST
+    corpus-wide occurrence of each distinct passage (first = min
+    ``(doc_id, pos)``), and reassemble the surviving text in original
+    order.
+
+    ``delimiter`` splits on a literal separator (paragraph breaks);
+    ``None`` falls back to fixed non-overlapping ``window``-word
+    chunks — the corpora here are single-line word streams.  Window
+    mode only collapses ALIGNED repeats (a passage starting mid-chunk
+    hashes differently); delimiter mode has no such offset
+    sensitivity, and unaligned near-repeats are the MinHash/winnowing
+    operators' job.
+
+    Returns ``(doc_id, n_passages, n_kept, text_dedup)`` for EVERY
+    input document (a doc whose passages are all boilerplate keeps an
+    empty string).
+
+    Scale shape: the only corpus-wide meeting point is the
+    ``groupBy(passage)`` min-owner aggregation — map-side combine
+    collapses a boilerplate passage shared by 10⁶ docs to one row per
+    map partition, so there is no hot-key reducer (the reason this is
+    a groupBy + semi-join rather than a row_number window over the
+    passage partition).  Split/reassemble are per-document built-ins
+    (no Python).
+    """
+    if delimiter is not None:
+        passages = F.split(F.col(text_col), F.lit(delimiter), -1)
+    else:
+        toks = F.split(F.col(text_col), " ")
+        n_chunks = F.greatest(
+            F.ceil(F.size(toks) / F.lit(window)).cast("int"), F.lit(1)
+        )
+        passages = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * window + 1, window), " "
+            ),
+        )
+    p = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(passages).alias("pos", "passage")
+    )
+    owner = p.groupBy("passage").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__first")
+    )
+    kept = p.join(owner, "passage").where(
+        (F.col("doc_id") == F.col("__first.doc_id"))
+        & (F.col("pos") == F.col("__first.pos"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " " if delimiter is None else delimiter,
+        ).alias("text_dedup"),
+    )
+    totals = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_passages"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def near_dedup_keep(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

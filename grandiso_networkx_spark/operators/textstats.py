@@ -429,6 +429,47 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_coverage(
+    docs: DataFrame, text_col: str = "text", top_v: int = 1000
+) -> DataFrame:
+    """``(rank, tok, n, cum_frac)`` — the corpus's top-``top_v`` token
+    frequencies with cumulative coverage of ALL token occurrences: the
+    vocabulary-size planning curve (how much of the corpus a V-entry
+    vocab covers before falling back to byte/unk pieces).
+
+    Ties broken lexicographically so the curve is deterministic.
+
+    Scale shape: the corpus-wide token counts are one map-side-combined
+    ``groupBy(tok)``; the global ordering is then taken over only the
+    ``top_v`` survivors (orderBy+limit = TakeOrdered, never a full
+    sort) so the one-partition cumulative window runs on ``top_v``
+    rows, not the whole vocabulary.  The coverage denominator is the
+    full corpus token count (a scalar aggregate), so ``cum_frac`` is
+    exact even though only ``top_v`` rows are returned.
+    """
+    counts = (
+        _word_positions(docs, text_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0] or 1
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(top_v)
+    counts.unpersist()
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))).alias("rank"),
+        "tok",
+        "n",
+        F.round(F.sum("n").over(w) / F.lit(float(total)), 6).alias("cum_frac"),
+    )
+
+
 def compression_ratio(
     docs: DataFrame, text_col: str = "text", level: int = 6
 ) -> DataFrame:
