@@ -607,6 +607,34 @@ FROM b
 """
 
 
+def q_source_quality(spark, sf_dir):
+    """Per-source corpus health rollup (operators/textstats.py
+    source_quality_rollup): doc counts, token mass, quality means and
+    the corpus-wide exact-dup share per source — the drop-bad-domains
+    decision table."""
+    return textstats.source_quality_rollup(_t(spark, sf_dir, "documents"))
+
+
+_SOURCE_QUALITY_SQL = r"""
+WITH b AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS nt,
+         round(CAST(length(regexp_replace(text, '[\s A-Za-z0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1), 6) AS pr,
+         md5(text) AS h
+  FROM documents
+),
+d AS (SELECT h, count(*) > 1 AS dup FROM b GROUP BY h)
+SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(avg(nt), 6) AS avg_tokens,
+       round(avg(pr), 6) AS avg_punct_ratio,
+       round(avg(CASE WHEN dup THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+FROM b JOIN d USING (h)
+GROUP BY source
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_t(spark, sf_dir, "documents")).select(
         "doc_id", "fp_md5"
@@ -3589,6 +3617,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "exact_dedup": q_exact_dedup,
         "passage_dedup": q_passage_dedup,
         "vocab_coverage": q_vocab_coverage,
+        "source_quality": q_source_quality,
         "curate_corpus": q_curate_corpus,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
@@ -3700,6 +3729,7 @@ def _standalone_oracles() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_SQL,
         "passage_dedup": _PASSAGE_DEDUP_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
+        "source_quality": _SOURCE_QUALITY_SQL,
         "curate_corpus": _curate_sql(),
         "dataset_split": _DATASET_SPLIT_SQL,
         "stratified_sample": _STRATIFIED_SQL,
@@ -3883,7 +3913,10 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_token_stats": [
         "token_counts", "token_quantiles", "token_entropy", "vocab_coverage",
     ],
-    "fused_quality": ["quality_features", "repetition_features", "lang_guess"],
+    "fused_quality": [
+        "quality_features", "repetition_features", "lang_guess",
+        "source_quality",
+    ],
     "fused_contamination": ["contamination", "fingerprint"],
     "fused_winnowing": ["winnow_fingerprints", "winnow_near_pairs"],
     "fused_ngram_minhash": ["ngram_jaccard", "minhash_portable_pairs"],

@@ -175,6 +175,13 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
     counters["events_graph_edges"] = timed("events_graph", _events_graph)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # The portable MinHash family is 128 min-aggregates in one groupBy;
+    # the FIRST execution pays ~12s of one-time JVM JIT for that agg
+    # class (measured cold 14.9s vs warm 2.3s at sf0.1, same pair
+    # counts).  Warm once and time the steady run — same treatment as
+    # PageRank's discarded iteration 0 and the scaling bench's
+    # discarded window 0.
+    minhash_lsh_pairs(docs, threshold=0.5).count()
     counters["minhash_pairs"] = timed(
         "dedup_minhash", lambda: minhash_lsh_pairs(docs, threshold=0.5).count()
     )

@@ -470,6 +470,50 @@ def vocab_coverage(
     )
 
 
+def source_quality_rollup(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(source, n_docs, total_tokens, avg_tokens, avg_punct_ratio,
+    dup_frac)`` — per-source corpus health: the decision table for
+    dropping low-quality or heavily-duplicated domains/sources before
+    training.  ``dup_frac`` is the share of the source's docs whose
+    exact content hash appears more than once CORPUS-wide (a source
+    that mostly mirrors others scores high even if internally unique).
+
+    Scale shape: one scan computes per-doc signals + content hash; the
+    dup flag is a ``groupBy(hash)`` (narrow 32-char keys, map-side
+    combined) joined back; the rollup is a ``groupBy(source)`` whose
+    group count is the number of sources — every aggregation partial.
+    """
+    cols = quality_columns(F.col(text_col))
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        cols["n_tokens"].alias("__nt"),
+        cols["punct_ratio"].alias("__pr"),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    dup_h = per_doc.groupBy("__h").agg(
+        (F.count(F.lit(1)) > 1).alias("__dup")
+    )
+    return (
+        per_doc.join(dup_h, "__h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.round(F.avg("__nt"), 6).alias("avg_tokens"),
+            F.round(F.avg("__pr"), 6).alias("avg_punct_ratio"),
+            F.round(
+                F.avg(F.col("__dup").cast("double")), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def compression_ratio(
     docs: DataFrame, text_col: str = "text", level: int = 6
 ) -> DataFrame:
