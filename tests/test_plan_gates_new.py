@@ -65,3 +65,48 @@ class TestPlanGates:
         plan = _plan(neighbor_similarity_pairs(df, num_hashes=8, bands=4))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPassageVocabSourcePlans:
+    def test_passage_dedup_owner_agg_is_partial(self, spark):
+        # the corpus-wide passage->owner reduction must map-side combine
+        # (a boilerplate passage shared by 10^6 docs collapses per map
+        # partition) and never fall back to a cross product
+        from grandiso_networkx_spark.operators.dedup import passage_dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"a b c d e w{i} x y z q") for i in range(6)],
+            "doc_id long, text string",
+        )
+        plan = _plan(passage_dedup(docs, window=5))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "partial_min" in plan  # groupBy(passage).min owner combine
+
+    def test_vocab_coverage_window_runs_on_top_v_only(self, spark):
+        # the global token count must partial-aggregate; the one-partition
+        # cumulative window must sit above a TakeOrdered limit, never a
+        # full global sort of the vocabulary
+        from grandiso_networkx_spark.operators.textstats import vocab_coverage
+
+        docs = spark.createDataFrame(
+            [(1, "a a b c"), (2, "a b d e")], "doc_id long, text string"
+        )
+        plan = _plan(vocab_coverage(docs, top_v=3))
+        assert "partial_count" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_source_quality_single_scan_partial_aggs(self, spark):
+        from grandiso_networkx_spark.operators.textstats import (
+            source_quality_rollup,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "s1", "a b"), (2, "s1", "a b"), (3, "s2", "c")],
+            "doc_id long, source string, text string",
+        )
+        plan = _plan(source_quality_rollup(docs))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # both the dup-hash reduction and the source rollup combine map-side
+        assert "partial_count" in plan
