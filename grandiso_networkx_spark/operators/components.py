@@ -24,44 +24,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..checkpoint import CheckpointManager
 
-_SHUFFLE_KEY = "spark.sql.shuffle.partitions"
-# Auto-width target: one shuffle partition per ~250k symmetrized edge
-# rows, capped at the session default.  A HashMin/star round is a
-# single narrow join + min-agg, so its per-partition work is far
-# lighter than PageRank's CSR scatter (which targets 50k) — the width
+# A HashMin/star round is a single narrow join + min-agg — the width
 # sweep at 4.1M sym rows / local[32] put the knee at ~16 partitions
-# (64: 12.7s, 40: 6.5s, 16: 5.8s, 8: 7.9s warm).
-_ROWS_PER_PARTITION = 250_000
-
-
-class _narrowed_shuffle:
-    """Temporarily narrow ``spark.sql.shuffle.partitions`` to the
-    edge-count-scaled width for an iterative loop.
-
-    Every HashMin / star round is a fixed-shape join + groupBy over a
-    frame whose size is KNOWN up front, so the session-wide default
-    (sized for the big scans) over-parallelizes the loop on small
-    graphs — per-task dispatch dominates tasks with microseconds of
-    work (measured at 2M edges / local[32] / 64 default: 12.7s vs
-    6.5s warm at the narrowed width).  At cluster scale
-    ``|E| >> cap * 50k`` and the width is exactly the session default
-    — this is a no-op there.  The conf is session-global while held;
-    restored in ``__exit__`` (same set/restore discipline as
-    pagerank's in-loop AQE toggle)."""
-
-    def __init__(self, spark, n_edges: int):
-        self._spark = spark
-        self._default = int(spark.conf.get(_SHUFFLE_KEY, "32"))
-        self.width = max(
-            1, min(self._default, -(-int(n_edges) // _ROWS_PER_PARTITION))
-        )
-
-    def __enter__(self) -> "_narrowed_shuffle":
-        self._spark.conf.set(_SHUFFLE_KEY, str(self.width))
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self._spark.conf.set(_SHUFFLE_KEY, str(self._default))
+# (64: 12.7s, 40: 6.5s, 16: 5.8s, 8: 7.9s warm); see functions/width.py.
+from ..functions.width import narrowed_shuffle as _narrowed_shuffle
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:

@@ -73,36 +73,39 @@ def label_propagation(
             labels = labels.drop("__changed")  # saved frames carry the flag
             start += 1
 
+    from ..functions.width import narrowed_shuffle
+
     w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
-    for it in range(start, max_iter):
-        nbr = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), "label", "w"
-        )
-        freq = nbr.groupBy("id", "label").agg(F.sum("w").alias("n"))
-        pick = (
-            freq.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
-        )
-        picked = F.coalesce("new_label", "label")
-        # Change flag rides in the materialized frame: the convergence
-        # test is a scan of the checkpointed state, not an old-vs-new
-        # re-join (one fewer shuffle per round).
-        new_labels = labels.join(pick, "id", "left").select(
-            "id",
-            picked.alias("label"),
-            (picked != F.col("label")).alias("__changed"),
-        )
-        if checkpoint is not None and it % checkpoint_every == 0:
-            new_labels = checkpoint.save(it, new_labels)
-        else:
-            new_labels = new_labels.localCheckpoint()
-        changed = new_labels.where("__changed").count()
-        if checkpoint is not None and it % checkpoint_every == 0:
-            checkpoint.annotate(it, {"labels_changed": changed})
-        labels = new_labels.drop("__changed")
-        if changed == 0:
-            break
+    with narrowed_shuffle(edges.sparkSession, sym.count()):
+        for it in range(start, max_iter):
+            nbr = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), "label", "w"
+            )
+            freq = nbr.groupBy("id", "label").agg(F.sum("w").alias("n"))
+            pick = (
+                freq.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select("id", F.col("label").alias("new_label"))
+            )
+            picked = F.coalesce("new_label", "label")
+            # Change flag rides in the materialized frame: the
+            # convergence test is a scan of the checkpointed state, not
+            # an old-vs-new re-join (one fewer shuffle per round).
+            new_labels = labels.join(pick, "id", "left").select(
+                "id",
+                picked.alias("label"),
+                (picked != F.col("label")).alias("__changed"),
+            )
+            if checkpoint is not None and it % checkpoint_every == 0:
+                new_labels = checkpoint.save(it, new_labels)
+            else:
+                new_labels = new_labels.localCheckpoint()
+            changed = new_labels.where("__changed").count()
+            if checkpoint is not None and it % checkpoint_every == 0:
+                checkpoint.annotate(it, {"labels_changed": changed})
+            labels = new_labels.drop("__changed")
+            if changed == 0:
+                break
     sym.unpersist()
     return labels
 

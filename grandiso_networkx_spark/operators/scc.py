@@ -60,73 +60,94 @@ def strongly_connected_components(
     done = spark.createDataFrame([], f"id {id_type}, component {id_type}")
     e = e_all
     remaining = verts
-    for _peel in range(max_iter):
-        n_left = remaining.count()
-        if n_left == 0:
-            return done
-        # -- 1. forward min-color to fixpoint (pure gather w/ self-loops)
-        e_self = e.unionAll(
-            remaining.select(F.col("id").alias("src"), F.col("id").alias("dst"))
-        ).localCheckpoint()
-        colors = remaining.select("id", F.col("id").alias("color"))
-        colors = colors.localCheckpoint()
-        for _ in range(max_iter):
-            cur = colors
-            for _j in range(unroll):
-                cur = (
-                    e_self.join(cur.withColumnRenamed("id", "src"), "src")
-                    .groupBy(F.col("dst").alias("id"))
-                    .agg(F.min("color").alias("color"))
+    from ..functions.width import narrowed_shuffle
+
+    with narrowed_shuffle(spark, e_all.count()):
+        for _peel in range(max_iter):
+            n_left = remaining.count()
+            if n_left == 0:
+                return done
+            # -- 1. forward min-color to fixpoint (gather w/ self-loops)
+            e_self = e.unionAll(
+                remaining.select(
+                    F.col("id").alias("src"), F.col("id").alias("dst")
                 )
-            new_colors = (
-                cur.join(colors.select("id", F.col("color").alias("__old")), "id")
-                .select(
-                    "id", "color", (F.col("color") != F.col("__old")).alias("__ch")
+            ).localCheckpoint()
+            colors = remaining.select("id", F.col("id").alias("color"))
+            colors = colors.localCheckpoint()
+            for _ in range(max_iter):
+                cur = colors
+                for _j in range(unroll):
+                    cur = (
+                        e_self.join(cur.withColumnRenamed("id", "src"), "src")
+                        .groupBy(F.col("dst").alias("id"))
+                        .agg(F.min("color").alias("color"))
+                    )
+                new_colors = (
+                    cur.join(
+                        colors.select("id", F.col("color").alias("__old")), "id"
+                    )
+                    .select(
+                        "id",
+                        "color",
+                        (F.col("color") != F.col("__old")).alias("__ch"),
+                    )
+                    .localCheckpoint()
                 )
+                changed = new_colors.where("__ch").limit(1).count()
+                colors = new_colors.drop("__ch")
+                if changed == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"SCC coloring did not converge in {max_iter}"
+                )
+            # -- 2. backward BFS from roots inside each color class
+            ce = (
+                e.join(colors.withColumnRenamed("id", "src"), "src")
+                .withColumnRenamed("color", "c_src")
+                .join(colors.withColumnRenamed("id", "dst"), "dst")
+                .where(F.col("c_src") == F.col("color"))
+                .select("src", "dst", F.col("color").alias("c"))
                 .localCheckpoint()
             )
-            changed = new_colors.where("__ch").limit(1).count()
-            colors = new_colors.drop("__ch")
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(f"SCC coloring did not converge in {max_iter}")
-        # -- 2. backward BFS from roots inside each color class
-        ce = (
-            e.join(colors.withColumnRenamed("id", "src"), "src")
-            .withColumnRenamed("color", "c_src")
-            .join(colors.withColumnRenamed("id", "dst"), "dst")
-            .where(F.col("c_src") == F.col("color"))
-            .select("src", "dst", F.col("color").alias("c"))
-            .localCheckpoint()
-        )
-        confirmed = colors.where(F.col("id") == F.col("color")).select(
-            "id", F.col("color").alias("component")
-        ).localCheckpoint()
-        frontier = confirmed.select("id", "component")
-        while True:
-            nxt = (
-                frontier.join(ce.withColumnRenamed("dst", "id"), "id")
-                .where(F.col("component") == F.col("c"))
-                .select(F.col("src").alias("id"), "component")
-                .dropDuplicates(["id"])
-                .join(confirmed.select("id"), "id", "left_anti")
+            confirmed = (
+                colors.where(F.col("id") == F.col("color"))
+                .select("id", F.col("color").alias("component"))
                 .localCheckpoint()
             )
-            if nxt.limit(1).count() == 0:
-                break
-            confirmed = confirmed.unionByName(nxt).localCheckpoint()
-            frontier = nxt
-        # -- 3. peel
-        done = done.unionByName(confirmed).localCheckpoint()
-        remaining = remaining.join(confirmed.select("id"), "id", "left_anti")
-        remaining = remaining.localCheckpoint()
-        e = (
-            e.join(
-                confirmed.select(F.col("id").alias("src")), "src", "left_anti"
+            frontier = confirmed.select("id", "component")
+            while True:
+                nxt = (
+                    frontier.join(ce.withColumnRenamed("dst", "id"), "id")
+                    .where(F.col("component") == F.col("c"))
+                    .select(F.col("src").alias("id"), "component")
+                    .dropDuplicates(["id"])
+                    .join(confirmed.select("id"), "id", "left_anti")
+                    .localCheckpoint()
+                )
+                if nxt.limit(1).count() == 0:
+                    break
+                confirmed = confirmed.unionByName(nxt).localCheckpoint()
+                frontier = nxt
+            # -- 3. peel
+            done = done.unionByName(confirmed).localCheckpoint()
+            remaining = remaining.join(
+                confirmed.select("id"), "id", "left_anti"
             )
-            .join(confirmed.select(F.col("id").alias("dst")), "dst", "left_anti")
-            .select("src", "dst")
-            .localCheckpoint()
-        )
+            remaining = remaining.localCheckpoint()
+            e = (
+                e.join(
+                    confirmed.select(F.col("id").alias("src")),
+                    "src",
+                    "left_anti",
+                )
+                .join(
+                    confirmed.select(F.col("id").alias("dst")),
+                    "dst",
+                    "left_anti",
+                )
+                .select("src", "dst")
+                .localCheckpoint()
+            )
     raise RuntimeError(f"SCC peeling did not converge in {max_iter} rounds.")
