@@ -421,6 +421,9 @@ tput = edge-traversals/sec. local[32]: {report['local32_pagerank_tput']:,}/s.
 tput = matches/sec. local[32]: {report['local32_motif_tput']:,}/s.
 
 Raw JSON: `BENCH/scaling.json`. Reproduce: `python scripts/scaling_bench.py`.
+
+Measurement notes (bench.py vs scaling-leg throughput, JIT/noise
+analysis): `BENCH/NOTES.md`.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
