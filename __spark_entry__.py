@@ -1823,16 +1823,42 @@ UNION ALL SELECT id, color FROM loop_only"""
 
 def q_mst(spark, sf_dir):
     """Minimum spanning forest of the weighted reply graph (distributed
-    Borůvka, operators/mst.py).  MST is not SQL-expressible → rows-only
-    driver check; exactness (unique forest under distinct weights,
-    total-weight parity under ties) is pinned vs
-    nx.minimum_spanning_edges in tests/test_mst.py."""
+    Borůvka, operators/mst.py).  The operator's tie-break makes the
+    forest unique under the TOTAL order (weight, src, dst), so the
+    cycle property gives an exact SQL replay: an edge is in the forest
+    iff its endpoints are NOT connected using only strictly-smaller
+    edges (recursive per-edge reachability over the lighter subgraph).
+    Exactness vs nx.minimum_spanning_edges is additionally pinned in
+    tests/test_mst.py."""
     from grandiso_networkx_spark.operators.mst import minimum_spanning_forest
 
     e = q_reply_edges(spark, sf_dir)
     return minimum_spanning_forest(e, weight_col="weight").orderBy(
         "src", "dst"
     )
+
+
+_MST_SQL = f"""
+WITH RECURSIVE ce AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         min(CAST(weight AS DOUBLE)) AS w
+  FROM ({_REPLY_EDGES_SQL}) WHERE src <> dst GROUP BY 1, 2
+),
+r(ea, eb, ew, node) AS (
+  SELECT a, b, w, a FROM ce
+  UNION
+  SELECT r.ea, r.eb, r.ew,
+         CASE WHEN u.a = r.node THEN u.b ELSE u.a END
+  FROM r JOIN ce u ON (u.a = r.node OR u.b = r.node)
+  WHERE (u.w, u.a, u.b) < (r.ew, r.ea, r.eb)
+)
+SELECT ea AS src, eb AS dst, ew AS weight FROM ce e0
+  JOIN (SELECT DISTINCT ea, eb, ew FROM r r2
+        WHERE NOT EXISTS (SELECT 1 FROM r
+                          WHERE r.ea = r2.ea AND r.eb = r2.eb
+                            AND r.node = r2.eb)) k
+  ON k.ea = e0.a AND k.eb = e0.b
+"""
 
 
 def q_linkpred_events(spark, sf_dir):
@@ -3810,6 +3836,7 @@ def _standalone_oracles() -> dict[str, str]:
         "minhash_portable_pairs": _minhash_portable_sql(),
         "simhash_portable": _SIMHASH_PORTABLE_SQL,
         "strongly_connected_components": _SCC_SQL,
+        "minimum_spanning_forest": _MST_SQL,
     }
 
 
@@ -3941,7 +3968,9 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_flow_centrality": ["betweenness_centrality", "hits_fixed"],
     "fused_cores": ["core_number", "ktruss_3", "maximal_independent_set"],
     "fused_coloring_wl": ["greedy_coloring", "wl_colors"],
-    "fused_temporal_sssp": ["temporal_reach", "sssp_weighted"],
+    "fused_temporal_sssp": [
+        "temporal_reach", "sssp_weighted", "minimum_spanning_forest",
+    ],
     "fused_sketches": [
         "neighbor_minhash", "hyperball_sketches", "two_hop_counts",
     ],
@@ -3969,8 +3998,7 @@ _FUSED_ROWS_ONLY: dict[str, list[str]] = {
     ],
     "fused_media_rows": ["media_features", "media_resize", "compression_ratio"],
     "fused_graph_rows": [
-        "minimum_spanning_forest", "pagerank_invoke_graph",
-        "semantic_dedup_keep_lsh",
+        "pagerank_invoke_graph", "semantic_dedup_keep_lsh",
     ],
 }
 
