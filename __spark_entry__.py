@@ -2389,7 +2389,29 @@ FROM hs
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    """Banded SimHash near-dup pairs with the portable fingerprint
+    family — band keys and the exact Hamming filter are replayed
+    bit-for-bit in SQL (Spark's arithmetic shiftright + 16-bit mask
+    and DuckDB's >> agree, verified on negative fingerprints)."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8, portable=True
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sh AS ({_SIMHASH_PORTABLE_SQL}),
+bands AS (
+  SELECT doc_id, simhash, i AS band, (simhash >> (i * 16)) & 65535 AS key
+  FROM sh, UNNEST(range(0, 4)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                  l.simhash AS ha, r.simhash AS hb
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT a, b FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+"""
 
 
 def q_hits_invoke(spark, sf_dir):
@@ -3837,6 +3859,7 @@ def _standalone_oracles() -> dict[str, str]:
         "simhash_portable": _SIMHASH_PORTABLE_SQL,
         "strongly_connected_components": _SCC_SQL,
         "minimum_spanning_forest": _MST_SQL,
+        "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     }
 
 
@@ -3947,7 +3970,9 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_contamination": ["contamination", "fingerprint"],
     "fused_winnowing": ["winnow_fingerprints", "winnow_near_pairs"],
     "fused_ngram_minhash": ["ngram_jaccard", "minhash_portable_pairs"],
-    "fused_simhash_pmi": ["simhash_portable", "pmi_pairs"],
+    "fused_simhash_pmi": [
+        "simhash_portable", "simhash_near_pairs", "pmi_pairs",
+    ],
     "fused_event_windows": [
         "event_window_volume", "event_rollup", "hypertable_rollup",
     ],
@@ -3993,8 +4018,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
 # pinned by the pytest suite instead (see the member docstrings).
 _FUSED_ROWS_ONLY: dict[str, list[str]] = {
     "fused_ann_rows": [
-        "lsh_ann_topk", "embedding_clusters",
-        "minhash_dedup_pairs", "simhash_near_pairs",
+        "lsh_ann_topk", "embedding_clusters", "minhash_dedup_pairs",
     ],
     "fused_media_rows": ["media_features", "media_resize", "compression_ratio"],
     "fused_graph_rows": [

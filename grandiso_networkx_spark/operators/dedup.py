@@ -467,11 +467,19 @@ def simhash(
 
 
 def simhash_near_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, prefix_bits: int = 16
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs by banded SimHash prefixes + exact
-    Hamming filter (``bit_count(a XOR b) <= max_hamming``)."""
-    sh = simhash(docs, text_col).persist()
+    Hamming filter (``bit_count(a XOR b) <= max_hamming``).
+
+    ``portable`` selects the fingerprint family (see :func:`simhash`);
+    with the portable family the whole pipeline — fingerprint, band
+    keys, Hamming filter — is SQL-replayable bit-for-bit."""
+    sh = simhash(docs, text_col, portable=portable).persist()
     rotations = 64 // prefix_bits
     bands = sh.select(
         "doc_id",
