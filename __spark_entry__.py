@@ -909,11 +909,71 @@ SELECT id, min(r) AS component FROM reach GROUP BY id
 
 def q_lsh_ann_topk(spark, sf_dir):
     """Approximate top-k neighbors via sign-LSH bucketing + in-bucket
-    exact rerank (the scale path next to brute-force cosine_topk)."""
+    exact rerank (the scale path next to brute-force cosine_topk).
+    The hyperplanes are driver-side literals, so the oracle embeds the
+    SAME plane constants and replays bucket ids + rerank in SQL —
+    value-checked despite the numpy-seeded planes."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_topk(
         emb, emb.where(F.col("vec_id") < 8), dim=64, k=10, bits=8, tables=4
     )
+
+
+def _lsh_ann_sql(dim: int = 64, k: int = 10, bits: int = 8, tables: int = 4,
+                 seed: int = 42) -> str:
+    """SQL replay of q_lsh_ann_topk: identical numpy plane literals
+    (np.random.RandomState(seed + 131*t).standard_normal), bucket =
+    OR of sign bits, candidates = any-table collision, exact cosine
+    rerank.  Sign decisions are stable across engines because |dot|
+    on random planes is never within float-summation-order distance
+    of zero."""
+    import numpy as np
+
+    def bucket_expr(col: str, t: int) -> str:
+        planes = np.random.RandomState(seed + 131 * t).standard_normal(
+            (bits, dim)
+        )
+        terms = []
+        for i in range(bits):
+            lits = ", ".join(repr(float(x)) for x in planes[i])
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, [{lits}]) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    per_table = []
+    for t in range(tables):
+        per_table.append(
+            f"""SELECT q.query_id, e.vec_id
+  FROM (SELECT vec_id, ({bucket_expr('v', t)}) AS bucket
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)) e
+  JOIN (SELECT query_id, ({bucket_expr('qv', t)}) AS bucket
+        FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 8)) q
+  USING (bucket)"""
+        )
+    union = "\nUNION ALL\n".join(per_table)
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT query_id, vec_id FROM ({union})
+  WHERE query_id <> vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                CAST(ev.embedding AS DOUBLE[])) AS raw
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings ev ON ev.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, round(raw, 6) AS cosine FROM ranked WHERE rn <= {k}
+"""
 
 
 def q_ivf_ann_topk(spark, sf_dir):
@@ -3860,6 +3920,7 @@ def _standalone_oracles() -> dict[str, str]:
         "strongly_connected_components": _SCC_SQL,
         "minimum_spanning_forest": _MST_SQL,
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
+        "lsh_ann_topk": _lsh_ann_sql(),
     }
 
 
@@ -4009,7 +4070,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_graph_summary": ["graph_stats", "degree_distribution", "rmat_edges"],
     "fused_vertex_features": ["vertex_features", "feature_neighbor_mean"],
     "fused_retrieval": ["bm25_topk", "tfidf_terms"],
-    "fused_ann": ["cosine_topk", "ivf_ann_topk"],
+    "fused_ann": ["cosine_topk", "ivf_ann_topk", "lsh_ann_topk"],
     "fused_embedding_dedup": ["embedding_dup_pairs", "semantic_dedup_keep"],
 }
 
@@ -4017,9 +4078,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
 # zlib, stubbed codecs, probabilistic-recall LSH); exactness for each is
 # pinned by the pytest suite instead (see the member docstrings).
 _FUSED_ROWS_ONLY: dict[str, list[str]] = {
-    "fused_ann_rows": [
-        "lsh_ann_topk", "embedding_clusters", "minhash_dedup_pairs",
-    ],
+    "fused_ann_rows": ["embedding_clusters", "minhash_dedup_pairs"],
     "fused_media_rows": ["media_features", "media_resize", "compression_ratio"],
     "fused_graph_rows": [
         "pagerank_invoke_graph", "semantic_dedup_keep_lsh",
