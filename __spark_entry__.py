@@ -2002,6 +2002,67 @@ SELECT id, min(dist) AS dist FROM walk GROUP BY id
 """
 
 
+def q_dag_levels(spark, sf_dir):
+    """Longest-path (topological) levels over the reply graph's
+    lexicographic DAG orientation (operators/dag.py
+    longest_path_levels — HashMin-shaped pure-gather loop with a
+    delta-weighted self-loop edge set and a cycle guard).  Keeping
+    only ``src < dst`` edges makes the input acyclic by construction,
+    so the fixpoint is well-defined; integer arithmetic only →
+    value-checked against a recursive-CTE longest-path replay."""
+    from grandiso_networkx_spark.operators.dag import longest_path_levels
+
+    e = (
+        q_reply_edges(spark, sf_dir)
+        .select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+    )
+    return longest_path_levels(e)
+
+
+_DAG_LEVELS_SQL = f"""
+WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT src, dst FROM re WHERE src < dst),
+verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+walk AS (
+  SELECT id, 0 AS level FROM verts
+  UNION
+  SELECT e.dst AS id, w.level + 1 AS level
+  FROM walk w JOIN e ON e.src = w.id
+)
+SELECT id, CAST(max(level) AS INT) AS level FROM walk GROUP BY id
+"""
+
+
+def q_graph_coarsen(spark, sf_dir):
+    """Quotient supergraph of the reply graph under a portable
+    16-bucket md5 vertex partition (operators/dag.py coarsen_graph —
+    the contraction step of multilevel algorithms: two label-attach
+    joins + one map-side-combined groupBy, no loop, no collect).
+    md5 is identical in Spark and DuckDB, so the bucket labels — and
+    therefore counts and summed weights — value-check exactly."""
+    from grandiso_networkx_spark.operators.dag import coarsen_graph
+
+    e = q_reply_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = verts.select("id", F.substring(F.md5("id"), 1, 1).alias("label"))
+    return coarsen_graph(e, labels, weight_col="weight")
+
+
+_GRAPH_COARSEN_SQL = f"""
+WITH re AS ({_REPLY_EDGES_SQL})
+SELECT substring(md5(src), 1, 1) AS src_label,
+       substring(md5(dst), 1, 1) AS dst_label,
+       count(*) AS edge_count,
+       sum(CAST(weight AS DOUBLE)) AS weight
+FROM re GROUP BY 1, 2
+"""
+
+
 def q_katz_fixed(spark, sf_dir):
     """Fixed-iteration Katz centrality (8 rounds, unweighted, final
     1/sqrt(sum x^2) normalization — networkx recurrence) on the reply
@@ -3143,6 +3204,90 @@ s{i + 1} AS MATERIALIZED (SELECT s.id, {mcols}
     return "".join(parts)
 
 
+def q_hyperball_centralities(spark, sf_dir):
+    """HyperBall geometric-centrality estimates (operators/hyperball.py
+    hyperball_centralities; Boldi & Vigna 2013) — the O(rounds·E) scale
+    path for the exact Θ(V·E) closeness/harmonic operators.  3 rounds,
+    8 registers, over the directed reply graph.  Every arithmetic step
+    is 64-bit-integer or exact-IEEE (shift-based power of two, shared
+    literal constants), so all four estimate columns are value-checked
+    BIT-FOR-BIT against the unrolled CTE replay below."""
+    from grandiso_networkx_spark.operators.hyperball import (
+        hyperball_centralities,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return hyperball_centralities(e, rounds=3, num_registers=8)
+
+
+def _hyperball_cent_sql(
+    rounds: int = 3, num_regs: int = 8, seed: int = 42
+) -> str:
+    """DuckDB replay of hyperball_centralities: the _hyperball_sql
+    round unroll plus the portable FM estimate (trailing-ones sum K →
+    C[K mod R] * (1 << K div R)) and the left-assoc accumulator
+    updates, reproducing the Spark float ops in the same order."""
+    regs = list(range(num_regs))
+    phi = 0.77351
+    consts = [2.0 ** (j / num_regs) / phi for j in range(num_regs)]
+
+    def init(r: int) -> str:
+        h = f"CAST('0x' || substring(md5(id || '|{r}|{seed}'), 1, 15) AS BIGINT)"
+        return f"CASE WHEN {h} = 0 THEN 1 ELSE {h} & (-({h})) END AS s{r}"
+
+    kexpr = " + ".join(
+        f"bit_count(((~s{r}) & (s{r} + 1)) - 1)" for r in regs
+    )
+    case = " ".join(
+        f"WHEN kk % {num_regs} = {j} THEN {consts[j]!r}"
+        for j in range(1, num_regs)
+    )
+    est = (
+        f"(CASE {case} ELSE {consts[0]!r} END)"
+        f" * CAST((1::BIGINT << (kk // {num_regs})) AS DOUBLE)"
+    )
+    scols = ", ".join(f"s{r}" for r in regs)
+    parts = [
+        f"""WITH e0 AS ({_REPLY_EDGES_SQL}),
+e AS (SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM verts),
+s0r AS (SELECT id, {', '.join(init(r) for r in regs)} FROM verts),
+s0k AS (SELECT *, ({kexpr}) AS kk FROM s0r),
+s0 AS MATERIALIZED (SELECT id, {scols}, {est} AS est,
+       0.0 AS sumdist, 0.0 AS harm FROM s0k)"""
+    ]
+    for i in range(rounds):
+        t = i + 1
+        gcols = ", ".join(f"bit_or(s.s{r}) AS s{r}" for r in regs)
+        mcols = ", ".join(
+            f"s.s{r} | coalesce(g.s{r}, 0) AS s{r}" for r in regs
+        )
+        parts.append(
+            f""",
+g{i} AS MATERIALIZED (SELECT e.src AS id, {gcols}
+       FROM e JOIN s{i} s ON s.id = e.dst GROUP BY e.src),
+m{i} AS (SELECT s.id, {mcols}, s.est, s.sumdist, s.harm
+       FROM s{i} s LEFT JOIN g{i} g ON g.id = s.id),
+k{i} AS (SELECT *, ({kexpr}) AS kk FROM m{i}),
+n{i} AS (SELECT *, {est} AS new_est FROM k{i}),
+s{t} AS MATERIALIZED (SELECT id, {scols}, new_est AS est,
+       sumdist + {float(t)!r} * (new_est - est) AS sumdist,
+       harm + (new_est - est) / {float(t)!r} AS harm FROM n{i})"""
+        )
+    parts.append(
+        f"""
+SELECT id, est AS reach_est, sumdist AS sum_dist_est,
+       harm AS harmonic_est,
+       CASE WHEN sumdist > 0.0
+            THEN ((est - 1.0) / sumdist)
+                 * ((est - 1.0) / CAST(nn.n - 1 AS DOUBLE))
+            ELSE 0.0 END AS closeness_est
+FROM s{rounds}, nn"""
+    )
+    return "".join(parts)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language document sample (operators/
     curation.py stratified_sample) — portable md5 order, identical
@@ -3761,6 +3906,8 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
         "bfs_levels": q_bfs_levels,
+        "dag_levels": q_dag_levels,
+        "graph_coarsen": q_graph_coarsen,
         "katz_fixed": q_katz_fixed,
         "eigenvector_fixed": q_eigenvector_fixed,
         "harmonic_centrality": q_harmonic,
@@ -3787,6 +3934,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "rmat_edges": q_rmat_edges,
         "ppr_multi_seed": q_ppr_fixed,
         "hyperball_sketches": q_hyperball,
+        "hyperball_centralities": q_hyperball_centralities,
         "two_hop_counts": q_two_hop_counts,
         "partition_quality": q_partition_quality,
         "modularity": q_modularity,
@@ -3875,6 +4023,8 @@ def _standalone_oracles() -> dict[str, str]:
         "connected_components_star": _COMPONENTS_SQL,
         "linkpred_events": _LINKPRED_SQL,
         "bfs_levels": _BFS_SQL,
+        "dag_levels": _DAG_LEVELS_SQL,
+        "graph_coarsen": _GRAPH_COARSEN_SQL,
         "katz_fixed": _katz_fixed_sql(8),
         "eigenvector_fixed": _eigenvector_fixed_sql(8),
         "harmonic_centrality": _HARMONIC_SQL,
@@ -3899,6 +4049,7 @@ def _standalone_oracles() -> dict[str, str]:
         "rmat_edges": _rmat_sql(8, 1024),
         "ppr_multi_seed": _ppr_fixed_sql(6),
         "hyperball_sketches": _hyperball_sql(3, 8),
+        "hyperball_centralities": _hyperball_cent_sql(3, 8),
         "two_hop_counts": _TWO_HOP_SQL,
         "partition_quality": _PARTITION_QUALITY_SQL,
         "modularity": _MODULARITY_SQL,
@@ -4056,9 +4207,11 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_coloring_wl": ["greedy_coloring", "wl_colors"],
     "fused_temporal_sssp": [
         "temporal_reach", "sssp_weighted", "minimum_spanning_forest",
+        "dag_levels",
     ],
     "fused_sketches": [
         "neighbor_minhash", "hyperball_sketches", "two_hop_counts",
+        "hyperball_centralities",
     ],
     "fused_communities": ["label_propagation", "label_propagation_weighted"],
     "fused_community_quality": [
@@ -4067,7 +4220,9 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_linkpred": ["linkpred_events", "link_training_pairs"],
     "fused_walks_uniform": ["random_walks", "weighted_walks"],
     "fused_walks_node2vec": ["node2vec_walks", "ego_net"],
-    "fused_graph_summary": ["graph_stats", "degree_distribution", "rmat_edges"],
+    "fused_graph_summary": [
+        "graph_stats", "degree_distribution", "rmat_edges", "graph_coarsen",
+    ],
     "fused_vertex_features": ["vertex_features", "feature_neighbor_mean"],
     "fused_retrieval": ["bm25_topk", "tfidf_terms"],
     "fused_ann": ["cosine_topk", "ivf_ann_topk", "lsh_ann_topk"],

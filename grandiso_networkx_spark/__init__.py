@@ -39,10 +39,12 @@ from .operators.features import feature_propagation, neighbor_mean_features
 from .operators.frontier import expand_step
 from .operators.funnel import funnel
 from .operators.hits import hits
+from .operators.dag import coarsen_graph, longest_path_levels
 from .operators.hypertable import hypertable_rollup
 from .operators.hyperball import (
     effective_diameter,
     hyperball,
+    hyperball_centralities,
     neighborhood_function,
     two_hop_counts,
 )
@@ -116,6 +118,7 @@ __all__ = [
     "cms_heavy_hitters",
     "cms_query",
     "compile_plan",
+    "coarsen_graph",
     "connected_components",
     "connected_components_star",
     "core_number",
@@ -135,6 +138,7 @@ __all__ = [
     "effective_diameter",
     "expand_step",
     "hyperball",
+    "hyperball_centralities",
     "hypertable_rollup",
     "interval_join",
     "neighborhood_function",
@@ -153,6 +157,7 @@ __all__ = [
     "label_propagation",
     "link_prediction_scores",
     "local_clustering",
+    "longest_path_levels",
     "link_training_pairs",
     "maximal_independent_set",
     "minhash_neighbor_signatures",

@@ -242,6 +242,196 @@ def effective_diameter(
     return float(nf[-1][0]), nf
 
 
+def _portable_est(kcol: F.Column, num_registers: int) -> F.Column:
+    """FM estimate as a BIT-PORTABLE function of the integer register
+    bit-position sum ``K = Σ_r trailing_ones(s_r)``:
+
+        est = C[K mod R] * 2^(K div R),   C[j] = 2^(j/R) / φ
+
+    ``2^(K div R)`` is computed as ``CAST(1::BIGINT << (K div R) AS
+    DOUBLE)`` — an exact integer shift then an exact power-of-two
+    conversion — and the R constants ``C[j]`` are Python doubles
+    embedded as literals, so the estimate is the SAME double in any
+    IEEE engine (Spark and DuckDB produce bit-identical values; no
+    pow/log2 libm calls whose last ulp could differ).  Equals
+    ``2^(K/R)/φ`` exactly in value."""
+    consts = [2.0 ** (j / num_registers) / _PHI for j in range(num_registers)]
+    c = F.lit(consts[0])
+    for j in range(1, num_registers):
+        c = F.when(kcol % num_registers == j, F.lit(consts[j])).otherwise(c)
+    # F.shiftleft's python wrapper only takes a literal int shift —
+    # call the SQL function directly for a column-valued shift.
+    return c * F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (kcol / num_registers).cast("int")
+    ).cast("double")
+
+
+def _trailing_ones_sum(regs: list[str]) -> F.Column:
+    """Σ_r trailing-ones(s_r) — ``bit_count(((~s) & (s+1)) - 1)``:
+    ``(~s)&(s+1)`` is ``2^k`` for ``k`` trailing ones, so subtracting
+    one yields a ``k``-bit mask.  Pure 64-bit integer ops, identical
+    in DuckDB."""
+    return sum(
+        F.bit_count(
+            (F.bitwise_not(F.col(c)).bitwiseAND(F.col(c) + 1)) - 1
+        )
+        for c in regs
+    ).cast("int")
+
+
+def hyperball_centralities(
+    edges: DataFrame,
+    rounds: int | None = None,
+    num_registers: int = 8,
+    seed: int = 42,
+    max_rounds: int = 64,
+    incoming: bool = True,
+    wf_improved: bool = True,
+) -> DataFrame:
+    """Geometric centralities from one HyperBall pass (Boldi & Vigna,
+    "In-core computation of geometric centralities with HyperBall",
+    2013 — the classic application of the ball sketches): per vertex
+
+        reach_est     ≈ |Ball(v, T)|                (self included)
+        sum_dist_est  ≈ Σ_u d(u→v)   = Σ_t t·(est_t − est_{t−1})
+        harmonic_est  ≈ Σ_u 1/d(u→v) = Σ_t (est_t − est_{t−1})/t
+        closeness_est = (r−1)/sum_dist · (r−1)/(n−1)   [wf_improved]
+
+    accumulated DURING the OR-propagation — total cost O(rounds·E)
+    with O(V·(R+3)) state, vs the Θ(V·E) all-source BFS of the exact
+    :func:`..closeness.closeness_centrality` /
+    :func:`..closeness.harmonic_centrality`.  This is the 100-TB scale
+    path; the exact operators are the small-graph baseline (same
+    relationship as minhash_lsh_pairs ↔ ngram_jaccard_pairs).
+
+    ``incoming=True`` (default) runs the propagation over REVERSED
+    edges so the ball of ``v`` is the set of vertices that REACH
+    ``v`` — matching the networkx convention the exact closeness /
+    harmonic operators use on digraphs.  The estimates inherit FM
+    error (σ ≈ 0.78/√R relative, plus the small-range bias documented
+    on :func:`_est_col`), but the OUTPUT is a pure deterministic
+    function of (edge set, seed): every arithmetic step is either
+    64-bit integer or an exact IEEE double op (see
+    :func:`_portable_est`), so results are value-checkable bit-for-bit
+    against a DuckDB replay of the unrolled rounds.
+
+    With ``rounds=None`` iterates to the register fixed point and
+    raises like :func:`hyperball` if ``max_rounds`` is hit."""
+    regs = [f"s{r}" for r in range(num_registers)]
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if incoming:
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = verts.count()
+    state = verts.select(
+        "id",
+        *[
+            _lowbit(_h(F.col("id"), r, seed)).alias(c)
+            for r, c in enumerate(regs)
+        ],
+    )
+    state = state.select(
+        "id",
+        *regs,
+        _portable_est(_trailing_ones_sum(regs), num_registers).alias(
+            "__est"
+        ),
+        F.lit(0.0).alias("__sumdist"),
+        F.lit(0.0).alias("__harm"),
+    ).localCheckpoint()
+
+    n_rounds = rounds if rounds is not None else max_rounds
+    prev_sum = None
+    converged = rounds is not None
+    nulld = F.lit(None).cast("double")
+    for t in range(1, n_rounds + 1):
+        # ONE groupBy shuffle per round: raw neighbor contributions
+        # (null accumulators) union the carried state row (exactly one
+        # per id, so max() recovers the accumulators); bit_or combines
+        # map-side, so hubs still ship R longs per partition.
+        contrib = e.join(
+            state.select(F.col("id").alias("dst"), *regs), "dst"
+        ).select(
+            F.col("src").alias("id"),
+            *regs,
+            nulld.alias("__est"),
+            nulld.alias("__sumdist"),
+            nulld.alias("__harm"),
+        )
+        agged = (
+            state.unionByName(contrib)
+            .groupBy("id")
+            .agg(
+                *[F.bit_or(c).alias(c) for c in regs],
+                F.max("__est").alias("__est"),
+                F.max("__sumdist").alias("__sumdist"),
+                F.max("__harm").alias("__harm"),
+            )
+        )
+        # registers only gain bits → __new_est ≥ __est (monotone);
+        # delta accumulation order (prev + t·delta) is mirrored
+        # EXACTLY by the unrolled SQL oracle's left-assoc sum.
+        state = (
+            agged.select(
+                "id",
+                *regs,
+                "__est",
+                "__sumdist",
+                "__harm",
+                _portable_est(
+                    _trailing_ones_sum(regs), num_registers
+                ).alias("__new_est"),
+            )
+            .select(
+                "id",
+                *regs,
+                F.col("__new_est").alias("__est"),
+                (
+                    F.col("__sumdist")
+                    + F.lit(float(t)) * (F.col("__new_est") - F.col("__est"))
+                ).alias("__sumdist"),
+                (
+                    F.col("__harm")
+                    + (F.col("__new_est") - F.col("__est")) / F.lit(float(t))
+                ).alias("__harm"),
+            )
+            .localCheckpoint()
+        )
+        if rounds is None:
+            cur = state.agg(
+                sum(
+                    F.sum(F.col(c).cast("decimal(38,0)")) for c in regs
+                ).alias("s")
+            ).collect()[0][0]
+            if cur == prev_sum:
+                converged = True
+                break
+            prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"hyperball_centralities(rounds=None) did not reach the "
+            f"register fixed point within max_rounds={max_rounds}; "
+            f"raise max_rounds or pass an explicit rounds=."
+        )
+
+    close = (F.col("__est") - 1.0) / F.col("__sumdist")
+    if wf_improved and n > 1:
+        close = close * ((F.col("__est") - 1.0) / F.lit(float(n - 1)))
+    return state.select(
+        "id",
+        F.col("__est").alias("reach_est"),
+        F.col("__sumdist").alias("sum_dist_est"),
+        F.col("__harm").alias("harmonic_est"),
+        F.when(F.col("__sumdist") > 0.0, close)
+        .otherwise(F.lit(0.0))
+        .alias("closeness_est"),
+    )
+
+
 def two_hop_counts(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     """EXACT ≤2-hop out-reach counts ``(id, n_reach)`` (self excluded)
     — the exact small-radius companion to the FM sketches above: use

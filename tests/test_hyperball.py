@@ -135,6 +135,122 @@ class TestEstimates:
         assert abs(d - exact) / exact < 0.35
 
 
+PHI = 0.77351
+
+
+def _trailing_ones(x: int) -> int:
+    k = 0
+    while x & 1:
+        k += 1
+        x >>= 1
+    return k
+
+
+def _portable_est_py(regs: list[int]) -> float:
+    kk = sum(_trailing_ones(s) for s in regs)
+    c = 2.0 ** ((kk % R) / R) / PHI
+    return c * float(1 << (kk // R))
+
+
+def _centralities_oracle(
+    g: nx.DiGraph, rounds: int
+) -> dict[str, tuple[float, float, float, float]]:
+    """Round-by-round replay of hyperball_centralities' EXACT float
+    arithmetic (same op order → bit-identical doubles)."""
+    touched = {u for e in g.edges() for u in e}
+    # incoming=True: ball of v grows along REVERSED edges
+    state = {v: [_lowbit(_h(v, r)) for r in range(R)] for v in touched}
+    est = {v: _portable_est_py(s) for v, s in state.items()}
+    sumdist = {v: 0.0 for v in touched}
+    harm = {v: 0.0 for v in touched}
+    n = len(touched)
+    for t in range(1, rounds + 1):
+        new_state = {}
+        for v in touched:
+            s = list(state[v])
+            for u in g.successors(v):  # reversed edge v->u pulls u's ball
+                for r in range(R):
+                    s[r] |= state[u][r]
+            new_state[v] = s
+        state = new_state
+        for v in touched:
+            ne = _portable_est_py(state[v])
+            sumdist[v] = sumdist[v] + float(t) * (ne - est[v])
+            harm[v] = harm[v] + (ne - est[v]) / float(t)
+            est[v] = ne
+    out = {}
+    for v in touched:
+        if sumdist[v] > 0.0:
+            close = ((est[v] - 1.0) / sumdist[v]) * (
+                (est[v] - 1.0) / float(n - 1)
+            )
+        else:
+            close = 0.0
+        out[v] = (est[v], sumdist[v], harm[v], close)
+    return out
+
+
+class TestCentralities:
+    def test_bit_for_bit_vs_python_replay(self, spark):
+        from grandiso_networkx_spark.operators.hyperball import (
+            hyperball_centralities,
+        )
+
+        g = nx.fast_gnp_random_graph(40, 0.07, directed=True, seed=23)
+        g = nx.relabel_nodes(g, str)
+        g.remove_edges_from(nx.selfloop_edges(g))
+        # oracle propagates over g.successors of the REVERSED graph
+        rev = g.reverse()
+        got = {
+            r["id"]: (
+                r["reach_est"],
+                r["sum_dist_est"],
+                r["harmonic_est"],
+                r["closeness_est"],
+            )
+            for r in hyperball_centralities(
+                _edges_df(spark, g), rounds=3, num_registers=R
+            ).collect()
+        }
+        want = _centralities_oracle(rev, 3)
+        assert got == want  # exact float equality by construction
+
+    def test_fixed_point_ranks_track_exact_harmonic(self, spark):
+        from grandiso_networkx_spark.operators.hyperball import (
+            hyperball_centralities,
+        )
+
+        # directed path: harmonic centrality of node i is H(i), strictly
+        # increasing along the path — a 32-register sketch must get the
+        # broad ordering right (compare top/bottom thirds).
+        n = 30
+        g = nx.path_graph(n, create_using=nx.DiGraph)
+        g = nx.relabel_nodes(g, str)
+        got = {
+            int(r["id"]): r["harmonic_est"]
+            for r in hyperball_centralities(
+                _edges_df(spark, g), rounds=None, num_registers=32
+            ).collect()
+        }
+        lo = sum(got[i] for i in range(1, n // 3)) / (n // 3 - 1)
+        hi = sum(got[i] for i in range(2 * n // 3, n)) / (n - 2 * n // 3)
+        assert hi > 2.0 * lo
+
+    def test_nonconvergence_raises(self, spark):
+        from grandiso_networkx_spark.operators.hyperball import (
+            hyperball_centralities,
+        )
+
+        import pytest
+
+        g = nx.path_graph(12, create_using=nx.DiGraph)
+        g = nx.relabel_nodes(g, str)
+        with pytest.raises(RuntimeError, match="fixed point"):
+            hyperball_centralities(
+                _edges_df(spark, g), rounds=None, max_rounds=3
+            )
+
+
 class TestTwoHop:
     def test_exact_vs_networkx(self, spark):
         g = nx.fast_gnp_random_graph(35, 0.08, directed=True, seed=4)
