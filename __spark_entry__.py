@@ -2267,8 +2267,8 @@ def q_betweenness(spark, sf_dir):
     return b.select("id", F.round("betweenness", 6).alias("betweenness"))
 
 
-def _brandes_sql(levels: int = 6) -> str:
-    """Unrolled Brandes on the symmetrized reply graph, all sources.
+def _brandes_sql(levels: int = 6, sample_n: int | None = None) -> str:
+    """Unrolled Brandes on the symmetrized reply graph.
 
     sig{d} holds path counts of depth-d vertices (sum over depth-(d-1)
     predecessors); c{d} holds the deltas OF depth-(d-1) vertices
@@ -2276,7 +2276,17 @@ def _brandes_sql(levels: int = 6) -> str:
     c{d+1}).  ``levels`` must be >= the graph diameter — deeper CTEs
     are simply empty.  UNION ALL + DISTINCT throughout (DuckDB 1.0
     drops plain-UNION dedup in non-recursive CTEs under WITH
-    RECURSIVE)."""
+    RECURSIVE).
+
+    ``sample_n=None`` sweeps all sources (exact); an int sweeps the
+    ``sample_n`` lexicographically-smallest vertices and multiplies
+    the normalized scale by n/k — the Brandes–Pich estimator, exactly
+    :func:`betweenness_centrality` with a ``sources`` frame."""
+    src_cte = (
+        "verts"
+        if sample_n is None
+        else f"(SELECT id FROM verts ORDER BY id LIMIT {sample_n})"
+    )
     parts = [
         f"""WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
 sym AS (SELECT DISTINCT src, dst FROM (
@@ -2284,8 +2294,9 @@ sym AS (SELECT DISTINCT src, dst FROM (
         UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
 verts AS (SELECT DISTINCT id FROM (
         SELECT src AS id FROM sym UNION ALL SELECT dst FROM sym)),
+srcs AS (SELECT id FROM {src_cte}),
 walk AS (
-  SELECT id AS source, id, 0 AS dist FROM verts
+  SELECT id AS source, id, 0 AS dist FROM srcs
   UNION
   SELECT w.source, s.dst AS id, w.dist + 1 AS dist
   FROM walk w JOIN sym s ON s.src = w.id
@@ -2326,6 +2337,17 @@ c{d} AS (SELECT w.source, e.src AS id,
     all_c = " UNION ALL ".join(
         f"SELECT * FROM c{d}" for d in range(1, levels + 1)
     )
+    # n/k extrapolation only applies when a scale exists (nx quirk,
+    # mirrored from betweenness_centrality's _rescale): n <= 2 keeps
+    # raw sums.
+    sample_scale = (
+        ""
+        if sample_n is None
+        else (
+            " * (CASE WHEN (SELECT n FROM nn) > 2 THEN (SELECT n FROM nn)"
+            " * 1.0 / (SELECT count(*) FROM srcs) ELSE 1.0 END)"
+        )
+    )
     parts.append(
         f""",
 bc AS (SELECT id, sum(delta) AS b FROM ({all_c})
@@ -2334,10 +2356,34 @@ nn AS (SELECT count(*) AS n FROM verts)
 SELECT v.id,
        round(coalesce(bc.b, 0) * (CASE WHEN (SELECT n FROM nn) > 2
              THEN 1.0 / (((SELECT n FROM nn) - 1) * ((SELECT n FROM nn) - 2))
-             ELSE 1.0 END), 6) AS betweenness
+             ELSE 1.0 END){sample_scale}, 6) AS betweenness
 FROM verts v LEFT JOIN bc ON bc.id = v.id"""
     )
     return "".join(parts)
+
+
+def q_betweenness_sampled(spark, sf_dir):
+    """Brandes–Pich sampled betweenness estimator (operators/
+    betweenness.py with a ``sources`` frame): dependency sums over the
+    3 lexicographically-smallest sources, rescaled by n/k — the scale
+    path for exact betweenness's inherent O(|V|·|E|).  Value-checked
+    against the same unrolled SQL Brandes restricted to those
+    sources."""
+    from grandiso_networkx_spark.operators.betweenness import (
+        betweenness_centrality,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    ee = e.where(F.col("src") != F.col("dst"))
+    srcs = (
+        ee.select(F.col("src").alias("id"))
+        .unionAll(ee.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(3)
+    )
+    b = betweenness_centrality(e, sources=srcs)
+    return b.select("id", F.round("betweenness", 6).alias("betweenness"))
 
 
 def q_label_propagation(spark, sf_dir):
@@ -3927,6 +3973,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "motif_attr_bindings": q_motif_attr_bindings,
         "motif_iso_count": q_motif_iso_count,
         "betweenness_centrality": q_betweenness,
+        "betweenness_sampled": q_betweenness_sampled,
         "core_number": q_core_number,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
@@ -4043,6 +4090,7 @@ def _standalone_oracles() -> dict[str, str]:
         "motif_attr_bindings": _MOTIF_ATTR_SQL,
         "motif_iso_count": _motif_iso_sql(),
         "betweenness_centrality": _brandes_sql(6),
+        "betweenness_sampled": _brandes_sql(6, sample_n=3),
         "core_number": _core_number_sql(5, 6),
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "vertex_features": _vertex_features_sql(6),
@@ -4202,7 +4250,9 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_distance_centrality": [
         "harmonic_centrality", "closeness_centrality", "eccentricity",
     ],
-    "fused_flow_centrality": ["betweenness_centrality", "hits_fixed"],
+    "fused_flow_centrality": [
+        "betweenness_centrality", "hits_fixed", "betweenness_sampled",
+    ],
     "fused_cores": ["core_number", "ktruss_3", "maximal_independent_set"],
     "fused_coloring_wl": ["greedy_coloring", "wl_colors"],
     "fused_temporal_sssp": [
