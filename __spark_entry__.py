@@ -2362,6 +2362,19 @@ FROM verts v LEFT JOIN bc ON bc.id = v.id"""
     return "".join(parts)
 
 
+def q_truss_numbers(spark, sf_dir):
+    """Full truss decomposition of the undirected reply graph
+    (operators/kcore.py truss_number): per-edge max-k membership via
+    level-synchronous support peeling, one phase per truss level.
+    The peel's phase count is data-dependent, so there is no unrolled
+    SQL oracle (rows-only driver check); exactness is pinned by
+    tests/test_truss.py against a networkx.k_truss sweep."""
+    from grandiso_networkx_spark.operators.kcore import truss_number
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return truss_number(e)
+
+
 def q_betweenness_sampled(spark, sf_dir):
     """Brandes–Pich sampled betweenness estimator (operators/
     betweenness.py with a ``sources`` frame): dependency sums over the
@@ -3974,6 +3987,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "motif_iso_count": q_motif_iso_count,
         "betweenness_centrality": q_betweenness,
         "betweenness_sampled": q_betweenness_sampled,
+        "truss_numbers": q_truss_numbers,
         "core_number": q_core_number,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
@@ -4286,7 +4300,7 @@ _FUSED_ROWS_ONLY: dict[str, list[str]] = {
     "fused_ann_rows": ["embedding_clusters", "minhash_dedup_pairs"],
     "fused_media_rows": ["media_features", "media_resize", "compression_ratio"],
     "fused_graph_rows": [
-        "pagerank_invoke_graph", "semantic_dedup_keep_lsh",
+        "pagerank_invoke_graph", "semantic_dedup_keep_lsh", "truss_numbers",
     ],
 }
 

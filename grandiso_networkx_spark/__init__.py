@@ -49,7 +49,7 @@ from .operators.hyperball import (
     two_hop_counts,
 )
 from .operators.katz import katz_centrality
-from .operators.kcore import core_number, k_core, k_truss
+from .operators.kcore import core_number, k_core, k_truss, truss_number
 from .operators.label_propagation import label_propagation
 from .operators.linkpred import link_prediction_scores
 from .operators.match import find_motifs, find_motifs_df, find_motifs_iter
@@ -188,6 +188,7 @@ __all__ = [
     "wl_colors",
     "wl_graph_hash",
     "triangle_count",
+    "truss_number",
     "two_hop_counts",
     "uniform_node_interestingness",
 ]
