@@ -83,16 +83,20 @@ _AQE_KEY = "spark.sql.adaptive.enabled"
 
 def _scatter_arrow(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
     """Zero-copy CSR scatter: per Arrow batch, flatten the dst list
-    column and repeat rank/out_w along the list offsets."""
+    column and repeat rank/out_w along the list offsets.  Batches
+    without a ``ws`` column are the unweighted fast path (w == 1.0
+    everywhere — no per-edge multiply)."""
     for batch in batches:
         n = batch.num_rows
         if n == 0:
             continue
         dsts = batch.column(batch.schema.get_field_index("dsts"))
-        ws = batch.column(batch.schema.get_field_index("ws"))
+        ws_idx = batch.schema.get_field_index("ws")
+        ws = batch.column(ws_idx) if ws_idx >= 0 else None
         if isinstance(dsts, pa.ChunkedArray):
             dsts = dsts.combine_chunks()
-            ws = ws.combine_chunks()
+            if ws is not None:
+                ws = ws.combine_chunks()
         rank = batch.column(batch.schema.get_field_index("rank")).to_numpy(
             zero_copy_only=False
         )
@@ -102,9 +106,10 @@ def _scatter_arrow(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBa
         offsets = dsts.offsets.to_numpy(zero_copy_only=False)
         counts = np.diff(offsets)
         per_src = np.repeat(rank / out_w, counts)
-        flat_w = ws.flatten().to_numpy(zero_copy_only=False)
+        if ws is not None:
+            per_src = per_src * ws.flatten().to_numpy(zero_copy_only=False)
         yield pa.RecordBatch.from_arrays(
-            [dsts.flatten(), pa.array(per_src * flat_w, type=pa.float64())],
+            [dsts.flatten(), pa.array(per_src, type=pa.float64())],
             names=["dst", "contrib"],
         )
 
@@ -132,6 +137,7 @@ def _blocks_from(
     num_partitions: int | None,
     src: str,
     dst: str,
+    unweighted: bool = False,
 ) -> DataFrame:
     outs = e.groupBy(src).agg(
         F.sum("w").alias("out_w"), F.count(F.lit(1)).alias("out_deg")
@@ -140,11 +146,18 @@ def _blocks_from(
     salted = e.join(outs, src).withColumn(
         "chunk", F.pmod(F.xxhash64(src, dst), n_chunks)
     )
-    blocks = salted.groupBy(src, "chunk").agg(
+    # Unweighted graphs skip the per-edge weight arrays entirely: every
+    # w is exactly 1.0, so contrib = rank/out_w needs no multiply — the
+    # block cache halves and the scatter drops the arrays_zip (see
+    # _scatter).  rank/out_w * 1.0 is bit-identical to rank/out_w, so
+    # results cannot drift.
+    aggs = [
         F.first("out_w").alias("out_w"),
         F.collect_list(dst).alias("dsts"),
-        F.collect_list("w").alias("ws"),
-    )
+    ]
+    if not unweighted:
+        aggs.append(F.collect_list("w").alias("ws"))
+    blocks = salted.groupBy(src, "chunk").agg(*aggs)
     if num_partitions:
         return blocks.repartition(num_partitions, src)
     return blocks.repartition(src)
@@ -170,10 +183,19 @@ def _scatter(
         # co-partitioned join (ranks would blow the broadcast budget).
         r = F.broadcast(r)
     joined = blocks.join(r, key, "inner")
+    unweighted = "ws" not in blocks.columns
     if kernel == "arrow":
-        return joined.select("rank", "out_w", "dsts", "ws").mapInArrow(
+        cols = ["rank", "out_w", "dsts"] + ([] if unweighted else ["ws"])
+        return joined.select(*cols).mapInArrow(
             _scatter_arrow, schema=f"dst {dst_type}, contrib double"
         )
+    if unweighted:
+        # every w == 1.0: contrib is the per-src constant rank/out_w,
+        # so a bare explode(dsts) suffices — no arrays_zip structs.
+        return joined.select(
+            (F.col("rank") / F.col("out_w")).alias("contrib"),
+            F.explode("dsts").alias("dst"),
+        ).select("dst", "contrib")
     # jvm: explode inside whole-stage codegen; arrays_zip keeps dst/w
     # pairs aligned without materializing structs in Python.
     z = joined.select(
@@ -347,7 +369,9 @@ def pagerank(
             vmap.select("vid").withColumn("__f", F.lit(0))
         )
 
-    blocks = _persist(_blocks_from(e2, chunk_size, P, "s", "d"))
+    blocks = _persist(
+        _blocks_from(e2, chunk_size, P, "s", "d", unweighted=weight_col is None)
+    )
 
     # Dangling flag computed once: no out-edges → rank mass teleports.
     verts = _persist(
@@ -511,8 +535,11 @@ def pagerank(
             _t_round = time.monotonic()
             k = min(unroll, max_iter - it)
             blocks_r = blocks.select(
-                F.col("s").alias("vid"), "chunk", "out_w", "dsts", "ws"
-            ).drop("chunk")
+                F.col("s").alias("vid"),
+                "out_w",
+                "dsts",
+                *(["ws"] if "ws" in blocks.columns else []),
+            )
             if k == 1:
                 # Dangling mass: carried-forward literal (computed from
                 # last round's combined agg, or identically 0 when the

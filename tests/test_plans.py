@@ -134,3 +134,35 @@ def test_neighbor_mean_shuffles_are_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # partial aggregation (map-side combine) present for the (id,pos) agg
     assert "partial_avg" in plan or "partial_average" in plan.lower()
+
+
+def test_unweighted_pagerank_scatter_has_no_weight_arrays(spark):
+    # Unweighted graphs must take the no-ws fast path: blocks carry no
+    # per-edge weight arrays and the scatter is a bare explode(dsts) —
+    # no arrays_zip struct materialization in the hot loop.  The
+    # weighted path keeps the zip.
+    from grandiso_networkx_spark.operators.pagerank import (
+        _blocks_from,
+        _scatter,
+    )
+
+    e = spark.range(200).select(
+        (F.col("id") % 40).alias("s"),
+        ((F.col("id") * 7 + 1) % 40).alias("d"),
+        F.lit(1.0).alias("w"),
+    )
+    ranks = spark.range(40).select(
+        F.col("id").alias("vid"), F.lit(0.025).alias("rank")
+    )
+    unw = _blocks_from(e, 1024, 2, "s", "d", unweighted=True)
+    assert "ws" not in unw.columns
+    plan_unw = _plan(
+        _scatter(unw.withColumnRenamed("s", "vid"), ranks, "jvm")
+    )
+    assert "zip" not in plan_unw.lower()
+
+    wtd = _blocks_from(e, 1024, 2, "s", "d")
+    plan_wtd = _plan(
+        _scatter(wtd.withColumnRenamed("s", "vid"), ranks, "jvm")
+    )
+    assert "arrays_zip" in plan_wtd
