@@ -3898,6 +3898,247 @@ WHERE p.n_pairs >= 5
 """
 
 
+# -- round 2 additions: PII scrub, unigram LM score, edge embeddedness,
+#    rich club, K4 motif -------------------------------------------------------
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic synthetic PII spans appended (the
+    sandbox corpus is digit-free word salad, so detection over the raw
+    text is trivially zero).  The SAME arithmetic construction is
+    inlined into the SQL oracle — no external data, fully
+    deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    email = F.when(
+        i % 7 == 0,
+        F.concat(F.lit(" contact user"), i, F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        i % 11 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((i % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((i % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        i % 13 == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (i % 256).cast("string"),
+            F.lit(".0."),
+            (i % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat("text", email, phone, ip).alias("text")
+    )
+
+
+_DOCS_PII_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+       || CASE WHEN doc_id % 11 = 0
+               THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+       || CASE WHEN doc_id % 13 = 0
+               THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+               ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_pii_counts(spark, sf_dir):
+    """Per-document PII hit counts (operators/pii.py) over the
+    synthetic-PII corpus — zero-shuffle codegen'd regexp scan."""
+    from grandiso_networkx_spark.operators.pii import pii_signals
+
+    return pii_signals(_docs_with_pii(spark, sf_dir))
+
+
+def _pii_counts_sql() -> str:
+    from grandiso_networkx_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    return f"""
+WITH d AS ({_DOCS_PII_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::INT AS n_email,
+       len(regexp_extract_all(text, '{IPV4_RE}'))::INT AS n_ipv4,
+       len(regexp_extract_all(text, '{PHONE_RE}'))::INT AS n_phone,
+       CASE WHEN len(regexp_extract_all(text, '{EMAIL_RE}'))
+               + len(regexp_extract_all(text, '{IPV4_RE}'))
+               + len(regexp_extract_all(text, '{PHONE_RE}')) > 0
+            THEN 1 ELSE 0 END AS has_pii
+FROM d
+"""
+
+
+def q_pii_redacted(spark, sf_dir):
+    """Typed-placeholder PII redaction (operators/pii.py) — emails,
+    then IPs, then phones, same order as the oracle."""
+    from grandiso_networkx_spark.operators.pii import redact_pii
+
+    return redact_pii(_docs_with_pii(spark, sf_dir)).select(
+        "doc_id", "text_redacted"
+    )
+
+
+def _pii_redacted_sql() -> str:
+    from grandiso_networkx_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    return f"""
+WITH d AS ({_DOCS_PII_SQL})
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+FROM d
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram LM quality score (operators/lmscore.py):
+    per-doc mean token log-prob, the SQL-exact CCNet-style signal."""
+    from grandiso_networkx_spark.operators.lmscore import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_logprob(d)
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logp", 6).alias("mean_logp")
+    )
+
+
+_UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+model AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n) AS t FROM model)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln(n / t)), 6) AS mean_logp
+FROM toks JOIN model USING (tok), tot
+GROUP BY doc_id
+"""
+
+
+def q_edge_embeddedness(spark, sf_dir):
+    """Per-edge common-neighbor counts on the undirected reply graph
+    (operators/triangles.py edge_embeddedness) — tie-strength signal,
+    degree-oriented so hub pairs never enumerate full neighborhoods."""
+    from grandiso_networkx_spark.operators.triangles import (
+        edge_embeddedness,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return edge_embeddedness(e)
+
+
+_EDGE_EMBED_SQL = f"""
+WITH e0 AS ({_REPLY_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+e AS (SELECT * FROM sym WHERE src <> dst),
+canon AS (SELECT src, dst FROM e WHERE src < dst),
+pairs AS (
+  SELECT a.src AS u, b.src AS v, count(*) AS c
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT canon.src, canon.dst, COALESCE(p.c, 0) AS common_neighbors
+FROM canon LEFT JOIN pairs p ON p.u = canon.src AND p.v = canon.dst
+"""
+
+
+def q_rich_club(spark, sf_dir):
+    """Full rich-club coefficient curve over the invoke graph
+    (operators/stats.py rich_club) — two histograms + suffix sums,
+    never a per-threshold pass."""
+    from grandiso_networkx_spark.operators.stats import rich_club
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    return rich_club(e).select(
+        "k", "n_nodes", "n_edges", F.round("rich_club", 6).alias("rich_club")
+    )
+
+
+_RICH_CLUB_SQL = f"""
+WITH e0 AS ({_INVOKE_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+e AS (SELECT * FROM sym WHERE src <> dst),
+deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+dh AS (SELECT deg, count(*) AS nd FROM deg GROUP BY deg),
+canon AS (SELECT src, dst FROM e WHERE src < dst),
+ed AS (
+  SELECT least(ds.deg, dd.deg) AS mdeg, count(*) AS ne
+  FROM canon c JOIN deg ds ON ds.id = c.src JOIN deg dd ON dd.id = c.dst
+  GROUP BY 1
+),
+ks AS (
+  SELECT unnest(generate_series(0, (SELECT max(deg) FROM dh) - 1)) AS k
+),
+nk AS (
+  SELECT k, CAST(sum(COALESCE(nd, 0)) OVER (
+           ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_nodes
+  FROM ks LEFT JOIN dh ON dh.deg = ks.k + 1
+),
+ek AS (
+  SELECT k, CAST(sum(COALESCE(ne, 0)) OVER (
+           ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_edges
+  FROM ks LEFT JOIN ed ON ed.mdeg = ks.k + 1
+)
+SELECT nk.k, n_nodes, n_edges,
+       round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6) AS rich_club
+FROM nk JOIN ek ON nk.k = ek.k
+WHERE n_nodes >= 2
+"""
+
+
+def q_clique4_motif_count(spark, sf_dir):
+    """Undirected K4 monomorphism count via the motif engine — a
+    denser 4-node motif than the rectangle, exercising three closing
+    multi-edge verification steps (E4/E5)."""
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    host = HostGraph(e, directed=False)
+    m = Motif(directed=False)
+    for a, b in [("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"), ("C", "D")]:
+        m.add_edge(a, b)
+    return find_motifs_df(m, host).agg(F.count(F.lit(1)).alias("n_k4"))
+
+
+_CLIQUE4_SQL = f"""
+WITH e0 AS ({_REPLY_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+es AS (SELECT * FROM sym WHERE src <> dst)
+SELECT count(*) AS n_k4 FROM es ab
+JOIN es ac ON ab.src = ac.src AND ab.dst <> ac.dst
+JOIN es ad ON ab.src = ad.src AND ad.dst NOT IN (ab.dst, ac.dst)
+JOIN es bc ON bc.src = ab.dst AND bc.dst = ac.dst
+JOIN es bd ON bd.src = ab.dst AND bd.dst = ad.dst
+JOIN es cd ON cd.src = ac.dst AND cd.dst = ad.dst
+"""
+
+
 # -- driver contract -----------------------------------------------------------
 
 
@@ -3927,6 +4168,12 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "top_customers": q_top_customers,
         "regional_volume": q_regional_volume,
         "exact_dedup": q_exact_dedup,
+        "pii_counts": q_pii_counts,
+        "pii_redacted": q_pii_redacted,
+        "unigram_logprob": q_unigram_logprob,
+        "edge_embeddedness": q_edge_embeddedness,
+        "rich_club": q_rich_club,
+        "clique4_motif_count": q_clique4_motif_count,
         "passage_dedup": q_passage_dedup,
         "vocab_coverage": q_vocab_coverage,
         "source_quality": q_source_quality,
@@ -4044,6 +4291,12 @@ def _standalone_oracles() -> dict[str, str]:
         "top_customers": _TOP_CUSTOMERS_SQL,
         "regional_volume": _REGIONAL_VOLUME_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
+        "pii_counts": _pii_counts_sql(),
+        "pii_redacted": _pii_redacted_sql(),
+        "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "edge_embeddedness": _EDGE_EMBED_SQL,
+        "rich_club": _RICH_CLUB_SQL,
+        "clique4_motif_count": _CLIQUE4_SQL,
         "passage_dedup": _PASSAGE_DEDUP_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "source_quality": _SOURCE_QUALITY_SQL,
@@ -4226,20 +4479,23 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_transcript_edges": ["reply_edges", "invoke_edges", "degree_table"],
     "fused_motif_paths": [
         "two_path_count", "triangle_motif_count", "rect_motif_count",
+        "clique4_motif_count",
     ],
     "fused_motif_iso_attr": ["motif_iso_count", "motif_attr_bindings"],
     "fused_triangles": [
         "triangle_count", "triangle_per_vertex", "local_clustering",
+        "edge_embeddedness",
     ],
     "fused_tpch": ["pricing_summary", "top_customers", "regional_volume"],
     "fused_dedup_exact": ["exact_dedup", "dedup_keep", "passage_dedup"],
     "fused_curation": ["curate_corpus", "dataset_split", "stratified_sample"],
     "fused_token_stats": [
         "token_counts", "token_quantiles", "token_entropy", "vocab_coverage",
+        "unigram_logprob",
     ],
     "fused_quality": [
         "quality_features", "repetition_features", "lang_guess",
-        "source_quality",
+        "source_quality", "pii_counts", "pii_redacted",
     ],
     "fused_contamination": ["contamination", "fingerprint"],
     "fused_winnowing": ["winnow_fingerprints", "winnow_near_pairs"],
@@ -4286,6 +4542,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_walks_node2vec": ["node2vec_walks", "ego_net"],
     "fused_graph_summary": [
         "graph_stats", "degree_distribution", "rmat_edges", "graph_coarsen",
+        "rich_club",
     ],
     "fused_vertex_features": ["vertex_features", "feature_neighbor_mean"],
     "fused_retrieval": ["bm25_topk", "tfidf_terms"],

@@ -228,3 +228,70 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             F.col("m") > 0, F.col("recip") / F.col("m")
         ).alias("reciprocity")
     )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Non-normalized rich-club coefficient for every degree threshold:
+    ``(k, n_nodes, n_edges, rich_club)`` with ``rich_club = 2·E_k /
+    (N_k·(N_k−1))`` where ``N_k`` = vertices of degree > k and ``E_k``
+    = undirected edges both of whose endpoints have degree > k —
+    ``nx.rich_club_coefficient(G, normalized=False)`` semantics
+    (rows only for k with ``N_k ≥ 2``, k from 0 to max_degree−1).
+
+    Scale shape: the full curve comes from TWO histograms and suffix
+    sums — never a per-k pass.  ``N_k`` is a suffix-cumulative of the
+    degree histogram; ``E_k`` of the per-edge min-endpoint-degree
+    histogram.  The only non-histogram work is attaching degrees to
+    edges (two joins against the degree table, broadcastable when the
+    vertex set allows, else shuffle-on-id like every other
+    degree-annotated op).  The final windows run over the *distinct
+    degree values* — hundreds of rows even at 100 TB — so the
+    single-partition window is free.
+    """
+    from pyspark.sql import Window
+
+    und = symmetrize(edges).where(F.col("src") != F.col("dst"))
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # Degree histogram -> N_k via suffix sum over degree values.
+    dh = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nd"))
+    # Canonical edges annotated with min endpoint degree -> E_k.
+    canon = und.where(F.col("src") < F.col("dst"))
+    ed = (
+        canon.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+        .select(F.least("sdeg", "ddeg").alias("mdeg"))
+        .groupBy("mdeg")
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    # Threshold domain: k = 0 .. max_deg - 1 (N_k >= 1 there).
+    ks = dh.agg(F.max("deg").alias("mx")).select(
+        F.explode(F.sequence(F.lit(0), F.col("mx") - 1)).alias("k")
+    )
+    w = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nk = (
+        ks.join(dh, ks.k + 1 == dh.deg, "left")
+        .select("k", F.coalesce("nd", F.lit(0)).alias("nd"))
+        .select("k", F.sum("nd").over(w).alias("n_nodes"))
+    )
+    ek = (
+        ks.join(ed, ks.k + 1 == ed.mdeg, "left")
+        .select("k", F.coalesce("ne", F.lit(0)).alias("ne"))
+        .select("k", F.sum("ne").over(w).alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k")
+        .where(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            (
+                2.0 * F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+            ).alias("rich_club"),
+        )
+    )

@@ -62,3 +62,45 @@ def per_vertex_triangles(edges: DataFrame) -> DataFrame:
         .unionAll(t.select(F.col("c").alias("id")))
     )
     return stacked.groupBy("id").agg(F.count(F.lit(1)).alias("tri_count"))
+
+
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """Per-edge embeddedness ``(src, dst, common_neighbors)`` — the
+    number of triangles each undirected edge participates in (= common
+    neighbors of its endpoints), a classic tie-strength / spam-edge
+    signal.  Edges are reported once in canonical ``src < dst`` order;
+    edges in no triangle report 0.
+
+    Same skew story as :func:`triangles`: common neighbors are found
+    by joining the *degree-oriented* wedge set, so hub pairs never
+    enumerate a hub's full neighborhood — the wedge count is bounded
+    by m^(3/2) total regardless of skew.
+    """
+    t = triangles(edges)
+    # Every triangle (a,b,c) contributes 1 to each of its three edges.
+    tri_edges = (
+        t.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(t.select(F.col("a").alias("x"), F.col("c").alias("y")))
+        .unionAll(t.select(F.col("b").alias("x"), F.col("c").alias("y")))
+    )
+    canon_tri = tri_edges.select(
+        F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst")
+    )
+    counts = canon_tri.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    all_edges = (
+        symmetrize(edges)
+        .where(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return (
+        all_edges.join(counts, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("common_neighbors", F.lit(0)).alias(
+                "common_neighbors"
+            ),
+        )
+    )
