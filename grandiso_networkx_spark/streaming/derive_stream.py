@@ -201,3 +201,49 @@ def stream_enrich_turns(
     return transcripts.join(
         dim, transcripts["conv_id"] == dim["__dim_conv"], "inner"
     ).drop("__dim_conv")
+
+
+def stream_cms_cells(
+    transcripts: DataFrame,
+    key_expr: str = "concat('tool:', tool)",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming count–min sketch increments ``(window_start, r, c,
+    n)`` — the incremental twin of ``operators/cms.cms_build`` over a
+    key stream derived from the transcript stream (default: tool
+    invocations, the hot-key monitor).
+
+    Per micro-batch each key lands in its d portable-hash cells (the
+    IDENTICAL ``md5(key|r|seed) % w`` arithmetic as the batch build),
+    then a watermarked windowed count reduces to ≤ d·w rows per
+    window — constant state per window regardless of key cardinality,
+    the same reason the batch build survives 10¹¹ distinct keys.
+    Cell-wise summing the emitted increments over all windows yields
+    BIT-FOR-BIT the batch ``cms_build`` grid over the same files
+    (sketch merge = addition; pinned in tests/test_streaming.py), so a
+    compaction job can maintain the running sketch with one tiny
+    ``groupBy(r, c)`` per compaction.
+    """
+    from ..operators.cms import _cell
+
+    keyed = transcripts.where(F.col("tool").isNotNull()).select(
+        "ts", F.expr(key_expr).cast("string").alias("key")
+    )
+    copies = None
+    for r in range(depth):
+        part = keyed.select(
+            "ts",
+            F.lit(r).alias("r"),
+            _cell(F.col("key"), r, seed, width).alias("c"),
+        )
+        copies = part if copies is None else copies.unionAll(part)
+    return (
+        copies.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "r", "c", "n")
+    )

@@ -241,3 +241,37 @@ def test_stream_static_enrichment(spark, transcript_dir, tmp_path):
         (F.col("conv_id") < "conv-2") != (F.col("tenant") == "acme")
     ).count()
     assert bad == 0
+
+
+def test_stream_cms_matches_batch_grid(spark, transcript_dir, tmp_path):
+    from grandiso_networkx_spark.operators.cms import cms_build
+    from grandiso_networkx_spark.streaming.derive_stream import (
+        stream_cms_cells,
+    )
+
+    stream = read_transcript_stream(spark, transcript_dir, max_files=2)
+    got = _run_stream(
+        spark,
+        stream_cms_cells(
+            stream, window="1 hour", watermark="2 hours", depth=3, width=64
+        ),
+        "cms_cells",
+        tmp_path,
+        mode="complete",
+    )
+    # Merge = cell-wise addition across windows.
+    merged = {
+        (r.r, r.c): r.n
+        for r in got.groupBy("r", "c")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    batch = spark.read.parquet(transcript_dir)
+    keys = batch.where(F.col("tool").isNotNull()).select(
+        F.concat(F.lit("tool:"), F.col("tool")).alias("key")
+    )
+    want = {
+        (r.r, r.c): r.n
+        for r in cms_build(keys, depth=3, width=64).collect()
+    }
+    assert merged == want
