@@ -856,6 +856,91 @@ WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
 """
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric word-3-gram containment pairs (≥0.6) — the
+    doc-inside-doc near-dup gate Jaccard misses (a short doc fully
+    embedded in a long one); same ``max_df=50`` stop-gram guard as the
+    Jaccard query, identically replayed in the oracle's ``HAVING``."""
+    return dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6, max_df=50
+    ).select("a", "b", F.round("containment", 6).alias("containment"))
+
+
+_NGRAM_CONTAIN_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+),
+grams0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS gram
+  FROM words
+),
+keep AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) <= 50),
+grams AS (SELECT g.doc_id, g.gram FROM grams0 g JOIN keep USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS ni
+  FROM grams ga JOIN grams gb USING (gram)
+  WHERE ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(ni * 1.0 / least(sa.n, sb.n), 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE ni * 1.0 / least(sa.n, sb.n) >= 0.6
+"""
+
+
+def q_dup_spans(spark, sf_dir):
+    """Span-level exact dedup (Lee et al. 2022 re-expressed
+    relationally): maximal shared word-6-gram runs between document
+    pairs with 1-based token offsets — the modality that localizes a
+    pasted boilerplate block inside otherwise-distinct documents.
+    ``max_df=50`` stop-gram guard, spans ≥ 8 tokens; the oracle replays
+    the identical positional-gram + gaps-and-islands dataflow."""
+    return dedup.duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=6, min_len=8, max_df=50
+    ).select(
+        "a",
+        "b",
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+_DUP_SPANS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+sized AS (SELECT doc_id, ws, len(ws) AS nw FROM words WHERE len(ws) >= 6),
+grams1 AS (
+  SELECT doc_id, unnest(range(1, nw - 6 + 2)) AS p, ws FROM sized
+),
+grams2 AS (
+  SELECT doc_id, p, array_to_string(ws[p:p+5], ' ') AS gram FROM grams1
+),
+keep AS (SELECT gram FROM grams2 GROUP BY gram HAVING count(*) <= 50),
+grams AS (SELECT g.doc_id, g.p, g.gram FROM grams2 g JOIN keep USING (gram)),
+m AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, ga.p AS pa, gb.p AS pb,
+         ga.p - gb.p AS d
+  FROM grams ga JOIN grams gb USING (gram)
+  WHERE ga.doc_id < gb.doc_id
+),
+isl AS (
+  SELECT a, b, d, pa, pb,
+         pa - row_number() OVER (PARTITION BY a, b, d ORDER BY pa) AS isle
+  FROM m
+)
+SELECT a, b, min(pa) AS start_a, min(pb) AS start_b,
+       count(*) + 5 AS span_len
+FROM isl GROUP BY a, b, d, isle
+HAVING count(*) + 5 >= 8
+"""
+
+
 def q_event_sessions(spark, sf_dir):
     """Sessionize events per user (30-min inactivity gap) — window-fn
     coverage over the raw interaction log."""
@@ -2826,6 +2911,30 @@ SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg
 """
 
 
+def q_avg_degree_connectivity(spark, sf_dir):
+    """Average nearest-neighbor degree curve knn(k)
+    (``nx.average_degree_connectivity`` semantics) over the
+    reply-edge graph — the per-degree assortativity diagnostic;
+    value-checked."""
+    from grandiso_networkx_spark.operators.stats import (
+        avg_degree_connectivity,
+    )
+
+    return avg_degree_connectivity(
+        q_reply_edges(spark, sf_dir).select("src", "dst")
+    ).select("deg", F.round("knn", 6).alias("knn"))
+
+
+_AVG_DEG_CONN_SQL = f"""
+WITH raw AS (SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL}) WHERE src <> dst),
+p AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+deg AS (SELECT src AS id, count(*) AS deg FROM p GROUP BY src)
+SELECT d1.deg AS deg, round(avg(d2.deg), 6) AS knn
+FROM p JOIN deg d1 ON d1.id = p.src JOIN deg d2 ON d2.id = p.dst
+GROUP BY d1.deg
+"""
+
+
 def q_graph_stats(spark, sf_dir):
     """One-row graph summary — transitivity, average local clustering,
     degree assortativity (operators/stats.py) — value-checked."""
@@ -4208,6 +4317,9 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lang_guess": q_lang_guess,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
+        "dup_spans": q_dup_spans,
+        "avg_degree_connectivity": q_avg_degree_connectivity,
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
@@ -4332,6 +4444,9 @@ def _standalone_oracles() -> dict[str, str]:
         "ivf_ann_topk": _IVF_SQL,
         "lang_guess": _LANG_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ngram_containment": _NGRAM_CONTAIN_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
+        "avg_degree_connectivity": _AVG_DEG_CONN_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "connected_components": _COMPONENTS_SQL,
         "connected_components_star": _COMPONENTS_SQL,
@@ -4474,7 +4589,7 @@ def _canon_sql(tag: str, sql: str) -> str:
     )
 
 
-# 37 value-checked bundles covering all 92 oracled standalone queries.
+# 37 value-checked bundles covering all 95 oracled standalone queries.
 _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_transcript_edges": ["reply_edges", "invoke_edges", "degree_table"],
     "fused_motif_paths": [
@@ -4498,8 +4613,10 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
         "source_quality", "pii_counts", "pii_redacted",
     ],
     "fused_contamination": ["contamination", "fingerprint"],
-    "fused_winnowing": ["winnow_fingerprints", "winnow_near_pairs"],
-    "fused_ngram_minhash": ["ngram_jaccard", "minhash_portable_pairs"],
+    "fused_winnowing": ["winnow_fingerprints", "winnow_near_pairs", "dup_spans"],
+    "fused_ngram_minhash": [
+        "ngram_jaccard", "ngram_containment", "minhash_portable_pairs",
+    ],
     "fused_simhash_pmi": [
         "simhash_portable", "simhash_near_pairs", "pmi_pairs",
     ],
@@ -4542,7 +4659,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_walks_node2vec": ["node2vec_walks", "ego_net"],
     "fused_graph_summary": [
         "graph_stats", "degree_distribution", "rmat_edges", "graph_coarsen",
-        "rich_club",
+        "rich_club", "avg_degree_connectivity",
     ],
     "fused_vertex_features": ["vertex_features", "feature_neighbor_mean"],
     "fused_retrieval": ["bm25_topk", "tfidf_terms"],

@@ -573,3 +573,159 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup detection: word-n-gram **containment**
+    ``C = |A∩B| / min(|A|,|B|)`` for all pairs sharing a gram —
+    ``(a, b, containment)`` with ``a < b`` and ``containment >= threshold``.
+
+    Jaccard (:func:`ngram_jaccard_pairs`) misses the quote-inside-an-
+    article case: a 100-token doc fully embedded in a 10k-token doc has
+    Jaccard ≈ 0.01 but containment 1.0 — the standard complement used
+    by near-dup pipelines (Broder's containment, the C4/RefinedWeb
+    "doc-inside-doc" gate).  Same scale shape as the Jaccard op: the
+    gram self-join is Σ|bucket|² so the ``max_df`` stop-gram guard
+    drops boilerplate grams from the WHOLE computation (sizes and
+    intersections) — the score stays an exact containment over the
+    filtered gram sets, SQL-replayable with a plain ``HAVING``.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram")
+    ).persist()
+    if max_df is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    l = grams.select(F.col("doc_id").alias("a"), "gram")
+    r = grams.select(F.col("doc_id").alias("b"), "gram")
+    inter = (
+        l.join(r, "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("na")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("nb")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            (F.col("n_inter") / F.least("na", "nb")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int | None = None,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact shared-substring (span-level) dedup: maximal runs of
+    consecutive shared word ``k``-grams between document pairs —
+    ``(a, b, start_a, start_b, span_len)`` with ``a < b``, 1-based
+    token offsets, ``span_len`` in tokens (≥ k).
+
+    This is the span-level dedup modality of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    whole-doc hashes miss a 300-token license block pasted into
+    otherwise-distinct pages; MinHash scores the *pair*, not *where*.
+    Their suffix array is a shared-memory structure with no distributed
+    analogue, so the semantics are re-expressed relationally:
+
+    1. positional word k-grams ``(doc_id, p, gram)`` — O(total tokens),
+       pure column expressions;
+    2. stop-gram guard: grams with more than ``max_df`` total
+       occurrences are dropped (a boilerplate gram shared by 10⁶ docs
+       is a 10¹²-row join bucket — same guard as
+       :func:`ngram_jaccard_pairs`; long spans survive because their
+       OTHER k-grams still match, the run merely splits at hot grams);
+    3. gram-bucket pair join (work Σ|bucket|², never n²);
+    4. gaps-and-islands on the match diagonal: matches of a pair at
+       offset delta ``d = p_a − p_b`` with consecutive ``p_a`` form one
+       maximal span (``p_a − row_number`` constant within an island) —
+       one window over ``(a, b, d)``, partition-local after the join
+       shuffle.
+
+    A shared literal span of ``L ≥ k`` tokens yields exactly one output
+    row with ``span_len = L`` (when its grams pass the guard).
+    ``min_len`` filters short incidental matches (Lee et al. use 50
+    BPE tokens); default keeps every span.
+    """
+    from pyspark.sql import Window
+
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.split(t, r"\s+")
+    nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
+    base = docs.select(
+        "doc_id", toks.alias("__t"), nw.alias("nw")
+    ).where(F.col("nw") >= k)
+    grams = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("nw") - F.lit(k - 1))).alias("p"),
+        F.col("__t"),
+    ).select(
+        "doc_id",
+        "p",
+        F.concat_ws(" ", F.slice("__t", F.col("p"), F.lit(k))).alias("gram"),
+    )
+    if max_df is not None:
+        grams = grams.persist()
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram")
+    ga = grams.select(
+        F.col("doc_id").alias("a"), F.col("p").alias("pa"), "gram"
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("b"), F.col("p").alias("pb"), "gram"
+    )
+    matches = ga.join(gb, "gram").where(F.col("a") < F.col("b")).select(
+        "a", "b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("d")
+    )
+    w = Window.partitionBy("a", "b", "d").orderBy("pa")
+    isl = matches.select(
+        "a",
+        "b",
+        "d",
+        "pa",
+        "pb",
+        (F.col("pa") - F.row_number().over(w)).alias("isle"),
+    )
+    spans = isl.groupBy("a", "b", "d", "isle").agg(
+        F.min("pa").alias("start_a"),
+        F.min("pb").alias("start_b"),
+        (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_len"),
+    ).select("a", "b", "start_a", "start_b", "span_len")
+    if min_len is not None:
+        spans = spans.where(F.col("span_len") >= min_len)
+    return spans

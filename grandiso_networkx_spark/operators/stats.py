@@ -295,3 +295,36 @@ def rich_club(edges: DataFrame) -> DataFrame:
             ).alias("rich_club"),
         )
     )
+
+
+def avg_degree_connectivity(edges: DataFrame) -> DataFrame:
+    """Average nearest-neighbor degree curve ``(deg, knn)`` —
+    ``nx.average_degree_connectivity`` on the simple undirected graph:
+    for each degree value k, the mean degree of all neighbors of all
+    degree-k vertices.
+
+    The per-degree companion to the single-number
+    :func:`degree_assortativity` — a falling curve = hubs attach to
+    leaves (disassortative), the shape diagnostic for hub-skew handling.
+
+    Scale shape: degrees attach to the symmetrized edge list by two
+    equi joins on the vertex id (shuffle-on-id, broadcastable when the
+    degree table allows), then one map-side-combined
+    ``groupBy(src_deg).avg(dst_deg)`` over distinct degree values —
+    output rows = distinct degrees (hundreds at any scale).  No loop,
+    no window, no collect.
+    """
+    sym = symmetrize(edges).where(F.col("src") != F.col("dst"))
+    deg = _undirected_degrees(edges)
+    return (
+        sym.join(
+            deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg")),
+            "dst",
+        )
+        .groupBy(F.col("sdeg").alias("deg"))
+        .agg(F.avg("ddeg").alias("knn"))
+    )
