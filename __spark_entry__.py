@@ -2911,6 +2911,119 @@ SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg
 """
 
 
+def q_triad_census(spark, sf_dir):
+    """All 16 Holland–Leinhardt triad classes (``nx.triadic_census``
+    semantics) over the event-type transition digraph — connected
+    classes by tricode classification of the pair–pair wedge join,
+    ``012``/``102`` by the Batagelj–Mrvar inclusion–exclusion
+    subtraction, ``003`` as the complement vs C(n,3); the oracle
+    replays the identical dataflow with the tricode table as VALUES."""
+    from pyspark.sql import Window
+
+    from grandiso_networkx_spark.operators.triads import triad_census
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    return triad_census(e)
+
+
+def _triad_census_sql() -> str:
+    from grandiso_networkx_spark.operators.triads import (
+        TRIAD_NAMES,
+        TRICODES,
+    )
+
+    tmap = ", ".join(
+        f"({code}, '{TRIAD_NAMES[cls - 1]}')"
+        for code, cls in enumerate(TRICODES)
+    )
+    names = ", ".join(f"('{t}')" for t in TRIAD_NAMES)
+    return f"""
+WITH e0 AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+e AS (SELECT src, dst FROM e0 WHERE src IS NOT NULL AND src <> dst),
+P AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+         max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+  FROM e GROUP BY 1, 2
+),
+I AS (SELECT a AS s, a, b FROM P UNION ALL SELECT b AS s, a, b FROM P),
+rawt AS (
+  SELECT i1.s AS s,
+         CASE WHEN i1.a = i1.s THEN i1.b ELSE i1.a END AS o1,
+         CASE WHEN i2.a = i1.s THEN i2.b ELSE i2.a END AS o2
+  FROM I i1 JOIN I i2 ON i1.s = i2.s
+  WHERE (i1.a < i2.a) OR (i1.a = i2.a AND i1.b < i2.b)
+),
+trip AS (
+  SELECT DISTINCT least(s, o1, o2) AS u,
+    CASE WHEN s > least(s, o1, o2) AND s < greatest(s, o1, o2) THEN s
+         WHEN o1 > least(s, o1, o2) AND o1 < greatest(s, o1, o2) THEN o1
+         ELSE o2 END AS v,
+    greatest(s, o1, o2) AS w
+  FROM rawt WHERE o1 <> o2
+),
+coded AS (
+  SELECT COALESCE(p1.f, 0) * 1 + COALESCE(p1.r, 0) * 2
+       + COALESCE(p2.f, 0) * 4 + COALESCE(p2.r, 0) * 8
+       + COALESCE(p3.f, 0) * 16 + COALESCE(p3.r, 0) * 32 AS code
+  FROM trip t
+  LEFT JOIN P p1 ON p1.a = t.u AND p1.b = t.v
+  LEFT JOIN P p2 ON p2.a = t.u AND p2.b = t.w
+  LEFT JOIN P p3 ON p3.a = t.v AND p3.b = t.w
+),
+tmap(code, triad) AS (VALUES {tmap}),
+connected AS (
+  SELECT m.triad, count(*) AS n FROM coded c JOIN tmap m USING (code)
+  GROUP BY 1
+),
+und AS (SELECT a AS x, b AS y FROM P UNION ALL SELECT b, a FROM P),
+deg AS (SELECT x AS id, count(*) AS deg FROM und GROUP BY x),
+nv AS (SELECT count(*) AS n FROM deg),
+cmn AS (
+  SELECT u1.x AS a, u2.x AS b, count(*) AS cn
+  FROM und u1 JOIN und u2 ON u1.y = u2.y
+  WHERE u1.x < u2.x GROUP BY 1, 2
+),
+perp AS (
+  SELECT p.f + p.r AS kind,
+         (SELECT n FROM nv) - da.deg - db.deg + COALESCE(c.cn, 0) AS thirds
+  FROM P p
+  LEFT JOIN cmn c ON c.a = p.a AND c.b = p.b
+  JOIN deg da ON da.id = p.a JOIN deg db ON db.id = p.b
+),
+lonely(triad, n) AS (
+  SELECT '012', COALESCE(sum(CASE WHEN kind = 1 THEN thirds END), 0) FROM perp
+  UNION ALL
+  SELECT '102', COALESCE(sum(CASE WHEN kind = 2 THEN thirds END), 0) FROM perp
+),
+counted AS (
+  SELECT triad, sum(n) AS n FROM (
+    SELECT triad, n FROM connected UNION ALL SELECT triad, n FROM lonely
+  ) GROUP BY triad
+),
+names(triad) AS (VALUES {names}),
+filled AS (
+  SELECT nm.triad, COALESCE(c.n, 0) AS n
+  FROM names nm LEFT JOIN counted c USING (triad)
+)
+SELECT triad,
+  CAST(CASE WHEN triad = '003'
+    THEN (SELECT (n * (n - 1) * (n - 2)) // 6 FROM nv)
+       - (SELECT sum(n) FROM filled WHERE triad <> '003')
+    ELSE n END AS BIGINT) AS n_triads
+FROM filled
+"""
+
+
 def q_avg_degree_connectivity(spark, sf_dir):
     """Average nearest-neighbor degree curve knn(k)
     (``nx.average_degree_connectivity`` semantics) over the
@@ -4320,6 +4433,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "ngram_containment": q_ngram_containment,
         "dup_spans": q_dup_spans,
         "avg_degree_connectivity": q_avg_degree_connectivity,
+        "triad_census": q_triad_census,
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
@@ -4447,6 +4561,7 @@ def _standalone_oracles() -> dict[str, str]:
         "ngram_containment": _NGRAM_CONTAIN_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "avg_degree_connectivity": _AVG_DEG_CONN_SQL,
+        "triad_census": _triad_census_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "connected_components": _COMPONENTS_SQL,
         "connected_components_star": _COMPONENTS_SQL,
@@ -4599,7 +4714,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_motif_iso_attr": ["motif_iso_count", "motif_attr_bindings"],
     "fused_triangles": [
         "triangle_count", "triangle_per_vertex", "local_clustering",
-        "edge_embeddedness",
+        "edge_embeddedness", "triad_census",
     ],
     "fused_tpch": ["pricing_summary", "top_customers", "regional_volume"],
     "fused_dedup_exact": ["exact_dedup", "dedup_keep", "passage_dedup"],
