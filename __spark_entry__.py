@@ -941,6 +941,82 @@ HAVING count(*) + 5 >= 8
 """
 
 
+def q_span_scrub(spark, sf_dir):
+    """The actionable half of ``dup_spans`` (Lee et al. §4 keep-one):
+    every document rewritten with its duplicated span tokens removed —
+    keep the occurrence in the lower doc_id, remove the union of
+    matched ranges from the higher.  Same k=6 / min_len=8 / max_df=50
+    parameters as ``dup_spans``; the oracle replays detection,
+    positional removal, and ordered ``string_agg`` reassembly."""
+    return dedup.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=6, min_len=8, max_df=50
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_removed",
+        "text_dedup",
+    )
+
+
+_SPAN_SCRUB_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS ws,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'))
+         END AS nw
+  FROM documents
+),
+sized AS (SELECT doc_id, ws, nw FROM base WHERE nw >= 6),
+grams1 AS (SELECT doc_id, unnest(range(1, nw - 6 + 2)) AS p, ws FROM sized),
+grams2 AS (
+  SELECT doc_id, p, array_to_string(ws[p:p+5], ' ') AS gram FROM grams1
+),
+keep AS (SELECT gram FROM grams2 GROUP BY gram HAVING count(*) <= 50),
+grams AS (SELECT g.doc_id, g.p, g.gram FROM grams2 g JOIN keep USING (gram)),
+m AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, ga.p AS pa, gb.p AS pb,
+         ga.p - gb.p AS d
+  FROM grams ga JOIN grams gb USING (gram)
+  WHERE ga.doc_id < gb.doc_id
+),
+isl AS (
+  SELECT a, b, d, pa, pb,
+         pa - row_number() OVER (PARTITION BY a, b, d ORDER BY pa) AS isle
+  FROM m
+),
+spans AS (
+  SELECT b, min(pb) AS start_b, count(*) + 5 AS span_len
+  FROM isl GROUP BY a, b, d, isle
+  HAVING count(*) + 5 >= 8
+),
+removal AS (
+  SELECT DISTINCT b AS doc_id,
+         unnest(range(start_b, start_b + span_len)) AS p
+  FROM spans
+),
+tok AS (
+  SELECT doc_id, unnest(range(1, nw + 1)) AS p, ws
+  FROM base WHERE nw >= 1
+),
+tok2 AS (SELECT doc_id, p, ws[p] AS tok FROM tok),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tok2 t LEFT JOIN removal r ON r.doc_id = t.doc_id AND r.p = t.p
+  WHERE r.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_tokens,
+       CAST(b.nw - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_event_sessions(spark, sf_dir):
     """Sessionize events per user (30-min inactivity gap) — window-fn
     coverage over the raw interaction log."""
@@ -4432,6 +4508,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
         "dup_spans": q_dup_spans,
+        "span_scrub": q_span_scrub,
         "avg_degree_connectivity": q_avg_degree_connectivity,
         "triad_census": q_triad_census,
         "event_sessions": q_event_sessions,
@@ -4560,6 +4637,7 @@ def _standalone_oracles() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ngram_containment": _NGRAM_CONTAIN_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "span_scrub": _SPAN_SCRUB_SQL,
         "avg_degree_connectivity": _AVG_DEG_CONN_SQL,
         "triad_census": _triad_census_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
@@ -4717,7 +4795,9 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
         "edge_embeddedness", "triad_census",
     ],
     "fused_tpch": ["pricing_summary", "top_customers", "regional_volume"],
-    "fused_dedup_exact": ["exact_dedup", "dedup_keep", "passage_dedup"],
+    "fused_dedup_exact": [
+        "exact_dedup", "dedup_keep", "passage_dedup", "span_scrub",
+    ],
     "fused_curation": ["curate_corpus", "dataset_split", "stratified_sample"],
     "fused_token_stats": [
         "token_counts", "token_quantiles", "token_entropy", "vocab_coverage",

@@ -729,3 +729,81 @@ def duplicate_spans(
     if min_len is not None:
         spans = spans.where(F.col("span_len") >= min_len)
     return spans
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int | None = None,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """The actionable half of :func:`duplicate_spans` (Lee et al. 2022
+    §4: keep ONE occurrence of each duplicated substring): rewrite
+    every document with its duplicated span tokens removed —
+    ``(doc_id, n_tokens, n_removed, text_dedup)``.
+
+    Keep policy is deterministic and order-free: a span match
+    ``(a < b)`` keeps the occurrence in ``a`` and marks ``b``'s token
+    range for removal; a doc that is the ``b`` side of several pairs
+    removes the union of the ranges (overlaps collapse via DISTINCT
+    positions).  Docs with no matches pass through with their
+    whitespace normalized (single-space joins — the same token stream
+    both engines see).
+
+    Scale shape: span detection as in :func:`duplicate_spans`; the
+    removal set explodes spans to (doc, position) rows — bounded by the
+    total duplicated text volume, not the corpus; reassembly is one
+    anti join on (doc, pos) + per-doc sorted-struct array join (the
+    retry-stable positional reassembly used by feature aggregation),
+    never a window over the full token stream.
+    """
+    spans = duplicate_spans(
+        docs, text_col=text_col, k=k, min_len=min_len, max_df=max_df
+    )
+    removal = (
+        spans.select(
+            F.col("b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_len") - 1,
+                )
+            ).alias("p"),
+        )
+        .dropDuplicates(["doc_id", "p"])
+    )
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.split(t, r"\s+")
+    nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
+    base = docs.select("doc_id", toks.alias("__t"), nw.alias("nw"))
+    tokens = base.where(F.col("nw") >= 1).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("nw"))).alias("p"),
+        F.col("__t"),
+    ).select("doc_id", "p", F.element_at("__t", F.col("p")).alias("tok"))
+    kept = tokens.join(removal, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    sizes = base.select("doc_id", F.col("nw").alias("n_tokens"))
+    return (
+        sizes.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -174,3 +174,57 @@ class TestAvgDegreeConnectivity:
         want = nx.average_degree_connectivity(nx.Graph([(1, 2), (2, 3)]))
         got = {r.deg: r.knn for r in avg_degree_connectivity(edges).collect()}
         assert got == pytest.approx(want)
+
+
+class TestRemoveDuplicateSpans:
+    def test_keep_first_remove_second(self, spark):
+        block = "alpha bravo charlie delta echo foxtrot"
+        docs = spark.createDataFrame(
+            [
+                (0, "intro " + block + " outro"),
+                (1, "pre " + block + " post"),
+                (2, "untouched words here entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.remove_duplicate_spans(docs, k=4, max_df=None).collect()
+        }
+        assert out[0].n_removed == 0
+        assert out[0].text_dedup == "intro " + block + " outro"
+        assert out[1].n_removed == 6
+        assert out[1].text_dedup == "pre post"
+        assert out[2].n_removed == 0
+        assert out[2].text_dedup == "untouched words here entirely"
+
+    def test_overlapping_ranges_union(self, spark):
+        s = "a b c d e f g h"
+        docs = spark.createDataFrame(
+            [(0, s), (1, s), (2, "x y " + s + " z w")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.remove_duplicate_spans(docs, k=3, max_df=None).collect()
+        }
+        # doc 0 is always the 'a' side: untouched.
+        assert out[0].n_removed == 0
+        # doc 1 loses the whole block once despite matching both 0 and 2.
+        assert out[1].n_removed == 8 and out[1].text_dedup == ""
+        assert out[2].n_removed == 8 and out[2].text_dedup == "x y z w"
+
+    def test_empty_docs_pass_through(self, spark):
+        docs = spark.createDataFrame(
+            [(0, ""), (1, None), (2, "one two three")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.text_dedup)
+            for r in dedup.remove_duplicate_spans(docs, k=3, max_df=None).collect()
+        }
+        assert out == {
+            0: (0, 0, ""),
+            1: (0, 0, ""),
+            2: (3, 0, "one two three"),
+        }
