@@ -3100,6 +3100,101 @@ FROM filled
 """
 
 
+def q_mutual_knn(spark, sf_dir):
+    """Mutual exact-cosine 5-NN similarity graph over the embeddings
+    table — the embeddings→graph bridge (density clustering /
+    diversity sampling); an edge survives only if each endpoint ranks
+    in the other's top-5.  Oracle replays the ranked cross join and
+    the mutual self-join."""
+    from grandiso_networkx_spark.operators.similarity import (
+        mutual_knn_graph,
+    )
+
+    return mutual_knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+_MUTUAL_KNN_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+),
+nn AS (SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 5)
+SELECT n1.query_id AS src, n1.vec_id AS dst, n1.cosine
+FROM nn n1 JOIN nn n2 ON n2.query_id = n1.vec_id AND n2.vec_id = n1.query_id
+WHERE n1.query_id < n1.vec_id
+"""
+
+
+def q_temporal_motifs(spark, sf_dir):
+    """δ-bounded temporal motif counts (Paranjape et al. WWW'17
+    2-path + cyclic triangle) over each user's event-type transition
+    stream (node = user:event_type, time = event micros, δ = 30 min) —
+    ordered-burst structure the static transition graph can't see."""
+    from pyspark.sql import Window
+
+    from grandiso_networkx_spark.operators.temporal import (
+        temporal_motif_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.select(
+            F.concat_ws(
+                ":", F.col("user_id"), F.lag("event_type").over(w)
+            ).alias("src"),
+            F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias(
+                "dst"
+            ),
+            # micros since epoch, timezone-free (ts is TIMESTAMP_NTZ —
+            # matches DuckDB's epoch_us on the same wall-clock value)
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("tmicros"),
+            F.lag("event_type").over(w).alias("__prev"),
+        )
+        .where(F.col("__prev").isNotNull())
+        .select("src", "dst", "tmicros")
+    )
+    return temporal_motif_counts(e, delta=1800.0 * 1e6, ts_col="tmicros")
+
+
+_TEMPORAL_MOTIFS_SQL = """
+WITH e0 AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         event_type AS cur,
+         epoch_us(ts) AS t
+  FROM events
+),
+e AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || prev AS src,
+         CAST(user_id AS VARCHAR) || ':' || cur AS dst,
+         CAST(t AS DOUBLE) AS t
+  FROM e0 WHERE prev IS NOT NULL AND prev <> cur
+),
+hop AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w, e1.t AS t1, e2.t AS t2
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+  WHERE e2.t > e1.t AND e2.t <= e1.t + 1800000000.0 AND e2.dst <> e1.src
+)
+SELECT '2path' AS motif, count(*) AS n FROM hop
+UNION ALL
+SELECT 'triangle', count(*)
+FROM hop h JOIN e e3 ON e3.src = h.w AND e3.dst = h.u
+WHERE e3.t > h.t2 AND e3.t <= h.t1 + 1800000000.0
+"""
+
+
 def q_avg_degree_connectivity(spark, sf_dir):
     """Average nearest-neighbor degree curve knn(k)
     (``nx.average_degree_connectivity`` semantics) over the
@@ -4511,6 +4606,8 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "span_scrub": q_span_scrub,
         "avg_degree_connectivity": q_avg_degree_connectivity,
         "triad_census": q_triad_census,
+        "mutual_knn": q_mutual_knn,
+        "temporal_motifs": q_temporal_motifs,
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
@@ -4640,6 +4737,8 @@ def _standalone_oracles() -> dict[str, str]:
         "span_scrub": _SPAN_SCRUB_SQL,
         "avg_degree_connectivity": _AVG_DEG_CONN_SQL,
         "triad_census": _triad_census_sql(),
+        "mutual_knn": _MUTUAL_KNN_SQL,
+        "temporal_motifs": _TEMPORAL_MOTIFS_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "connected_components": _COMPONENTS_SQL,
         "connected_components_star": _COMPONENTS_SQL,
@@ -4839,7 +4938,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_coloring_wl": ["greedy_coloring", "wl_colors"],
     "fused_temporal_sssp": [
         "temporal_reach", "sssp_weighted", "minimum_spanning_forest",
-        "dag_levels",
+        "dag_levels", "temporal_motifs",
     ],
     "fused_sketches": [
         "neighbor_minhash", "hyperball_sketches", "two_hop_counts",
@@ -4858,7 +4957,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     "fused_vertex_features": ["vertex_features", "feature_neighbor_mean"],
     "fused_retrieval": ["bm25_topk", "tfidf_terms"],
-    "fused_ann": ["cosine_topk", "ivf_ann_topk", "lsh_ann_topk"],
+    "fused_ann": ["cosine_topk", "ivf_ann_topk", "lsh_ann_topk", "mutual_knn"],
     "fused_embedding_dedup": ["embedding_dup_pairs", "semantic_dedup_keep"],
 }
 

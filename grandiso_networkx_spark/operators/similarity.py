@@ -343,3 +343,44 @@ def embedding_clusters(
             F.round("__sim", 6).alias("cosine"),
         )
     )
+
+
+def mutual_knn_graph(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual k-nearest-neighbor similarity graph ``(src < dst,
+    cosine)``: an edge iff each endpoint ranks in the other's exact
+    cosine top-k (deterministic tie-break: cosine desc, id asc).
+
+    The embeddings→graph bridge: mutual-kNN is the standard
+    similarity-graph construction for density clustering and
+    diversity sampling — compose with
+    :func:`~.components.connected_components` for cluster ids, or
+    feed the motif/centrality engines.  Mutuality prunes hub
+    false-neighbors (a vector that everyone lists but that lists no
+    one back), which plain kNN graphs suffer under skewed density.
+
+    This composition uses the exact :func:`cosine_topk` baseline
+    (corpus-broadcast cross join) — right for the value-checked
+    contract and ≤10⁵ rows; at 100-TB scale swap the neighbor source
+    for :func:`ivf_ann_topk` / :func:`lsh_ann_topk` (same
+    ``(query_id, vec_id, cosine)`` shape) and keep the identical
+    mutual join.
+    """
+    nn = cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    fwd = nn.select(
+        F.col("query_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        "cosine",
+    )
+    rev = nn.select(
+        F.col("vec_id").alias("src"), F.col("query_id").alias("dst")
+    )
+    return (
+        fwd.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "cosine")
+    )

@@ -87,3 +87,60 @@ def earliest_arrival(
                 f"earliest_arrival did not converge in {max_iter} rounds"
             )
     return arr
+
+
+def temporal_motif_counts(
+    edges: DataFrame,
+    delta: float,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal motif counts (Paranjape–Benson–Leskovec WWW'17) for the
+    two canonical δ-bounded ordered motifs over a timestamped edge
+    stream ``(src, dst, ts)`` — ``(motif, n)`` rows:
+
+    - ``2path``:  u→v at t₁, v→w at t₂ with t₁ < t₂ ≤ t₁+δ and w ≠ u —
+      the directed relay within a time window;
+    - ``triangle``: the cyclic closure u→v, v→w, w→u at t₁ < t₂ < t₃
+      with t₃ ≤ t₁+δ — the feedback-loop burst.
+
+    Instances are counted over edge *events* (parallel edges at
+    different times count separately — the paper's semantics), nodes
+    pairwise distinct, timestamps strictly increasing inside a motif.
+
+    Scale shape: each motif is a chain of equi joins on the shared
+    vertex with the δ range as a join residual — work is bounded by
+    the temporal adjacency (Σ per-vertex in×out within δ), never a
+    time-unbounded self-join; both counts reuse the same first hop.
+    ``ts`` may be numeric or timestamp (cast to double seconds).
+    """
+    e = edges.select(
+        "src", "dst", F.col(ts_col).cast("double").alias("t")
+    ).where(F.col("src") != F.col("dst"))
+    e1 = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("t").alias("t1")
+    )
+    e2 = e.select(
+        F.col("src").alias("v"), F.col("dst").alias("w"), F.col("t").alias("t2")
+    )
+    hop = e1.join(e2, "v").where(
+        (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.lit(delta))
+        & (F.col("w") != F.col("u"))
+    )
+    two_path = hop.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("2path").alias("motif"), "n"
+    )
+    e3 = e.select(
+        F.col("src").alias("w"), F.col("dst").alias("u2"), F.col("t").alias("t3")
+    )
+    tri = (
+        hop.join(e3, "w")
+        .where(
+            (F.col("u2") == F.col("u"))
+            & (F.col("t3") > F.col("t2"))
+            & (F.col("t3") <= F.col("t1") + F.lit(delta))
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("triangle").alias("motif"), "n")
+    )
+    return two_path.unionAll(tri)
