@@ -3195,6 +3195,82 @@ WHERE e3.t > h.t2 AND e3.t <= h.t1 + 1800000000.0
 """
 
 
+def q_densest_subgraph(spark, sf_dir):
+    """Bahmani greedy (2+2ε)-approx densest subgraph over the
+    event-type transition digraph, ε=0.125 (exact binary float so the
+    threshold arithmetic `(2·(1+ε))·(Σdeg/(2·nv))` is bit-identical in
+    both engines); the oracle unrolls the peel as MATERIALIZED CTE
+    levels and picks the earliest max-density level, exactly the
+    Spark loop's `>` keep rule."""
+    from pyspark.sql import Window
+
+    from grandiso_networkx_spark.operators.kcore import densest_subgraph
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    return densest_subgraph(e, eps=0.125).select(
+        "id", F.round("density", 6).alias("density")
+    )
+
+
+def _densest_sql(levels: int = 12, eps: str = "0.125") -> str:
+    """Unrolled Bahmani peel: level i's survivors are the vertices of
+    level i-1 whose induced degree exceeds (2·(1+ε))·ρ_{i-1}; the
+    answer is the earliest level attaining the max density (the Spark
+    loop keeps the first `>` improvement).  ``levels`` must exceed the
+    true peel depth — each level strips at least the ≤-average-degree
+    class, so 12 covers any graph this oracle runs on (deeper levels
+    are empty and contribute NULL densities)."""
+    parts = [
+        """WITH e0 AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+raw AS (SELECT src, dst FROM e0 WHERE src IS NOT NULL AND src <> dst),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)"""
+    ]
+    for i in range(levels):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT e.src AS id, count(*) AS deg
+  FROM sym e JOIN s{i} a ON a.id = e.src JOIN s{i} b ON b.id = e.dst
+  GROUP BY e.src),
+m{i} AS MATERIALIZED (
+  SELECT count(*) AS nv, COALESCE(sum(deg), 0) AS sd FROM d{i}),
+s{i + 1} AS MATERIALIZED (
+  SELECT d.id FROM d{i} d, m{i} m
+  WHERE m.nv > 0
+    AND d.deg > (2.0 * (1.0 + {eps})) * (m.sd / (2.0 * m.nv)))"""
+        )
+    dens_union = " UNION ALL ".join(
+        f"SELECT {i} AS lvl, nv, sd FROM m{i}" for i in range(levels)
+    )
+    lvl_union = " UNION ALL ".join(
+        f"SELECT {i} AS lvl, id FROM s{i}" for i in range(levels)
+    )
+    parts.append(
+        f""",
+dens AS (
+  SELECT lvl, sd / (2.0 * nv) AS density
+  FROM ({dens_union}) WHERE nv > 0
+),
+best AS (SELECT lvl, density FROM dens ORDER BY density DESC, lvl ASC LIMIT 1),
+members AS ({lvl_union})
+SELECT m.id, round(b.density, 6) AS density
+FROM members m JOIN best b ON b.lvl = m.lvl"""
+    )
+    return "".join(parts)
+
+
 def q_avg_degree_connectivity(spark, sf_dir):
     """Average nearest-neighbor degree curve knn(k)
     (``nx.average_degree_connectivity`` semantics) over the
@@ -4608,6 +4684,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "triad_census": q_triad_census,
         "mutual_knn": q_mutual_knn,
         "temporal_motifs": q_temporal_motifs,
+        "densest_subgraph": q_densest_subgraph,
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
@@ -4739,6 +4816,7 @@ def _standalone_oracles() -> dict[str, str]:
         "triad_census": _triad_census_sql(),
         "mutual_knn": _MUTUAL_KNN_SQL,
         "temporal_motifs": _TEMPORAL_MOTIFS_SQL,
+        "densest_subgraph": _densest_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "connected_components": _COMPONENTS_SQL,
         "connected_components_star": _COMPONENTS_SQL,
@@ -4934,7 +5012,10 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_flow_centrality": [
         "betweenness_centrality", "hits_fixed", "betweenness_sampled",
     ],
-    "fused_cores": ["core_number", "ktruss_3", "maximal_independent_set"],
+    "fused_cores": [
+        "core_number", "ktruss_3", "maximal_independent_set",
+        "densest_subgraph",
+    ],
     "fused_coloring_wl": ["greedy_coloring", "wl_colors"],
     "fused_temporal_sssp": [
         "temporal_reach", "sssp_weighted", "minimum_spanning_forest",
