@@ -158,7 +158,7 @@ def triad_census(edges: DataFrame) -> DataFrame:
         pairs.join(common, ["a", "b"], "left")
         .join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
-        .crossJoin(nv)
+        .crossJoin(F.broadcast(nv))
         .select(
             (F.col("f") + F.col("r")).alias("kind"),
             (
@@ -204,7 +204,7 @@ def triad_census(edges: DataFrame) -> DataFrame:
     rest = filled.where(F.col("triad") != "003").agg(
         F.coalesce(F.sum("n_triads"), F.lit(0)).alias("rest")
     )
-    out = filled.crossJoin(total).crossJoin(rest).select(
+    out = filled.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(rest)).select(
         "triad",
         F.when(
             F.col("triad") == "003", F.col("n_triples") - F.col("rest")

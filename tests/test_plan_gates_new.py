@@ -110,3 +110,57 @@ class TestPassageVocabSourcePlans:
         assert "BroadcastNestedLoopJoin" not in plan
         # both the dup-hash reduction and the source rollup combine map-side
         assert "partial_count" in plan
+
+
+class TestRound2PlanGates:
+    def test_duplicate_spans_equi_join_only(self, spark):
+        from grandiso_networkx_spark.operators.dedup import duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e f g h i j") for i in range(5)],
+            "doc_id long, text string",
+        )
+        plan = _plan(duplicate_spans(docs, k=4, max_df=10))
+        # gram-bucket pair join must be an equi hash/merge join
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_triad_census_no_cartesian_in_core(self, spark):
+        from grandiso_networkx_spark.operators.triads import triad_census
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (2, 1)], "src long, dst long"
+        )
+        plan = _plan(triad_census(edges))
+        # the only cross joins are the 1-row scalar attachments
+        # (nv/rest); the triple enumeration itself is equi
+        assert "CartesianProduct" not in plan
+
+    def test_temporal_motifs_equi_with_residual(self, spark):
+        from grandiso_networkx_spark.operators.temporal import (
+            temporal_motif_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2, 0.0), (2, 3, 1.0)], "src long, dst long, ts double"
+        )
+        plan = _plan(temporal_motif_counts(df, 10.0))
+        # the delta window must ride the vertex equi join as a
+        # residual, never force a time-cross product
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_mutual_knn_single_window_rank(self, spark):
+        from grandiso_networkx_spark.operators.similarity import (
+            mutual_knn_graph,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        )
+        plan = _plan(mutual_knn_graph(emb, k=2))
+        # the exact baseline's documented shape: one broadcast cross
+        # join for scoring, then equi self-join for mutuality
+        assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 1
