@@ -4959,7 +4959,8 @@ def _canon_sql(tag: str, sql: str) -> str:
     )
 
 
-# 37 value-checked bundles covering all 95 oracled standalone queries.
+# 37 value-checked bundles covering 115 of the 116 oracled standalone
+# queries (ppr_multi_seed keeps its own flagship slot instead).
 _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_transcript_edges": ["reply_edges", "invoke_edges", "degree_table"],
     "fused_motif_paths": [
