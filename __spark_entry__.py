@@ -891,6 +891,36 @@ WHERE ni * 1.0 / least(sa.n, sb.n) >= 0.6
 """
 
 
+def q_setsim_jaccard(spark, sf_dir):
+    """EXACT whole-document token-set Jaccard join (≥0.9) via
+    AllPairs/PPJoin prefix filtering (Bayardo WWW'07): tokens ranked by
+    global df ascending, per-doc rarest-token prefixes drive the
+    candidate equi-join, length filter prunes, `array_intersect`
+    verifies — lossless, so the brute-force O(n²) oracle must agree
+    pair-for-pair.  The exact complement to the probabilistic
+    MinHash-LSH path."""
+    return dedup.setsim_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SETSIM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS ts
+  FROM documents
+),
+sized AS (SELECT doc_id, ts, len(ts) AS n FROM toks),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.ts, y.ts)) AS ni, x.n AS na, y.n AS nb
+  FROM sized x JOIN sized y ON x.doc_id < y.doc_id
+)
+SELECT a, b, round(ni * 1.0 / (na + nb - ni), 6) AS jaccard
+FROM pairs WHERE ni * 1.0 / (na + nb - ni) >= 0.9
+"""
+
+
 def q_dup_spans(spark, sf_dir):
     """Span-level exact dedup (Lee et al. 2022 re-expressed
     relationally): maximal shared word-6-gram runs between document
@@ -4678,6 +4708,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "lang_guess": q_lang_guess,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
+        "setsim_jaccard": q_setsim_jaccard,
         "dup_spans": q_dup_spans,
         "span_scrub": q_span_scrub,
         "avg_degree_connectivity": q_avg_degree_connectivity,
@@ -4810,6 +4841,7 @@ def _standalone_oracles() -> dict[str, str]:
         "lang_guess": _LANG_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ngram_containment": _NGRAM_CONTAIN_SQL,
+        "setsim_jaccard": _SETSIM_JACCARD_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "span_scrub": _SPAN_SCRUB_SQL,
         "avg_degree_connectivity": _AVG_DEG_CONN_SQL,
@@ -4988,7 +5020,8 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_contamination": ["contamination", "fingerprint"],
     "fused_winnowing": ["winnow_fingerprints", "winnow_near_pairs", "dup_spans"],
     "fused_ngram_minhash": [
-        "ngram_jaccard", "ngram_containment", "minhash_portable_pairs",
+        "ngram_jaccard", "ngram_containment", "setsim_jaccard",
+        "minhash_portable_pairs",
     ],
     "fused_simhash_pmi": [
         "simhash_portable", "simhash_near_pairs", "pmi_pairs",

@@ -807,3 +807,114 @@ def remove_duplicate_spans(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+# -- exact set-similarity join (prefix filtering) -----------------------------
+
+
+def setsim_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT whole-document token-set Jaccard join: every pair ``(a, b,
+    jaccard)`` with ``a < b`` and ``J(A, B) >= threshold`` over the
+    documents' distinct word sets — no approximation, no candidate
+    misses.
+
+    This is the AllPairs/PPJoin *prefix-filtering* formulation (Bayardo
+    et al., WWW'07; Xiao et al., WWW'08), the standard exact complement
+    to the probabilistic MinHash-LSH path (:func:`minhash_lsh_pairs`):
+
+    1. rank every token by global document frequency ascending (ties by
+       token), giving one total order shared by all documents;
+    2. per document, sort its distinct tokens by that order and keep
+       only the *prefix* — the ``|s| - floor(t*|s|)`` rarest tokens.
+       Prefix-filter lemma: if ``J(A,B) >= t`` then ``|A∩B| >=
+       ceil(t*max(|A|,|B|))``, and the globally smallest common token
+       must sit inside BOTH prefixes of length ``|s| - ceil(t*|s|) + 1``
+       (everything before it in either document is non-shared).  The
+       ``floor`` form is one token longer — immune to float wobble in
+       ``t*|s|``, never lossy;
+    3. candidates = equi-join on shared prefix token, pruned by the
+       length filter ``min(|A|,|B|) >= t*max(|A|,|B|)``, deduplicated;
+    4. exact verify on the candidate pairs only, via
+       ``array_intersect`` of the full token arrays.
+
+    Scale shape: the join key is a *prefix* token — by construction one
+    of the globally rarest tokens in its document — so bucket sizes are
+    bounded by low document frequencies and the quadratic blow-up a raw
+    token self-join suffers on stopwords never materializes.  The
+    verify stage re-joins candidate ids back to the token-array table
+    instead of dragging arrays through the explode.  All JVM-side
+    column expressions; the only shuffles are the df-count, the per-doc
+    sort, the candidate equi-join, and the two verify joins.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("toks"),
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("st"))
+        .select(
+            "doc_id",
+            F.transform("st", lambda s: s["token"]).alias("toks"),
+            F.size("st").alias("sz"),
+        )
+        .withColumn(
+            "plen",
+            (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz"))).cast("int"),
+        )
+    )
+    pref = ordered.select(
+        "doc_id", "sz", F.explode(F.expr("slice(toks, 1, plen)")).alias("ptok")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("a"), F.col("sz").alias("na"), "ptok")
+        .join(
+            pref.select(
+                F.col("doc_id").alias("b"), F.col("sz").alias("nb"), "ptok"
+            ),
+            "ptok",
+        )
+        .where(
+            (F.col("a") < F.col("b"))
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(threshold) * F.greatest("na", "nb") - F.lit(1e-9)
+            )
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    ta = ordered.select(
+        F.col("doc_id").alias("a"), F.col("toks").alias("ta"), F.col("sz").alias("na")
+    )
+    tb = ordered.select(
+        F.col("doc_id").alias("b"), F.col("toks").alias("tb"), F.col("sz").alias("nb")
+    )
+    return (
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("ta", "tb")).alias("ni"),
+            "na",
+            "nb",
+        )
+        .select(
+            "a",
+            "b",
+            (F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

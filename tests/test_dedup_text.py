@@ -321,3 +321,85 @@ class TestSimilarity:
         assert len(exact) >= 5
         # multi-table sign-LSH recall on near-identical vectors
         assert len(approx) / len(exact) >= 0.8
+
+
+class TestSetsimJaccardPairs:
+    def _brute(self, docs):
+        """All-pairs token-set Jaccard via a deliberate cross join."""
+        toks = docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("ts"),
+        )
+        a = toks.select(
+            F.col("doc_id").alias("a"), F.col("ts").alias("ta")
+        )
+        b = toks.select(
+            F.col("doc_id").alias("b"), F.col("ts").alias("tb")
+        )
+        return (
+            a.crossJoin(b)
+            .where(F.col("a") < F.col("b"))
+            .select(
+                "a",
+                "b",
+                (
+                    F.size(F.array_intersect("ta", "tb"))
+                    / F.size(F.array_union("ta", "tb"))
+                ).alias("jaccard"),
+            )
+        )
+
+    def test_matches_brute_force_exactly(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta zeta"),       # J=2/3 vs 0
+            (2, "alpha beta gamma delta epsilon"),    # exact dup of 0
+            (3, "one two three four five six"),
+            (4, "one two three four five seven"),     # J=5/7 vs 3
+            (5, "totally different words here now"),
+            (6, "Alpha  BETA gamma delta epsilon"),   # case/space-normalized dup of 0
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (0.5, 0.66, 0.9):
+            got = {
+                (r.a, r.b, round(r.jaccard, 9))
+                for r in dedup.setsim_jaccard_pairs(docs, threshold=t).collect()
+            }
+            want = {
+                (r.a, r.b, round(r.jaccard, 9))
+                for r in self._brute(docs).where(F.col("jaccard") >= t).collect()
+            }
+            assert got == want
+        full = {
+            (r.a, r.b)
+            for r in dedup.setsim_jaccard_pairs(docs, threshold=0.99).collect()
+        }
+        assert full == {(0, 2), (0, 6), (2, 6)}
+
+    def test_prefix_filter_lossless_on_random_corpus(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = []
+        for i in range(60):
+            n = rng.randint(3, 12)
+            rows.append((i, " ".join(rng.sample(vocab, n))))
+        # plant shifted near-dups
+        for j in range(10):
+            base = rows[j][1].split()
+            base[0] = "w39"
+            rows.append((100 + j, " ".join(base)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.a, r.b)
+            for r in dedup.setsim_jaccard_pairs(docs, threshold=0.6).collect()
+        }
+        want = {
+            (r.a, r.b)
+            for r in self._brute(docs).where(F.col("jaccard") >= 0.6).collect()
+        }
+        assert got == want
+        assert len(want) >= 10  # the planted near-dups are above 0.6

@@ -164,3 +164,18 @@ class TestRound2PlanGates:
         # join for scoring, then equi self-join for mutuality
         assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+
+
+class TestSetsimPlanGates:
+    def test_setsim_join_stays_equi(self, spark):
+        from grandiso_networkx_spark.operators.dedup import setsim_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e f w%d" % i) for i in range(20)],
+            "doc_id long, text string",
+        )
+        plan = _plan(setsim_jaccard_pairs(docs, threshold=0.8))
+        # candidates must meet on the prefix-token equi key and the
+        # verify stage on the id equi keys — never a cross product
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
