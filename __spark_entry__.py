@@ -2656,6 +2656,93 @@ l{i + 1} AS (SELECT l.id, coalesce(p.new_label, l.label) AS label
     return "".join(parts)
 
 
+def q_louvain_round(spark, sf_dir):
+    """Level-1 Louvain local-move phase, 3 fixed synchronous rounds
+    (operators/community.py pinned rule: previous-round gains, strictly
+    positive, min-label tie-break, mutual-swap guard) over the weighted
+    user↔event-type invoke graph; the oracle unrolls the identical
+    dataflow one CTE block per round — all sums are integer-valued
+    doubles, so the gains compare bit-for-bit."""
+    from grandiso_networkx_spark.operators.community import (
+        louvain_move_rounds,
+    )
+
+    e = _event_invoke_edges(spark, sf_dir)
+    return louvain_move_rounds(e, rounds=3, weight_col="weight")
+
+
+def _louvain_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous Louvain local-move rounds — the exact
+    dataflow of operators/community.py::_louvain_round."""
+    parts = [
+        f"""WITH re AS MATERIALIZED ({_INVOKE_EDGES_SQL}),
+e AS MATERIALIZED (SELECT src AS u, dst AS v, CAST(weight AS DOUBLE) AS w
+     FROM re WHERE src <> dst),
+sym AS MATERIALIZED (SELECT u, v, sum(w) AS w FROM
+        (SELECT u, v, w FROM e UNION ALL SELECT v AS u, u AS v, w FROM e)
+        GROUP BY u, v),
+deg AS MATERIALIZED (SELECT u AS id, sum(w) AS k FROM sym GROUP BY u),
+mm AS MATERIALIZED (SELECT sum(w) / 2.0 AS m FROM sym),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM deg)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+kin{i} AS MATERIALIZED (SELECT s.u AS id, l.label AS lv, sum(s.w) AS kin
+           FROM sym s JOIN l{i} l ON l.id = s.v GROUP BY 1, 2),
+stot{i} AS MATERIALIZED (SELECT l.label, sum(d.k) AS stot
+            FROM l{i} l JOIN deg d ON d.id = l.id GROUP BY 1),
+base{i} AS MATERIALIZED (SELECT l.id, l.label AS la, d.k, st.stot AS stot_a,
+                   coalesce(ka.kin, 0.0) AS kin_a
+            FROM l{i} l JOIN deg d ON d.id = l.id
+            JOIN stot{i} st ON st.label = l.label
+            LEFT JOIN kin{i} ka ON ka.id = l.id AND ka.lv = l.label),
+mvz{i} AS MATERIALIZED (SELECT b.id, b.la, kk.lv AS lb,
+                  (kk.kin - b.kin_a) / mm.m
+                  - 1.0 * b.k * (st2.stot - (b.stot_a - b.k))
+                    / (2.0 * mm.m * mm.m) AS gain
+           FROM kin{i} kk JOIN base{i} b ON b.id = kk.id
+           JOIN stot{i} st2 ON st2.label = kk.lv
+           CROSS JOIN mm
+           WHERE kk.lv <> b.la),
+mv{i} AS MATERIALIZED (SELECT id, la, lb FROM (
+            SELECT id, la, lb, gain,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY gain DESC, lb ASC) AS rn
+            FROM mvz{i}) t WHERE rn = 1 AND gain > 1e-12),
+bad{i} AS MATERIALIZED (SELECT DISTINCT a.la, a.lb FROM mv{i} a
+           JOIN (SELECT DISTINCT la, lb FROM mv{i}) r
+             ON a.la = r.lb AND a.lb = r.la
+           WHERE a.lb > a.la),
+l{i + 1} AS MATERIALIZED (SELECT l.id, coalesce(mv.lb, l.label) AS label
+             FROM l{i} l LEFT JOIN (
+                 SELECT m0.id, m0.lb FROM mv{i} m0
+                 WHERE NOT EXISTS (SELECT 1 FROM bad{i} b
+                                   WHERE b.la = m0.la AND b.lb = m0.lb)
+             ) mv ON mv.id = l.id)"""
+        )
+    parts.append(f"\nSELECT id, label FROM l{rounds}")
+    return "".join(parts)
+
+
+def q_louvain_communities(spark, sf_dir):
+    """Full deterministic synchronous multilevel Louvain over the
+    weighted user↔event-type invoke graph: ``(id, community)``,
+    community = min original member id.  Iterative multilevel
+    contraction is not SQL-expressible in one oracle, so this is a
+    rows-check; exactness is pinned by the pytest bit-for-bit
+    differential against the single-node replica
+    (tests/test_community.py::TestLouvain) and the level-1 phase's
+    value check (``louvain_round``)."""
+    from grandiso_networkx_spark.operators.community import (
+        louvain_communities,
+    )
+
+    return louvain_communities(
+        _event_invoke_edges(spark, sf_dir), weight_col="weight"
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):
     """The numpy Arrow-batch MinHash family (portable=False) — batch-
     vectorized kernel, engine-seeded hashes, hence rows-only here; the
@@ -4766,6 +4853,8 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
         "label_propagation": q_label_propagation,
+        "louvain_round": q_louvain_round,
+        "louvain_communities": q_louvain_communities,
         "label_propagation_weighted": q_label_propagation_weighted,
         # iterative / hash-seeded ops: rows-only driver checks; exactness
         # is covered by the networkx-oracle pytest suite instead.
@@ -4897,6 +4986,7 @@ def _standalone_oracles() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "tfidf_terms": _TFIDF_SQL,
         "label_propagation": _lpa_sql(8),
+        "louvain_round": _louvain_sql(3),
         "label_propagation_weighted": _lpa_weighted_sql(8),
         "minhash_portable_pairs": _minhash_portable_sql(),
         "simhash_portable": _SIMHASH_PORTABLE_SQL,
@@ -5059,7 +5149,9 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
         "neighbor_minhash", "hyperball_sketches", "two_hop_counts",
         "hyperball_centralities",
     ],
-    "fused_communities": ["label_propagation", "label_propagation_weighted"],
+    "fused_communities": [
+        "label_propagation", "label_propagation_weighted", "louvain_round",
+    ],
     "fused_community_quality": [
         "modularity", "partition_quality", "attr_assortativity",
     ],
@@ -5084,6 +5176,7 @@ _FUSED_ROWS_ONLY: dict[str, list[str]] = {
     "fused_media_rows": ["media_features", "media_resize", "compression_ratio"],
     "fused_graph_rows": [
         "pagerank_invoke_graph", "semantic_dedup_keep_lsh", "truss_numbers",
+        "louvain_communities",
     ],
 }
 

@@ -118,3 +118,43 @@ class CheckpointManager:
         if last is None:
             return None
         return last, self.load(last)
+
+
+def flat_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` with Catalyst statistics severed — the
+    lineage cut for iterative loops.
+
+    ``Dataset.localCheckpoint`` copies the origin plan's ``Statistics``
+    onto the checkpointed ``LogicalRDD`` (``LogicalRDD.fromDataset`` →
+    ``rewriteStatsAndConstraints``).  With CBO off (the default), the
+    size-only estimator MULTIPLIES child ``sizeInBytes`` at every join,
+    so when a loop's round plan joins the state frame against itself or
+    against several derived frames, the carried estimate compounds
+    round over round as a power tower: measured on the Louvain move
+    round (6 joins touching the state), the stored BigInt QUADRUPLES in
+    bit-length per round — 63 bits → 8.8k bits by round 3, gigabytes of
+    BigInt by round ~10, with each checkpoint spending its time inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` multiplying astronomic numbers
+    until the driver OOMs.  ``localCheckpoint`` cuts the *execution*
+    lineage but deliberately preserves stats; for a convergence loop
+    that preservation is the leak.
+
+    Rebuilding the Dataset from the checkpointed ``InternalRow`` RDD
+    (``internalCreateDataFrame`` — the same constructor PySpark itself
+    uses for Arrow ingestion) drops ``originStats``/``originConstraints``,
+    resetting the leaf to an honest size-from-RDD estimate.  No extra
+    job runs: the returned frame scans the already-materialized
+    checkpoint blocks.  Falls back to the plain checkpoint if the
+    internal constructor is unavailable.
+    """
+    ck = df.localCheckpoint()
+    try:
+        spark = df.sparkSession
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jdf2 = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(jdf2, spark)
+    except Exception:  # pragma: no cover - defensive fallback
+        return ck

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 
 def _labeled_edges(
     edges: DataFrame, labels: DataFrame, weight_col: str | None
@@ -144,3 +146,445 @@ def modularity(
         )
         .agg(F.round(F.sum("q"), 6).alias("modularity"))
     )
+
+
+# -- Louvain (deterministic synchronous multilevel) ---------------------------
+#
+# Classic Louvain (Blondel et al. 2008) is sequential: vertices move one
+# at a time in a scan order, which has no faithful distributed analogue.
+# Distributed implementations (Grappolo / Vite, Halappanavar et al.) run
+# SYNCHRONOUS local-move rounds instead: every vertex evaluates its best
+# community against the PREVIOUS round's assignment and all moves apply
+# at once.  "Exact at convergence" is only well-defined under a pinned
+# rule, so — like this engine's LPA — the rule is fixed:
+#
+# - gain of moving i from community a to neighbor community b, against
+#   the previous round's state:
+#       ΔQ = (k_in(b) − k_in(a)) / m
+#            − γ·k_i·(Σtot(b) − (Σtot(a) − k_i)) / (2m²)
+#   where k_in(c) sums i's edge weights into c (self-loops excluded —
+#   they move with i and cancel), Σtot(c) sums member degrees (degrees
+#   include 2× self-loop weight), m is total undirected weight;
+# - i moves to the best strictly-positive-gain community, ties broken
+#   by the smallest community label;
+# - the symmetric-swap degeneracy of synchronous moves (a→b and b→a in
+#   the same round, oscillating forever) is broken with the standard
+#   distributed-Louvain guard: when moves exist in BOTH directions
+#   between a community pair in the same round, only the moves into the
+#   smaller label execute;
+# - a level's move phase stops when a round moves nothing (or at
+#   max_rounds); the graph then contracts (coarsen_graph, self-loops
+#   kept) and the next level runs on the quotient graph; the algorithm
+#   stops when a level's move phase makes no move at all.
+#
+# The single-node oracle `louvain_oracle` replicates this rule exactly
+# (same IEEE arithmetic — exact for integer weights), so the pytest
+# differential is bit-for-bit; `louvain_move_rounds`' fixed-round level-1
+# phase additionally replays in pure SQL for the driver value check.
+
+
+def _louvain_graph(
+    edges: DataFrame, weight_col: str | None
+) -> tuple[DataFrame, DataFrame, float]:
+    """``(sym, deg, m)``: both-orientation weighted adjacency (parallel
+    edges aggregated; self-loops one row each), per-vertex weighted
+    degree (2× self-loops), and the total undirected weight."""
+    w = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ).alias("w")
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), w)
+    offd = e.where(F.col("u") != F.col("v"))
+    sym = (
+        offd.unionAll(
+            offd.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+        .unionAll(e.where(F.col("u") == F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    deg = (
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(
+            F.sum(
+                F.when(F.col("u") == F.col("v"), 2 * F.col("w")).otherwise(
+                    F.col("w")
+                )
+            ).alias("k")
+        )
+        .persist()
+    )
+    row = sym.agg(
+        F.sum(F.when(F.col("u") != F.col("v"), F.col("w")).otherwise(0.0)),
+        F.sum(F.when(F.col("u") == F.col("v"), F.col("w")).otherwise(0.0)),
+    ).collect()[0]
+    m = (row[0] or 0.0) / 2.0 + (row[1] or 0.0)
+    return sym, deg, m
+
+
+def _louvain_round(
+    sym: DataFrame,
+    deg: DataFrame,
+    m: float,
+    labels: DataFrame,
+    resolution: float,
+    tol: float,
+) -> DataFrame:
+    """One synchronous move round: ``(id, label, __changed)``."""
+    from pyspark.sql import Window
+
+    lab_v = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    kin = (
+        sym.where(F.col("u") != F.col("v"))
+        .join(lab_v, "v")
+        .groupBy(F.col("u").alias("id"), "lv")
+        .agg(F.sum("w").alias("kin"))
+    )
+    stot = (
+        labels.join(deg, "id")
+        .groupBy("label")
+        .agg(F.sum("k").alias("stot"))
+    )
+    base = (
+        labels.select("id", F.col("label").alias("la"))
+        .join(deg, "id")
+        .join(
+            stot.select(
+                F.col("label").alias("la"), F.col("stot").alias("stot_a")
+            ),
+            "la",
+        )
+        .join(
+            kin.where(F.col("lv").isNotNull())
+            .join(labels, "id")
+            .where(F.col("lv") == F.col("label"))
+            .select("id", F.col("kin").alias("kin_a")),
+            "id",
+            "left",
+        )
+        .na.fill({"kin_a": 0.0})
+    )
+    gain = (F.col("kin") - F.col("kin_a")) / F.lit(m) - F.lit(
+        resolution
+    ) * F.col("k") * (
+        F.col("stot_b") - (F.col("stot_a") - F.col("k"))
+    ) / F.lit(2.0 * m * m)
+    cand = (
+        kin.join(base, "id")
+        .where(F.col("lv") != F.col("la"))
+        .join(
+            stot.select(
+                F.col("label").alias("lv"), F.col("stot").alias("stot_b")
+            ),
+            "lv",
+        )
+        .select("id", "la", F.col("lv").alias("lb"), gain.alias("gain"))
+    )
+    w_pick = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("lb"))
+    mv0 = (
+        cand.withColumn("__rn", F.row_number().over(w_pick))
+        .where((F.col("__rn") == 1) & (F.col("gain") > tol))
+        .select("id", "la", "lb")
+    )
+    pairs = mv0.select("la", "lb").distinct()
+    bad = (
+        pairs.join(
+            pairs.select(
+                F.col("lb").alias("la"), F.col("la").alias("lb")
+            ),
+            ["la", "lb"],
+        )
+        .where(F.col("lb") > F.col("la"))
+    )
+    moves = mv0.join(bad, ["la", "lb"], "left_anti").select(
+        "id", F.col("lb").alias("__nl")
+    )
+    return labels.join(moves, "id", "left").select(
+        "id",
+        F.coalesce("__nl", "label").alias("label"),
+        F.col("__nl").isNotNull().alias("__changed"),
+    )
+
+
+def louvain_move_rounds(
+    edges: DataFrame,
+    rounds: int = 3,
+    weight_col: str | None = None,
+    resolution: float = 1.0,
+    tol: float = 1e-12,
+) -> DataFrame:
+    """The level-1 local-move phase alone, run for exactly ``rounds``
+    synchronous rounds (early-stopping when a round moves nothing):
+    ``(id, label)`` with labels drawn from vertex ids (singleton init).
+    Fixed rounds keep the phase SQL-replayable — the driver value check
+    unrolls the identical dataflow one CTE block per round."""
+    sym, deg, m = _louvain_graph(edges, weight_col)
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .transform(flat_checkpoint)
+    )
+    from ..functions.width import narrowed_shuffle
+
+    ckpt = labels  # checkpointed frame backing the current labels
+    with narrowed_shuffle(edges.sparkSession, sym.count()):
+        for _ in range(rounds):
+            new = _louvain_round(
+                sym, deg, m, labels, resolution, tol
+            ).transform(flat_checkpoint)
+            changed = new.where("__changed").count()
+            # the superseded round's checkpoint blocks are dead weight —
+            # release them eagerly or 10 rounds of them thrash the heap
+            ckpt.unpersist()
+            ckpt = new
+            labels = new.drop("__changed")
+            if changed == 0:
+                break
+    sym.unpersist()
+    deg.unpersist()
+    return labels
+
+
+def louvain_communities(
+    edges: DataFrame,
+    weight_col: str | None = None,
+    resolution: float = 1.0,
+    max_levels: int = 5,
+    max_rounds: int = 10,
+    tol: float = 1e-12,
+) -> DataFrame:
+    """Deterministic synchronous multilevel Louvain: ``(id, community)``
+    for every vertex of ``edges``, community id = the smallest original
+    member vertex id.
+
+    Scale shape per round: one label-attach equi join onto the
+    symmetrized adjacency + two map-side-combined aggregates (k_in,
+    Σtot) + one per-vertex window top-1 — the LPA shuffle pattern with
+    a degree table riding along.  Each level contracts the graph by the
+    found partition (coarsen_graph, one groupBy), so later levels run
+    on quotient graphs orders of magnitude smaller; self-loops carry
+    the absorbed intra-community weight.  No driver-side loops over
+    vertices; the only collect is the per-level scalar ``m``.
+    """
+    from .dag import coarsen_graph
+
+    cur = edges.select(
+        "src",
+        "dst",
+        (
+            F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+        ).alias("weight"),
+    )
+    mapping = None
+    from ..functions.width import narrowed_shuffle
+
+    def _free(df) -> None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+    prev_cur = None  # the previous level's checkpointed quotient graph
+    for _level in range(max_levels):
+        sym, deg, m = _louvain_graph(cur, "weight")
+        if m == 0:
+            sym.unpersist()
+            deg.unpersist()
+            break
+        labels = (
+            sym.select(F.col("u").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("label"))
+            .transform(flat_checkpoint)
+        )
+        ckpt = labels
+        any_move = False
+        with narrowed_shuffle(edges.sparkSession, sym.count()):
+            for _ in range(max_rounds):
+                new = _louvain_round(
+                    sym, deg, m, labels, resolution, tol
+                ).transform(flat_checkpoint)
+                changed = new.where("__changed").count()
+                _free(ckpt)
+                ckpt = new
+                labels = new.drop("__changed")
+                if changed == 0:
+                    break
+                any_move = True
+        sym.unpersist()
+        deg.unpersist()
+        if not any_move:
+            _free(ckpt)
+            break
+        canon = (
+            labels.join(
+                labels.groupBy("label").agg(F.min("id").alias("community")),
+                "label",
+            )
+            .select("id", "community")
+            .transform(flat_checkpoint)
+        )
+        _free(ckpt)
+        if mapping is None:
+            mapping = canon
+        else:
+            prev_mapping = mapping
+            mapping = (
+                mapping.select(
+                    "id", F.col("community").alias("__prev")
+                )
+                .join(
+                    canon.select(
+                        F.col("id").alias("__prev"),
+                        F.col("community"),
+                    ),
+                    "__prev",
+                )
+                .select("id", "community")
+                .transform(flat_checkpoint)
+            )
+            _free(prev_mapping)
+        # checkpoint the quotient graph eagerly: it is tiny (one row per
+        # inter-community pair), it flattens the level lineage, and it
+        # lets every frame the lazy coarsen referenced be freed now
+        cur = (
+            coarsen_graph(
+                cur,
+                canon.select("id", F.col("community").alias("label")),
+                weight_col="weight",
+            )
+            .select(
+                F.col("src_label").alias("src"),
+                F.col("dst_label").alias("dst"),
+                F.col("weight"),
+            )
+            .transform(flat_checkpoint)
+        )
+        if prev_cur is not None:
+            _free(prev_cur)
+        prev_cur = cur
+        if canon is not mapping:
+            _free(canon)
+    if prev_cur is not None:
+        _free(prev_cur)
+    if mapping is None:
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionAll(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return verts.select("id", F.col("id").alias("community"))
+    return mapping
+
+
+def louvain_oracle(
+    edge_list: list[tuple],
+    weighted: bool = False,
+    resolution: float = 1.0,
+    max_levels: int = 5,
+    max_rounds: int = 10,
+    tol: float = 1e-12,
+) -> dict:
+    """Single-node replica of the pinned deterministic synchronous
+    multilevel Louvain rule — the pytest exactness oracle (same IEEE
+    arithmetic; bit-for-bit for integer weights)."""
+    from collections import defaultdict
+
+    def one_level(adj, deg, m, max_rounds):
+        lab = {u: u for u in deg}
+        moved_any = False
+        for _ in range(max_rounds):
+            stot = defaultdict(float)
+            for u, k in deg.items():
+                stot[lab[u]] += k
+            mv0 = {}
+            for u in deg:
+                kin = defaultdict(float)
+                for v, w in adj[u].items():
+                    if v != u:
+                        kin[lab[v]] += w
+                la = lab[u]
+                kin_a = kin.get(la, 0.0)
+                best = None
+                for lb in kin:
+                    if lb == la:
+                        continue
+                    gain = (kin[lb] - kin_a) / m - resolution * deg[u] * (
+                        stot[lb] - (stot[la] - deg[u])
+                    ) / (2.0 * m * m)
+                    if gain > tol and (
+                        best is None
+                        or gain > best[0]
+                        or (gain == best[0] and lb < best[1])
+                    ):
+                        best = (gain, lb)
+                if best is not None:
+                    mv0[u] = (la, best[1])
+            pairs = {(a, b) for a, b in mv0.values()}
+            changed = False
+            for u, (a, b) in mv0.items():
+                if (b, a) in pairs and b > a:
+                    continue  # swap guard: into-smaller direction only
+                lab[u] = b
+                changed = True
+                moved_any = True
+            if not changed:
+                break
+        return lab, moved_any
+
+    if weighted:
+        edges = [(u, v, float(w)) for u, v, w in edge_list]
+    else:
+        edges = [(u, v, 1.0) for u, v in edge_list]
+    mapping = None
+    for _level in range(max_levels):
+        adj: dict = defaultdict(lambda: defaultdict(float))
+        selfw: dict = defaultdict(float)
+        for u, v, w in edges:
+            if u == v:
+                selfw[u] += w
+                adj[u]  # touch so isolated-with-loop vertices exist
+            else:
+                adj[u][v] += w
+                adj[v][u] += w
+        deg = {
+            u: sum(w for v, w in adj[u].items() if v != u)
+            + 2.0 * selfw.get(u, 0.0)
+            for u in adj
+        }
+        m = sum(sum(w for v, w in adj[u].items() if v != u) for u in adj) / 2.0
+        m += sum(selfw.values())
+        if m == 0:
+            break
+        for u in adj:
+            if selfw.get(u):
+                adj[u][u] = selfw[u]
+        lab, moved = one_level(adj, deg, m, max_rounds)
+        if not moved:
+            break
+        members = defaultdict(list)
+        for u, c in lab.items():
+            members[c].append(u)
+        canon = {}
+        for c, mem in members.items():
+            rep = min(mem)
+            for u in mem:
+                canon[u] = rep
+        if mapping is None:
+            mapping = dict(canon)
+        else:
+            mapping = {u: canon[c] for u, c in mapping.items()}
+        agg: dict = defaultdict(float)
+        for u, v, w in edges:
+            agg[(canon[u], canon[v])] += w
+        edges = [(a, b, w) for (a, b), w in agg.items()]
+    if mapping is None:
+        verts = set()
+        for t in edge_list:
+            verts.add(t[0])
+            verts.add(t[1])
+        return {u: u for u in verts}
+    return mapping

@@ -87,3 +87,99 @@ class TestPartitionQuality:
         )
         (row,) = partition_quality(edges, labels).collect()
         assert row.cut_w == 0.0 and row.conductance is None
+
+
+class TestLouvain:
+    def _run(self, spark, edge_list, **kw):
+        from grandiso_networkx_spark.operators.community import (
+            louvain_communities,
+        )
+
+        edges = spark.createDataFrame(
+            [(str(u), str(v)) for u, v in edge_list], "src string, dst string"
+        )
+        return {
+            r.id: r.community
+            for r in louvain_communities(edges, **kw).collect()
+        }
+
+    def test_two_cliques_bridge(self, spark):
+        k1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        k2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+        got = self._run(spark, k1 + k2 + [(0, 10)])
+        comms = {}
+        for n, c in got.items():
+            comms.setdefault(c, set()).add(n)
+        assert sorted(
+            sorted(v) for v in comms.values()
+        ) == [
+            sorted(str(i) for i in range(5)),
+            sorted(str(i) for i in range(10, 15)),
+        ]
+
+    def test_ring_of_cliques(self, spark):
+        edges = []
+        for c in range(4):
+            base = 10 * c
+            edges += [
+                (base + a, base + b) for a in range(5) for b in range(a + 1, 5)
+            ]
+            edges.append((base, 10 * ((c + 1) % 4) + 1))
+        got = self._run(spark, edges)
+        comms = {}
+        for n, c in got.items():
+            comms.setdefault(c, set()).add(n)
+        want = [
+            {str(10 * c + i) for i in range(5)} for c in range(4)
+        ]
+        assert sorted(map(sorted, comms.values())) == sorted(map(sorted, want))
+
+    def test_matches_single_node_oracle_bit_for_bit(self, spark):
+        from grandiso_networkx_spark.operators.community import louvain_oracle
+
+        for seed in (3, 11):
+            g = nx.gnp_random_graph(40, 0.12, seed=seed)
+            edge_list = [(str(u), str(v)) for u, v in g.edges()]
+            got = self._run(spark, edge_list)
+            want = louvain_oracle(edge_list)
+            assert got == want
+
+    def test_deterministic_and_improves_modularity(self, spark):
+        g = nx.gnp_random_graph(35, 0.15, seed=5)
+        edge_list = [(str(u), str(v)) for u, v in g.edges()]
+        a = self._run(spark, edge_list)
+        b = self._run(spark, edge_list)
+        assert a == b
+        parts = {}
+        for n, c in a.items():
+            parts.setdefault(c, set()).add(int(n))
+        q = nxc.modularity(g, list(parts.values()))
+        singles = nxc.modularity(g, [{n} for n in g.nodes()])
+        assert q > singles
+        assert q > 0.15  # a real community structure, not a no-op
+
+    def test_move_rounds_match_oracle_level1(self, spark):
+        """louvain_move_rounds == the oracle's level-1 move phase."""
+        from grandiso_networkx_spark.operators.community import (
+            louvain_move_rounds,
+            louvain_oracle,
+        )
+
+        g = nx.gnp_random_graph(25, 0.2, seed=7)
+        edge_list = [(str(u), str(v)) for u, v in g.edges()]
+        edges = spark.createDataFrame(edge_list, "src string, dst string")
+        got = {
+            r.id: r.label
+            for r in louvain_move_rounds(edges, rounds=3).collect()
+        }
+        # replicate: single level, 3 rounds, no contraction/canon
+        want_map = louvain_oracle(edge_list, max_levels=1, max_rounds=3)
+        # oracle canonicalizes to min member id; move_rounds returns the
+        # raw labels — compare the induced partitions instead
+        def parts(d):
+            out = {}
+            for k, v in d.items():
+                out.setdefault(v, set()).add(k)
+            return sorted(map(sorted, out.values()))
+
+        assert parts(got) == parts(want_map)
