@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .components import symmetrize
 
 
@@ -79,12 +81,12 @@ def betweenness_centrality(
             .agg(F.sum("sigma").alias("sigma"))
             .join(sp.select("source", "id"), ["source", "id"], "left_anti")
             .select("source", "id", F.lit(depth).alias("dist"), "sigma")
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if nxt.limit(1).count() == 0:
             depth -= 1
             break
-        sp = sp.unionByName(nxt).localCheckpoint()
+        sp = sp.unionByName(nxt).transform(flat_checkpoint)
         frontier = nxt.select("source", "id", "sigma")
     else:
         raise RuntimeError(
@@ -122,7 +124,7 @@ def betweenness_centrality(
             .groupBy("source", F.col("src").alias("id"))
             .agg(F.sum(F.col("credit") * F.col("sigma")).alias("delta"))
         )
-        delta = delta.unionByName(contrib).localCheckpoint()
+        delta = delta.unionByName(contrib).transform(flat_checkpoint)
 
     bc = (
         delta.where(F.col("id") != F.col("source"))

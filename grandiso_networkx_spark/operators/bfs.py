@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .components import symmetrize
 
 
@@ -51,10 +53,10 @@ def bfs_levels(
             .dropDuplicates(["id"])
             .join(dist.select("id"), "id", "left_anti")
             .select("id", F.lit(depth).alias("dist"))
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if nxt.limit(1).count() == 0:
             return dist
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = dist.unionByName(nxt).transform(flat_checkpoint)
         frontier = nxt.select("id")
     raise RuntimeError(f"BFS did not terminate within max_depth={max_depth}.")

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .components import symmetrize
 
 
@@ -61,11 +63,11 @@ def _multi_source_bfs(
             .dropDuplicates(["source", "id"])
             .join(dist.select("source", "id"), ["source", "id"], "left_anti")
             .select("source", "id", F.lit(depth).alias("dist"))
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if nxt.limit(1).count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = dist.unionByName(nxt).transform(flat_checkpoint)
         frontier = nxt.select("source", "id")
     else:
         raise RuntimeError(

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .components import symmetrize
 from .mis import _priority
 
@@ -76,7 +78,7 @@ def greedy_coloring(
     live_e = sym
     for _ in range(max_iter):
         if live_p.limit(1).count() == 0:
-            return colored.localCheckpoint()
+            return colored.transform(flat_checkpoint)
         # Ready: own (p, id) beats every live neighbor's.
         nbr_max = (
             live_e.join(
@@ -95,7 +97,7 @@ def greedy_coloring(
                 | (F.struct(F.col("p"), F.col("id")) > F.col("nm"))
             )
             .select("id")
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         # Colored-neighbor colors of ready vertices.
         ncol = (
@@ -120,8 +122,8 @@ def greedy_coloring(
             .groupBy("id")
             .agg(F.min("m").cast("int").alias("color"))
         )
-        colored = colored.unionByName(picked).localCheckpoint()
-        live_p = live_p.join(ready, "id", "left_anti").localCheckpoint()
+        colored = colored.unionByName(picked).transform(flat_checkpoint)
+        live_p = live_p.join(ready, "id", "left_anti").transform(flat_checkpoint)
         live_e = (
             live_e.join(
                 live_p.select(F.col("id").alias("src")), "src", "left_semi"
@@ -129,6 +131,6 @@ def greedy_coloring(
             .join(
                 live_p.select(F.col("id").alias("dst")), "dst", "left_semi"
             )
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
     raise RuntimeError(f"JP coloring did not converge in {max_iter} rounds.")

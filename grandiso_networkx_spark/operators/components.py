@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from ..checkpoint import CheckpointManager
 
 # A HashMin/star round is a single narrow join + min-agg — the width
@@ -122,7 +124,7 @@ def connected_components_star(
             if checkpoint is not None and it % checkpoint_every == 0:
                 new_e = checkpoint.save(it, new_e)
             else:
-                new_e = new_e.localCheckpoint()
+                new_e = new_e.transform(flat_checkpoint)
             # Exact convergence: the (symmetric-closure-free) edge sets
             # of two star-forest rounds are equal iff nothing moved.
             # Both frames are (src, dst)-distinct, so the symmetric
@@ -223,7 +225,7 @@ def connected_components(
             if checkpoint is not None and it % checkpoint_every == 0:
                 new_labels = checkpoint.save(it, new_labels)
             else:
-                new_labels = new_labels.localCheckpoint()
+                new_labels = new_labels.transform(flat_checkpoint)
             changed = new_labels.where("__changed").count()
             if checkpoint is not None and it % checkpoint_every == 0:
                 checkpoint.annotate(it, {"labels_changed": changed})

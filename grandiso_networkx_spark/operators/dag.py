@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from ..functions.width import narrowed_shuffle as _narrowed_shuffle
 
 
@@ -95,7 +97,7 @@ def longest_path_levels(
                     "level",
                     (F.col("level") != F.col("__old")).alias("__changed"),
                 )
-                .localCheckpoint()
+                .transform(flat_checkpoint)
             )
             flags = new_state.agg(
                 F.sum(F.col("__changed").cast("int")).alias("c"),

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 
 def eigenvector_centrality(
     edges: DataFrame,
@@ -81,12 +83,12 @@ def eigenvector_centrality(
                 "vid",
                 (F.col("x") + F.coalesce("g", F.lit(0.0))).alias("y"),
             )
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y")))).collect()[0][0]
         x_new = y.select(
             "vid", (F.col("y") / F.lit(norm or 1.0)).alias("x")
-        ).localCheckpoint()
+        ).transform(flat_checkpoint)
         if fixed_iterations is None:
             err = (
                 x_new.join(x.withColumnRenamed("x", "xlast"), "vid")

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 
 def neighbor_mean_features(
     edges: DataFrame,
@@ -97,6 +99,6 @@ def feature_propagation(
                 )
                 .alias("vec"),
             )
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
     return x

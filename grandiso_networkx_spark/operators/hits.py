@@ -47,6 +47,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 
 def _guarded_max(col):
     """max with networkx's ``or 1.0`` guard (empty/all-zero -> 1)."""
@@ -119,7 +121,7 @@ def hits(
         a_frame_new = (
             verts.join(a_raw, verts["vid"] == a_raw["dst"], "left")
             .select("vid", F.coalesce("a", F.lit(0.0)).alias("a"))
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         # h from the RAW a (networkx scales a only for output).
         h_raw = (
@@ -139,7 +141,7 @@ def hits(
                 F.coalesce("__hn", F.lit(0.0)).alias("h"),
                 h_state["h"].alias("hlast"),
             )
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if fixed_iterations is None:
             # ONE combined agg: the new max AND the L1 delta against

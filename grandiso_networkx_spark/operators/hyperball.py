@@ -49,6 +49,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 _PHI = 0.77351
 
 
@@ -127,7 +129,7 @@ def hyperball(
             state.unionByName(gathered)
             .groupBy("id")
             .agg(*[F.bit_or(c).alias(c) for c in regs])
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if rounds is None:
             cur = state.agg(
@@ -194,7 +196,7 @@ def neighborhood_function(
             state.unionByName(gathered)
             .groupBy("id")
             .agg(*[F.bit_or(c).alias(c) for c in regs])
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         row = state.agg(
             est,
@@ -399,7 +401,7 @@ def hyperball_centralities(
                     + (F.col("__new_est") - F.col("__est")) / F.lit(float(t))
                 ).alias("__harm"),
             )
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if rounds is None:
             cur = state.agg(

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 
 def katz_centrality(
     edges: DataFrame,
@@ -74,7 +76,7 @@ def katz_centrality(
                     F.lit(alpha) * F.coalesce("g", F.lit(0.0)) + F.lit(beta)
                 ).alias("x"),
             )
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if fixed_iterations is None:
             err = (

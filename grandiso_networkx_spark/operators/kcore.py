@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .components import symmetrize
 
 
@@ -55,13 +57,13 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 500) -> DataFrame:
         deg = e.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("degree")
         )
-        low = deg.where(F.col("degree") < k).select("id").localCheckpoint()
+        low = deg.where(F.col("degree") < k).select("id").transform(flat_checkpoint)
         if low.limit(1).count() == 0:
             return deg
         e = (
             e.join(low.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(low.withColumnRenamed("id", "dst"), "dst", "left_anti")
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
     raise RuntimeError(f"k-core peeling did not converge in {max_iter} rounds.")
 
@@ -111,7 +113,7 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 500) -> DataFrame:
         )
         # Semi join keeps only well-supported edges; edges with zero
         # common neighbors never reach `sup` and drop out here too.
-        kept = e.join(sup, ["src", "dst"], "left_semi").localCheckpoint()
+        kept = e.join(sup, ["src", "dst"], "left_semi").transform(flat_checkpoint)
         n_kept = kept.count()  # count carried forward: one job per round
         e = kept
         if n_kept == n_before or n_kept == 0:
@@ -174,14 +176,14 @@ def truss_number(edges: DataFrame, max_iter: int = 2000) -> DataFrame:
                 .where(F.col("support") >= need)
                 .select(F.col("a").alias("src"), F.col("b").alias("dst"))
             )
-            kept = e.join(ok, ["src", "dst"], "left_semi").localCheckpoint()
+            kept = e.join(ok, ["src", "dst"], "left_semi").transform(flat_checkpoint)
             dropped = e.join(ok, ["src", "dst"], "left_anti")
             n_dropped = dropped.count()
             if n_dropped == 0:
                 break
             assigned = assigned.unionByName(
                 dropped.select("src", "dst", F.lit(k - 1).alias("truss"))
-            ).localCheckpoint()
+            ).transform(flat_checkpoint)
             e = kept
         k += 1
     return assigned
@@ -231,18 +233,18 @@ def core_number(edges: DataFrame, max_iter: int = 500) -> DataFrame:
                 remaining.join(deg, "id", "left")
                 .where(F.coalesce("degree", F.lit(0)) < k)
                 .select("id")
-                .localCheckpoint()
+                .transform(flat_checkpoint)
             )
             if low.limit(1).count() == 0:
                 break
             assigned = assigned.unionByName(
                 low.select("id", F.lit(k - 1).alias("core"))
-            ).localCheckpoint()
-            remaining = remaining.join(low, "id", "left_anti").localCheckpoint()
+            ).transform(flat_checkpoint)
+            remaining = remaining.join(low, "id", "left_anti").transform(flat_checkpoint)
             e = (
                 e.join(low.withColumnRenamed("id", "src"), "src", "left_anti")
                 .join(low.withColumnRenamed("id", "dst"), "dst", "left_anti")
-                .localCheckpoint()
+                .transform(flat_checkpoint)
             )
         k += 1
     # Isolated / self-loop-only vertices never enter the peel: core 0.
@@ -293,15 +295,15 @@ def densest_subgraph(
         density = float(row["sumdeg"]) / (2.0 * nv)  # |E(S)|/|S|
         if density > best_density:
             best_density = density
-            best_vs = deg.select("id").localCheckpoint()
+            best_vs = deg.select("id").transform(flat_checkpoint)
         thresh = 2.0 * (1.0 + eps) * density  # (1+eps) * average degree
         low = (
-            deg.where(F.col("degree") <= thresh).select("id").localCheckpoint()
+            deg.where(F.col("degree") <= thresh).select("id").transform(flat_checkpoint)
         )
         e = (
             e.join(low.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(low.withColumnRenamed("id", "dst"), "dst", "left_anti")
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
     else:
         raise RuntimeError(

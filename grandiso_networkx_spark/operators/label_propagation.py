@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from ..checkpoint import CheckpointManager
 from .components import symmetrize
 
@@ -99,7 +101,7 @@ def label_propagation(
             if checkpoint is not None and it % checkpoint_every == 0:
                 new_labels = checkpoint.save(it, new_labels)
             else:
-                new_labels = new_labels.localCheckpoint()
+                new_labels = new_labels.transform(flat_checkpoint)
             changed = new_labels.where("__changed").count()
             if checkpoint is not None and it % checkpoint_every == 0:
                 checkpoint.annotate(it, {"labels_changed": changed})

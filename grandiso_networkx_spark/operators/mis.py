@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .components import symmetrize
 
 
@@ -75,7 +77,7 @@ def maximal_independent_set(
     live_e = sym
     for rnd in range(max_iter):
         if live_v.limit(1).count() == 0:
-            return chosen.localCheckpoint()
+            return chosen.transform(flat_checkpoint)
         pri = live_v.select(
             "id", _priority(F.col("id"), rnd, seed).alias("p")
         )
@@ -96,19 +98,19 @@ def maximal_independent_set(
                 | (F.struct(F.col("p"), F.col("id")) < F.col("nm"))
             )
             .select("id")
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
-        chosen = chosen.unionByName(sel).localCheckpoint()
+        chosen = chosen.unionByName(sel).transform(flat_checkpoint)
         # Winners + their neighbors leave the live set.
         closed = sel.unionByName(
             live_e.join(sel.withColumnRenamed("id", "src"), "src").select(
                 F.col("dst").alias("id")
             )
         ).distinct()
-        live_v = live_v.join(closed, "id", "left_anti").localCheckpoint()
+        live_v = live_v.join(closed, "id", "left_anti").transform(flat_checkpoint)
         live_e = (
             live_e.join(live_v.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(live_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
     raise RuntimeError(f"Luby MIS did not converge in {max_iter} rounds.")

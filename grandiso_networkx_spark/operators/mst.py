@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .components import connected_components_star
 
 
@@ -86,7 +88,7 @@ def minimum_spanning_forest(
             work.join(lab_s, "src")
             .join(lab_d, "dst")
             .where(F.col("cu") != F.col("cv"))
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if xe.limit(1).count() == 0:
             break
@@ -105,9 +107,9 @@ def minimum_spanning_forest(
                 F.col("m.weight").alias("weight"),
             )
             .dropDuplicates(["src", "dst"])
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
-        chosen = chosen.unionByName(sel).localCheckpoint()
+        chosen = chosen.unionByName(sel).transform(flat_checkpoint)
         # Contract: components of the selected-edge graph over comp ids
         # give the merged labels (large/small star — merge chains can be
         # long under gradient weights, HashMin would pay O(chain)).
@@ -124,7 +126,7 @@ def minimum_spanning_forest(
             .select(
                 "id", F.coalesce("new_comp", F.col("comp")).alias("comp")
             )
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         # Shrink the edge frame: intra-component edges never come back.
         work = xe.select("src", "dst", "weight")

@@ -69,6 +69,8 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
+
+from ..checkpoint import flat_checkpoint
 from pyspark.sql import types as T
 
 from ..checkpoint import CheckpointManager
@@ -685,7 +687,7 @@ def pagerank(
             else:
                 # Eager materialization + flat lineage (see module doc:
                 # the logical plan otherwise grows 3^rounds).
-                flat = new_ranks.localCheckpoint()
+                flat = new_ranks.transform(flat_checkpoint)
                 err_frame = flat
             # ONE combined agg over the already-materialized frame
             # (single scan, no join, no recompute) serves both the L1
@@ -742,7 +744,7 @@ def pagerank(
                 break
             if err is not None and err < n * tol:
                 out = _decode(ranks.select("vid", "rank"), ["rank"])
-                out = out.localCheckpoint()  # detach from caches
+                out = out.transform(flat_checkpoint)  # detach from caches
                 _cleanup()
                 return out
     finally:

@@ -50,6 +50,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .pagerank import build_adjacency_blocks
 
 _AQE_KEY = "spark.sql.adaptive.enabled"
@@ -171,7 +173,7 @@ def personalized_pagerank(
                 .unionAll(restart)
                 .groupBy("seed", "vid")
                 .agg(F.sum("term").alias("rank"))
-                .localCheckpoint()
+                .transform(flat_checkpoint)
             )
             it += 1
             if fixed_iterations is None:

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .walks import _hash60
 
 
@@ -58,11 +60,11 @@ def ego_net(
             .select(F.col("dst").alias("id"))
             .dropDuplicates(["id"])
             .join(nodes, "id", "left_anti")
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if nxt.limit(1).count() == 0:
             break
-        nodes = nodes.unionByName(nxt).localCheckpoint()
+        nodes = nodes.unionByName(nxt).transform(flat_checkpoint)
         frontier = nxt
     return e_dir.join(
         nodes.withColumnRenamed("id", "src"), "src", "left_semi"

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 
 def strongly_connected_components(
     edges: DataFrame,
@@ -72,9 +74,9 @@ def strongly_connected_components(
                 remaining.select(
                     F.col("id").alias("src"), F.col("id").alias("dst")
                 )
-            ).localCheckpoint()
+            ).transform(flat_checkpoint)
             colors = remaining.select("id", F.col("id").alias("color"))
-            colors = colors.localCheckpoint()
+            colors = colors.transform(flat_checkpoint)
             for _ in range(max_iter):
                 cur = colors
                 for _j in range(unroll):
@@ -92,7 +94,7 @@ def strongly_connected_components(
                         "color",
                         (F.col("color") != F.col("__old")).alias("__ch"),
                     )
-                    .localCheckpoint()
+                    .transform(flat_checkpoint)
                 )
                 changed = new_colors.where("__ch").limit(1).count()
                 colors = new_colors.drop("__ch")
@@ -109,12 +111,12 @@ def strongly_connected_components(
                 .join(colors.withColumnRenamed("id", "dst"), "dst")
                 .where(F.col("c_src") == F.col("color"))
                 .select("src", "dst", F.col("color").alias("c"))
-                .localCheckpoint()
+                .transform(flat_checkpoint)
             )
             confirmed = (
                 colors.where(F.col("id") == F.col("color"))
                 .select("id", F.col("color").alias("component"))
-                .localCheckpoint()
+                .transform(flat_checkpoint)
             )
             frontier = confirmed.select("id", "component")
             while True:
@@ -124,18 +126,18 @@ def strongly_connected_components(
                     .select(F.col("src").alias("id"), "component")
                     .dropDuplicates(["id"])
                     .join(confirmed.select("id"), "id", "left_anti")
-                    .localCheckpoint()
+                    .transform(flat_checkpoint)
                 )
                 if nxt.limit(1).count() == 0:
                     break
-                confirmed = confirmed.unionByName(nxt).localCheckpoint()
+                confirmed = confirmed.unionByName(nxt).transform(flat_checkpoint)
                 frontier = nxt
             # -- 3. peel
-            done = done.unionByName(confirmed).localCheckpoint()
+            done = done.unionByName(confirmed).transform(flat_checkpoint)
             remaining = remaining.join(
                 confirmed.select("id"), "id", "left_anti"
             )
-            remaining = remaining.localCheckpoint()
+            remaining = remaining.transform(flat_checkpoint)
             e = (
                 e.join(
                     confirmed.select(F.col("id").alias("src")),
@@ -148,6 +150,6 @@ def strongly_connected_components(
                     "left_anti",
                 )
                 .select("src", "dst")
-                .localCheckpoint()
+                .transform(flat_checkpoint)
             )
     raise RuntimeError(f"SCC peeling did not converge in {max_iter} rounds.")

@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -185,7 +187,7 @@ def ivf_centroids(
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__s"))
             .select("cid", F.transform("__s", lambda t: t["m"]).alias("__cv"))
-            .localCheckpoint()  # tiny; reused by assignment AND routing
+            .transform(flat_checkpoint)  # tiny; reused by assignment AND routing (broadcast is hinted, not stats-derived)
         )
     return cents
 

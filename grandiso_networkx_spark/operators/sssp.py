@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 
 def sssp(
     edges: DataFrame,
@@ -66,7 +68,7 @@ def sssp(
             cand.join(dist, "id", "left")
             .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("id", F.col("cand").alias("dist"))
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         if improved.limit(1).count() == 0:
             e.unpersist()
@@ -74,7 +76,7 @@ def sssp(
         dist = (
             dist.join(improved.select("id"), "id", "left_anti")
             .unionByName(improved)
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         frontier = improved
     e.unpersist()

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 
 def earliest_arrival(
     edges: DataFrame,
@@ -72,13 +74,13 @@ def earliest_arrival(
             cand.join(arr, "id", "left")
             .where(F.col("arr").isNull() | (F.col("new_arr") < F.col("arr")))
             .select("id", F.col("new_arr").alias("arr"))
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         arr = (
             arr.unionByName(improved)
             .groupBy("id")
             .agg(F.min("arr").alias("arr"))
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         frontier = improved
     else:

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 _TWO_POW_60 = float(1 << 60)
 
 
@@ -96,7 +98,7 @@ def random_walks(
                     "nbrs", (F.pmod(draw, F.size("nbrs")) + 1).cast("int")
                 ).alias("cur"),
             )
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
         out = out.unionAll(
             frontier.select(
@@ -248,7 +250,7 @@ def node2vec_walks(
             "rep",
             F.col("cur").alias("prev"),
             F.element_at("nbrs", idx).alias("cur"),
-        ).localCheckpoint()
+        ).transform(flat_checkpoint)
         out = out.unionAll(
             frontier.select(
                 "start", "rep", F.lit(step).alias("step"),
@@ -360,7 +362,7 @@ def weighted_random_walks(
         idx = F.when(sel == 0, F.size("nbrs")).otherwise(sel).cast("int")
         frontier = cand.select(
             "start", "rep", F.element_at("nbrs", idx).alias("cur")
-        ).localCheckpoint()
+        ).transform(flat_checkpoint)
         out = out.unionAll(
             frontier.select(
                 "start", "rep", F.lit(step).alias("step"),

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import flat_checkpoint
+
 from .components import symmetrize
 
 _MOD = 1 << 61
@@ -93,7 +95,7 @@ def wl_colors(
                     "color"
                 ),
             )
-            .localCheckpoint()
+            .transform(flat_checkpoint)
         )
     return state
 
