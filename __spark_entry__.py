@@ -2913,6 +2913,113 @@ FROM h{iters} h JOIN a{iters} a ON a.id = h.id"""
     return "".join(parts)
 
 
+def q_salsa_fixed(spark, sf_dir):
+    """Fixed-round SALSA power iteration (operators/salsa.py) on the
+    invoke-graph support — both walks conserve mass, so unlike HITS
+    there is no per-round rescale and the oracle unrolls the raw
+    recurrence one CTE block per round; round(6) absorbs summation-
+    order float drift."""
+    from grandiso_networkx_spark.operators.salsa import salsa_iterate
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    out = salsa_iterate(e, rounds=4)
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _salsa_fixed_sql(rounds: int = 4) -> str:
+    parts = [
+        f"""WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({_INVOKE_EDGES_SQL})),
+od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+idg AS MATERIALIZED (SELECT dst, count(*) AS idg FROM e GROUP BY dst),
+en AS MATERIALIZED (SELECT e.src, e.dst, od.od, idg.idg
+  FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst),
+a0 AS MATERIALIZED (
+  SELECT dst, 1.0 / (SELECT count(*) FROM idg) AS a FROM idg),
+h0 AS MATERIALIZED (
+  SELECT src, 1.0 / (SELECT count(*) FROM od) AS h FROM od)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+u{i} AS MATERIALIZED (SELECT en.src, en.od, sum(a.a / en.idg) AS u
+  FROM en JOIN a{i} a ON a.dst = en.dst GROUP BY en.src, en.od),
+a{i + 1} AS MATERIALIZED (SELECT en.dst, sum(u.u / u.od) AS a
+  FROM en JOIN u{i} u ON u.src = en.src GROUP BY en.dst),
+v{i} AS MATERIALIZED (SELECT en.dst, en.idg, sum(h.h / en.od) AS v
+  FROM en JOIN h{i} h ON h.src = en.src GROUP BY en.dst, en.idg),
+h{i + 1} AS MATERIALIZED (SELECT en.src, sum(v.v / v.idg) AS h
+  FROM en JOIN v{i} v ON v.dst = en.dst GROUP BY en.src)"""
+        )
+    parts.append(
+        f"""
+SELECT v.id, round(coalesce(h.h, 0), 6) AS hub,
+       round(coalesce(a.a, 0), 6) AS authority
+FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) v
+LEFT JOIN h{rounds} h ON h.src = v.id
+LEFT JOIN a{rounds} a ON a.dst = v.id"""
+    )
+    return "".join(parts)
+
+
+def q_salsa_scores(spark, sf_dir):
+    """Closed-form SALSA (operators/salsa.py) — the loop-free scale
+    path: one connected-components pass on the bipartite support graph
+    + per-component degree sums give the walks' exact stationary
+    scores (Lempel & Moran 2000).  The oracle rebuilds the same closed
+    form with a recursive-CTE transitive closure for the components."""
+    from grandiso_networkx_spark.operators.salsa import salsa
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    return salsa(e).select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+_SALSA_SCORES_SQL = f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({_INVOKE_EDGES_SQL})),
+od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+idg AS (SELECT dst, count(*) AS idg FROM e GROUP BY dst),
+bip AS (SELECT 'h:' || CAST(src AS VARCHAR) AS src,
+               'a:' || CAST(dst AS VARCHAR) AS dst FROM e),
+und AS (SELECT src, dst FROM bip UNION SELECT dst, src FROM bip),
+nodes AS (SELECT DISTINCT src AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+),
+comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+acomp AS (SELECT comp.c, sum(idg.idg) AS cw, count(*) AS cn
+          FROM idg JOIN comp ON comp.id = 'a:' || CAST(idg.dst AS VARCHAR)
+          GROUP BY comp.c),
+a_scores AS (
+  SELECT idg.dst AS id,
+         (ac.cn / (SELECT count(*) FROM idg)) * (idg.idg / ac.cw) AS authority
+  FROM idg
+  JOIN comp ON comp.id = 'a:' || CAST(idg.dst AS VARCHAR)
+  JOIN acomp ac ON ac.c = comp.c),
+hcomp AS (SELECT comp.c, sum(od.od) AS cw, count(*) AS cn
+          FROM od JOIN comp ON comp.id = 'h:' || CAST(od.src AS VARCHAR)
+          GROUP BY comp.c),
+h_scores AS (
+  SELECT od.src AS id,
+         (hc.cn / (SELECT count(*) FROM od)) * (od.od / hc.cw) AS hub
+  FROM od
+  JOIN comp ON comp.id = 'h:' || CAST(od.src AS VARCHAR)
+  JOIN hcomp hc ON hc.c = comp.c)
+SELECT v.id, round(coalesce(h.hub, 0), 6) AS hub,
+       round(coalesce(a.authority, 0), 6) AS authority
+FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) v
+LEFT JOIN h_scores h ON h.id = v.id
+LEFT JOIN a_scores a ON a.id = v.id
+"""
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic random-walk corpus (DeepWalk/node2vec input) over
     the event-transition graph (operators/walks.py) — portable-md5
@@ -4842,6 +4949,8 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "partition_quality": q_partition_quality,
         "modularity": q_modularity,
         "hits_fixed": q_hits_invoke,
+        "salsa_fixed": q_salsa_fixed,
+        "salsa_scores": q_salsa_scores,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
         "weighted_walks": q_weighted_walks,
@@ -4975,6 +5084,8 @@ def _standalone_oracles() -> dict[str, str]:
         "partition_quality": _PARTITION_QUALITY_SQL,
         "modularity": _MODULARITY_SQL,
         "hits_fixed": _hits_fixed_sql(8),
+        "salsa_fixed": _salsa_fixed_sql(4),
+        "salsa_scores": _SALSA_SCORES_SQL,
         "random_walks": _walks_sql(3, 2, 42),
         "node2vec_walks": _node2vec_sql(3, 2, 2.0, 0.5, 7),
         "weighted_walks": _weighted_walks_sql(3, 2, 11),
@@ -5135,6 +5246,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     "fused_flow_centrality": [
         "betweenness_centrality", "hits_fixed", "betweenness_sampled",
+        "salsa_fixed", "salsa_scores",
     ],
     "fused_cores": [
         "core_number", "ktruss_3", "maximal_independent_set",
