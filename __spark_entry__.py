@@ -4326,6 +4326,104 @@ GROUP BY 1, 2
 """
 
 
+def q_butterfly_count(spark, sf_dir):
+    """Exact global butterfly (bipartite 4-cycle) count of the invoke
+    graph (operators/butterflies.py).  Σdeg² on the 5-node event-type
+    side dwarfs the user side, so the operator's auto-choice pairs
+    event types through users — the oracle replays that pairing and
+    the emitted wedge_side literal pins the choice."""
+    from grandiso_networkx_spark.operators.butterflies import (
+        butterfly_count,
+    )
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    return butterfly_count(e)
+
+
+_BUTTERFLY_COUNT_SQL = f"""
+WITH e0 AS ({_INVOKE_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+pairs AS (SELECT l.dst AS u, r.dst AS v, count(*) AS w
+          FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+          GROUP BY 1, 2)
+SELECT CAST(coalesce(sum(w * (w - 1) / 2), 0) AS BIGINT) AS butterflies,
+       'left' AS wedge_side
+FROM pairs
+"""
+
+
+def q_butterfly_per_user(spark, sf_dir):
+    """Per-user butterfly counts (side='left') — each user's Σ over
+    partner users of C(shared event types, 2); pairing runs through
+    the event-type side."""
+    from grandiso_networkx_spark.operators.butterflies import (
+        butterfly_per_vertex,
+    )
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    return butterfly_per_vertex(e, side="left")
+
+
+_BUTTERFLY_PER_USER_SQL = f"""
+WITH e0 AS ({_INVOKE_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+pairs AS (SELECT l.src AS u, r.src AS v, count(*) AS w
+          FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src
+          GROUP BY 1, 2),
+contrib AS (SELECT u AS id, w * (w - 1) / 2 AS b FROM pairs
+            UNION ALL SELECT v, w * (w - 1) / 2 FROM pairs)
+SELECT v.id, CAST(coalesce(sum(c.b), 0) AS BIGINT) AS butterflies
+FROM (SELECT DISTINCT src AS id FROM e) v
+LEFT JOIN contrib c ON c.id = v.id
+GROUP BY v.id
+"""
+
+
+def q_simrank_fixed(spark, sf_dir):
+    """Fixed-round SimRank (operators/simrank.py, Jeh–Widom
+    in-neighborhood recurrence, identity start, diagonal forced to 1)
+    over the reply graph — all-pairs SimRank is inherently quadratic,
+    so the event-type transition graph is exactly its habitat; the
+    oracle unrolls the identical dataflow one CTE block per round,
+    round(6) absorbing summation-order drift."""
+    from grandiso_networkx_spark.operators.simrank import simrank
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return simrank(e, rounds=4).select(
+        "a", "b", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def _simrank_fixed_sql(rounds: int = 4, c: float = 0.9) -> str:
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({_REPLY_EDGES_SQL})),
+deg AS MATERIALIZED (SELECT dst AS id, count(*) AS d FROM e GROUP BY dst),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+s0 AS MATERIALIZED (
+  SELECT id AS a, id AS b, CAST(1.0 AS DOUBLE) AS s FROM verts)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+g{i} AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b, sum(s.s) AS acc
+  FROM s{i} s JOIN e e1 ON e1.src = s.a JOIN e e2 ON e2.src = s.b
+  GROUP BY 1, 2),
+s{i + 1} AS MATERIALIZED (
+  SELECT g.a, g.b, {c} * g.acc / (da.d * db.d) AS s
+  FROM g{i} g JOIN deg da ON da.id = g.a JOIN deg db ON db.id = g.b
+  WHERE g.a <> g.b
+  UNION ALL
+  SELECT id, id, CAST(1.0 AS DOUBLE) FROM verts)"""
+        )
+    parts.append(
+        f"\nSELECT a, b, round(s, 6) AS similarity FROM s{rounds}"
+    )
+    return "".join(parts)
+
+
 def q_reciprocity(spark, sf_dir):
     """Overall reciprocity of the directed reply graph
     (operators/stats.py, nx.overall_reciprocity semantics)."""
@@ -4886,6 +4984,9 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "retention_cohorts": q_retention_cohorts,
         "event_outliers": q_event_outliers,
         "user_projection": q_user_projection,
+        "butterfly_count": q_butterfly_count,
+        "butterfly_per_user": q_butterfly_per_user,
+        "simrank_fixed": q_simrank_fixed,
         "event_asof_signup": q_event_asof_signup,
         "event_interval_join": q_event_interval_join,
         "hypertable_rollup": q_hypertable_rollup,
@@ -5022,6 +5123,9 @@ def _standalone_oracles() -> dict[str, str]:
         "retention_cohorts": _RETENTION_SQL,
         "event_outliers": _EVENT_OUTLIERS_SQL,
         "user_projection": _USER_PROJECTION_SQL,
+        "butterfly_count": _BUTTERFLY_COUNT_SQL,
+        "butterfly_per_user": _BUTTERFLY_PER_USER_SQL,
+        "simrank_fixed": _simrank_fixed_sql(4),
         "event_asof_signup": _EVENT_ASOF_SQL,
         "event_interval_join": _EVENT_INTERVAL_SQL,
         "hypertable_rollup": _HYPERTABLE_SQL,
@@ -5235,7 +5339,10 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
         "event_outliers", "user_running_totals", "top_transitions",
     ],
     "fused_event_joins": ["event_asof_signup", "event_interval_join"],
-    "fused_user_graph": ["user_projection", "reciprocity", "cms_sketch"],
+    "fused_user_graph": [
+        "user_projection", "reciprocity", "cms_sketch",
+        "butterfly_count", "butterfly_per_user",
+    ],
     "fused_components": [
         "connected_components", "connected_components_star", "bfs_levels",
         "strongly_connected_components",
@@ -5267,7 +5374,9 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_community_quality": [
         "modularity", "partition_quality", "attr_assortativity",
     ],
-    "fused_linkpred": ["linkpred_events", "link_training_pairs"],
+    "fused_linkpred": [
+        "linkpred_events", "link_training_pairs", "simrank_fixed",
+    ],
     "fused_walks_uniform": ["random_walks", "weighted_walks"],
     "fused_walks_node2vec": ["node2vec_walks", "ego_net"],
     "fused_graph_summary": [
