@@ -4379,6 +4379,41 @@ GROUP BY v.id
 """
 
 
+def q_bipartite_clustering(spark, sf_dir):
+    """Latapy bipartite clustering (dot/Jaccard mode) per user on the
+    invoke graph (operators/bipartite.py, nx.bipartite.clustering
+    semantics pinned by tests/test_bipartite_reciprocity.py); the
+    oracle replays the wedge pair counts + Jaccard mean, round(6) on
+    the mean absorbing summation order."""
+    from grandiso_networkx_spark.operators.bipartite import (
+        bipartite_clustering,
+    )
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    return bipartite_clustering(e, side="left", mode="dot").select(
+        "id", F.round("clustering", 6).alias("clustering")
+    )
+
+
+_BIPARTITE_CLUSTERING_SQL = f"""
+WITH e0 AS ({_INVOKE_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+pairs AS (SELECT a.src AS u, b.src AS v, count(*) AS w
+          FROM e a JOIN e b ON a.dst = b.dst AND a.src <> b.src
+          GROUP BY 1, 2),
+cc AS (SELECT p.u AS id,
+              avg(p.w / (da.d + db.d - p.w)) AS clustering
+       FROM pairs p
+       JOIN deg da ON da.src = p.u
+       JOIN deg db ON db.src = p.v
+       GROUP BY p.u)
+SELECT v.id, round(coalesce(cc.clustering, 0), 6) AS clustering
+FROM (SELECT DISTINCT src AS id FROM e) v
+LEFT JOIN cc ON cc.id = v.id
+"""
+
+
 def q_simrank_fixed(spark, sf_dir):
     """Fixed-round SimRank (operators/simrank.py, Jeh–Widom
     in-neighborhood recurrence, identity start, diagonal forced to 1)
@@ -4987,6 +5022,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "butterfly_count": q_butterfly_count,
         "butterfly_per_user": q_butterfly_per_user,
         "simrank_fixed": q_simrank_fixed,
+        "bipartite_clustering": q_bipartite_clustering,
         "event_asof_signup": q_event_asof_signup,
         "event_interval_join": q_event_interval_join,
         "hypertable_rollup": q_hypertable_rollup,
@@ -5126,6 +5162,7 @@ def _standalone_oracles() -> dict[str, str]:
         "butterfly_count": _BUTTERFLY_COUNT_SQL,
         "butterfly_per_user": _BUTTERFLY_PER_USER_SQL,
         "simrank_fixed": _simrank_fixed_sql(4),
+        "bipartite_clustering": _BIPARTITE_CLUSTERING_SQL,
         "event_asof_signup": _EVENT_ASOF_SQL,
         "event_interval_join": _EVENT_INTERVAL_SQL,
         "hypertable_rollup": _HYPERTABLE_SQL,
@@ -5341,7 +5378,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_event_joins": ["event_asof_signup", "event_interval_join"],
     "fused_user_graph": [
         "user_projection", "reciprocity", "cms_sketch",
-        "butterfly_count", "butterfly_per_user",
+        "butterfly_count", "butterfly_per_user", "bipartite_clustering",
     ],
     "fused_components": [
         "connected_components", "connected_components_star", "bfs_levels",

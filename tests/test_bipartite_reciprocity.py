@@ -2,6 +2,7 @@
 reciprocity vs nx.overall_reciprocity."""
 
 import networkx as nx
+import pytest
 from networkx.algorithms import bipartite as nxb
 
 from grandiso_networkx_spark.operators.bipartite import bipartite_project
@@ -75,3 +76,62 @@ class TestReciprocity:
         df = spark.createDataFrame([], "src string, dst string")
         (row,) = reciprocity(df).collect()
         assert row.reciprocity is None
+
+
+class TestBipartiteClustering:
+    def _graph(self, seed):
+        g = nx.bipartite.random_graph(9, 7, 0.4, seed=seed)
+        left = [n for n, d in g.nodes(data=True) if d["bipartite"] == 0]
+        right = [n for n in g.nodes() if n not in set(left)]
+        edges = [(f"l{u}", f"r{v}") for u, v in g.edges()]
+        return g, left, right, edges
+
+    def test_vs_networkx_all_modes(self, spark):
+        from grandiso_networkx_spark.operators.bipartite import (
+            bipartite_clustering,
+        )
+
+        g, left, right, edges = self._graph(seed=4)
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for mode in ("dot", "min", "max"):
+            want_l = nxb.clustering(g, left, mode=mode)
+            got_l = {
+                r.id: r.clustering
+                for r in bipartite_clustering(df, "left", mode).collect()
+            }
+            for u in left:
+                if f"l{u}" in got_l:  # isolated nx nodes have no edges here
+                    assert got_l[f"l{u}"] == pytest.approx(want_l[u])
+            want_r = nxb.clustering(g, right, mode=mode)
+            got_r = {
+                r.id: r.clustering
+                for r in bipartite_clustering(df, "right", mode).collect()
+            }
+            for v in right:
+                if f"r{v}" in got_r:
+                    assert got_r[f"r{v}"] == pytest.approx(want_r[v])
+
+    def test_no_second_order_neighbors_is_zero(self, spark):
+        from grandiso_networkx_spark.operators.bipartite import (
+            bipartite_clustering,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", "y")], "src string, dst string"
+        )
+        got = {
+            r.id: r.clustering
+            for r in bipartite_clustering(df, "left").collect()
+        }
+        assert got == {"a": 0.0, "b": 0.0}
+
+    def test_bad_args_raise(self, spark):
+        from grandiso_networkx_spark.operators.bipartite import (
+            bipartite_clustering,
+        )
+
+        df = spark.createDataFrame([("a", "x")], "src string, dst string")
+        with pytest.raises(ValueError):
+            bipartite_clustering(df, side="middle")
+        with pytest.raises(ValueError):
+            bipartite_clustering(df, mode="geometric")
