@@ -4965,6 +4965,168 @@ JOIN es cd ON cd.src = ac.dst AND cd.dst = ad.dst
 """
 
 
+# -- batch assembly: packing / chunking / mixing (operators/packing.py) --------
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+_CHUNK, _STRIDE = 64, 48
+# target token-share mix: sources 0-9 at 1 part, 10-19 at 3 parts
+_MIX_TARGETS = {f"src{i}": (1 if i < 10 else 3) / 40.0 for i in range(20)}
+# sampling weights exercising downsample, identity, and epoch upsample
+_MIX_WEIGHTS = {f"src{i}": (0.5 if i % 2 == 0 else 2.25) for i in range(20)}
+_MIX_SEED, _MIX_MOD = 42, 1_000_000
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split sequence packing over the documents
+    corpus (operators/packing.py pack_sequences): 8 hash shards, 512-
+    token windows, one row per document-piece-in-window; portable md5
+    shard assignment so the DuckDB replay is bit-identical."""
+    from grandiso_networkx_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), _PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+def q_pack_stats(spark, sf_dir):
+    """Per-window fill accounting over the packing plan — asserts the
+    every-window-full-except-shard-tails invariant numerically."""
+    from grandiso_networkx_spark.operators.packing import pack_sequences, pack_stats
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), _PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    return pack_stats(packed, _PACK_BUDGET)
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (64-token windows, stride 48) with the
+    materialized chunk text — value-checked including the text
+    payload against DuckDB list_slice."""
+    from grandiso_networkx_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), _CHUNK, _STRIDE)
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Per-source mixing weights against the 1:3 target token mix."""
+    from grandiso_networkx_spark.operators.packing import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), _MIX_TARGETS)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic hash-thresholded up/down-sample realizing the
+    mixing plan: even sources kept at rate 0.5, odd sources repeated
+    for 2.25 epochs."""
+    from grandiso_networkx_spark.operators.packing import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, seed=_MIX_SEED, mod=_MIX_MOD
+    )
+
+
+_PACK_SEQUENCES_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, n,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % {_PACK_SHARDS} AS shard
+  FROM d WHERE n > 0
+), c AS (
+  SELECT shard, doc_id, n,
+         (SUM(n) OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS cum
+  FROM s
+), e AS (
+  SELECT shard, doc_id, cum, (cum - n)::BIGINT AS st,
+         unnest(generate_series(((cum - n) // {_PACK_BUDGET})::BIGINT,
+                                ((cum - 1) // {_PACK_BUDGET})::BIGINT)) AS seq
+  FROM c
+)
+SELECT shard, seq::BIGINT AS seq, doc_id,
+       greatest(seq * {_PACK_BUDGET} - st, 0)::BIGINT AS piece_start,
+       (least(cum, (seq + 1) * {_PACK_BUDGET})
+        - greatest(st, seq * {_PACK_BUDGET}))::BIGINT AS piece_len
+FROM e
+"""
+
+_PACK_STATS_SQL = rf"""
+SELECT shard, seq, count(*) AS n_pieces, sum(piece_len)::BIGINT AS fill,
+       round(sum(piece_len) / CAST({_PACK_BUDGET} AS DOUBLE), 6) AS fill_ratio
+FROM ({_PACK_SEQUENCES_SQL}) GROUP BY shard, seq
+"""
+
+_DOC_CHUNKS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), e AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n,
+         unnest(generate_series(0, (len(toks) - 1)::BIGINT, {_STRIDE})) AS s
+  FROM d
+)
+SELECT doc_id, (s // {_STRIDE})::BIGINT AS chunk_idx, s::BIGINT AS start,
+       least({_CHUNK}, n - s)::BIGINT AS chunk_len,
+       array_to_string(
+         list_slice(toks, (s + 1)::BIGINT, (s + least({_CHUNK}, n - s))::BIGINT),
+         ' ') AS chunk_text
+FROM e WHERE s = 0 OR n - s + {_STRIDE} > {_CHUNK}
+"""
+
+
+def _mix_case(mapping: dict[str, float], fmt) -> str:
+    arms = " ".join(
+        f"WHEN '{src}' THEN {fmt(w)}" for src, w in mapping.items()
+    )
+    return f"CASE source {arms} ELSE 0 END"
+
+
+_MIX_WEIGHTS_SQL = rf"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source
+), t AS (SELECT SUM(n_tokens)::BIGINT AS total FROM per)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(total AS DOUBLE), 6) AS token_share,
+       round({_mix_case(_MIX_TARGETS, lambda w: f"CAST({w!r} AS DOUBLE)")}, 6)
+         AS target_share,
+       round({_mix_case(_MIX_TARGETS, lambda w: f"CAST({w!r} AS DOUBLE)")}
+             / (n_tokens / CAST(total AS DOUBLE)), 6) AS weight
+FROM per CROSS JOIN t
+"""
+
+# quantize fractional parts to integer thresholds exactly as the Spark
+# operator does (operators/packing.py mixture_sample) so the per-row
+# decision is a long-vs-long compare in both engines
+_MIX_FULL = {s: int(w) for s, w in _MIX_WEIGHTS.items()}
+_MIX_THRESH = {
+    s: int((w - int(w)) * _MIX_MOD) for s, w in _MIX_WEIGHTS.items()
+}
+
+_MIX_SAMPLE_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         ({_mix_case(_MIX_FULL, str)}
+          + CASE WHEN CAST('0x' || substring(
+                md5(CAST(doc_id AS VARCHAR) || '|' || '{_MIX_SEED}'), 1, 15)
+                AS BIGINT) % {_MIX_MOD} < {_mix_case(_MIX_THRESH, str)}
+            THEN 1 ELSE 0 END)::BIGINT AS n_copies
+  FROM documents
+)
+SELECT doc_id, source,
+       unnest(generate_series(1, n_copies))::BIGINT AS epoch
+FROM d WHERE n_copies > 0
+"""
+
+
 # -- driver contract -----------------------------------------------------------
 
 
@@ -5006,6 +5168,11 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "curate_corpus": q_curate_corpus,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "pack_stats": q_pack_stats,
+        "doc_chunks": q_doc_chunks,
+        "mixture_weights": q_mixture_weights,
+        "mixture_sample": q_mixture_sample,
         "token_quantiles": q_token_quantiles,
         "event_window_volume": q_event_window_volume,
         "token_counts": q_token_counts,
@@ -5146,6 +5313,11 @@ def _standalone_oracles() -> dict[str, str]:
         "curate_corpus": _curate_sql(),
         "dataset_split": _DATASET_SPLIT_SQL,
         "stratified_sample": _STRATIFIED_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
+        "pack_stats": _PACK_STATS_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "mixture_weights": _MIX_WEIGHTS_SQL,
+        "mixture_sample": _MIX_SAMPLE_SQL,
         "token_quantiles": _TOKEN_QUANTILES_SQL,
         "event_window_volume": _EVENT_WINDOW_SQL,
         "token_counts": _TOKEN_SQL,
@@ -5424,6 +5596,10 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_retrieval": ["bm25_topk", "tfidf_terms"],
     "fused_ann": ["cosine_topk", "ivf_ann_topk", "lsh_ann_topk", "mutual_knn"],
     "fused_embedding_dedup": ["embedding_dup_pairs", "semantic_dedup_keep"],
+    "fused_packing": [
+        "pack_sequences", "pack_stats", "doc_chunks", "mixture_weights",
+        "mixture_sample",
+    ],
 }
 
 # 3 rows-only bundles: members have no SQL oracle (hash-seeded kernels,
