@@ -2362,7 +2362,7 @@ def q_eccentricity(spark, sf_dir):
 
 _ECCENTRICITY_SQL = f"""
 WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
-sym AS (SELECT DISTINCT src, dst FROM (
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM re WHERE src <> dst
         UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
 verts AS (SELECT DISTINCT id FROM (
@@ -2374,7 +2374,7 @@ walk AS (
   FROM walk w JOIN sym s ON s.src = w.id
   WHERE w.dist < 64
 ),
-sp AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id)
+sp AS MATERIALIZED (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id)
 SELECT source AS id, max(dist) AS ecc FROM sp GROUP BY source
 """
 
@@ -2399,7 +2399,7 @@ def q_closeness(spark, sf_dir):
 # to min-dist, but an inflated verts count corrupts the (n-1) scale).
 _CLOSENESS_SQL = f"""
 WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
-sym AS (SELECT DISTINCT src, dst FROM (
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM re WHERE src <> dst
         UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
 verts AS (SELECT DISTINCT id FROM (
@@ -2411,7 +2411,7 @@ walk AS (
   FROM walk w JOIN sym s ON s.src = w.id
   WHERE w.dist < 64
 ),
-sp AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id),
+sp AS MATERIALIZED (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id),
 agg AS (SELECT source, count(*) AS r, sum(dist) AS s FROM sp GROUP BY source)
 SELECT source AS id,
        round(CASE WHEN s > 0
@@ -2424,7 +2424,7 @@ FROM agg
 
 _HARMONIC_SQL = f"""
 WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
-sym AS (SELECT DISTINCT src, dst FROM (
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM re WHERE src <> dst
         UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
 verts AS (SELECT DISTINCT id FROM (
@@ -2436,7 +2436,7 @@ walk AS (
   FROM walk w JOIN sym s ON s.src = w.id
   WHERE w.dist < 64
 ),
-sp AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id)
+sp AS MATERIALIZED (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id)
 SELECT source AS id,
        round(sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 9)
          AS harmonic
@@ -2480,7 +2480,7 @@ def _brandes_sql(levels: int = 6, sample_n: int | None = None) -> str:
     )
     parts = [
         f"""WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
-sym AS (SELECT DISTINCT src, dst FROM (
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM re WHERE src <> dst
         UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
 verts AS (SELECT DISTINCT id FROM (
@@ -2493,13 +2493,13 @@ walk AS (
   FROM walk w JOIN sym s ON s.src = w.id
   WHERE w.dist < {levels}
 ),
-sp AS (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id),
+sp AS MATERIALIZED (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id),
 sig0 AS (SELECT source, id, 1.0 AS sigma FROM sp WHERE dist = 0)"""
     ]
     for d in range(1, levels + 1):
         parts.append(
             f""",
-sig{d} AS (SELECT s.source, s.id, sum(p.sigma) AS sigma
+sig{d} AS MATERIALIZED (SELECT s.source, s.id, sum(p.sigma) AS sigma
   FROM sp s JOIN sym e ON e.dst = s.id
   JOIN sig{d - 1} p ON p.source = s.source AND p.id = e.src
   WHERE s.dist = {d} GROUP BY s.source, s.id)"""
@@ -2550,6 +2550,144 @@ SELECT v.id,
              ELSE 1.0 END){sample_scale}, 6) AS betweenness
 FROM verts v LEFT JOIN bc ON bc.id = v.id"""
     )
+    return "".join(parts)
+
+
+def q_edge_betweenness(spark, sf_dir):
+    """Exact per-edge Brandes betweenness over the undirected reply
+    graph (operators/betweenness.py edge_betweenness; semantics oracle
+    ``nx.edge_betweenness_centrality``) — the edge-removal score the
+    Girvan–Newman split consumes."""
+    from grandiso_networkx_spark.operators.betweenness import edge_betweenness
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    b = edge_betweenness(e)
+    return b.select("src", "dst", F.round("betweenness", 6).alias("betweenness"))
+
+
+def q_girvan_newman(spark, sf_dir):
+    """One Girvan–Newman split: remove the top-2 edges by betweenness
+    (6-decimal rounded, ties broken by the canonical pair — the same
+    deterministic order in both engines), then label components with
+    the engine's own HashMin pass."""
+    from grandiso_networkx_spark.operators.betweenness import edge_betweenness
+
+    from pyspark.sql import Window
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    b = edge_betweenness(e)
+    ranked = b.select(
+        "src", "dst", F.round("betweenness", 6).alias("b6")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("b6").desc(), F.col("src"), F.col("dst"))
+        ),
+    )
+    kept = ranked.where(F.col("rn") > 2).select("src", "dst")
+    comp = connected_components(kept)
+    # vertices isolated by the cut keep themselves as their component
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return verts.join(comp, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
+def _edge_brandes_sql(levels: int = 6, top_cut: int | None = None) -> str:
+    """Unrolled per-edge Brandes on the symmetrized reply graph — the
+    same sig/delta chain as :func:`_brandes_sql`, with each round's
+    per-edge dependency term kept in ``ec{d}`` (grouped by DAG edge)
+    and the vertex deltas ``c{d}`` derived from it.
+
+    ``top_cut=None`` emits the scored edge table (normalized,
+    6-decimal rounded); an int emits the Girvan–Newman split instead:
+    drop the ``top_cut`` highest-scoring edges (rounded score desc,
+    canonical pair asc — the cross-engine-stable order) and label the
+    remaining graph's components by min-id transitive closure."""
+    parts = [
+        f"""WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM re WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
+verts AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM sym UNION ALL SELECT dst FROM sym)),
+walk AS (
+  SELECT id AS source, id, 0 AS dist FROM verts
+  UNION
+  SELECT w.source, s.dst AS id, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < {levels}
+),
+sp AS MATERIALIZED (SELECT source, id, min(dist) AS dist FROM walk GROUP BY source, id),
+sig0 AS (SELECT source, id, 1.0 AS sigma FROM sp WHERE dist = 0)"""
+    ]
+    for d in range(1, levels + 1):
+        parts.append(
+            f""",
+sig{d} AS MATERIALIZED (SELECT s.source, s.id, sum(p.sigma) AS sigma
+  FROM sp s JOIN sym e ON e.dst = s.id
+  JOIN sig{d - 1} p ON p.source = s.source AND p.id = e.src
+  WHERE s.dist = {d} GROUP BY s.source, s.id)"""
+        )
+    for d in range(levels, 0, -1):
+        prev_delta = (
+            f"LEFT JOIN c{d + 1} dw ON dw.source = w.source AND dw.id = w.id"
+            if d < levels
+            else ""
+        )
+        delta_expr = "coalesce(dw.delta, 0)" if d < levels else "0"
+        parts.append(
+            f""",
+ec{d} AS (SELECT w.source, e.src AS u, w.id AS v,
+    sum(ps.sigma / ws.sigma * (1 + {delta_expr})) AS c
+  FROM sp w
+  JOIN sig{d} ws ON ws.source = w.source AND ws.id = w.id
+  JOIN sym e ON e.dst = w.id
+  JOIN sig{d - 1} ps ON ps.source = w.source AND ps.id = e.src
+  {prev_delta}
+  WHERE w.dist = {d}
+  GROUP BY w.source, e.src, w.id),
+c{d} AS (SELECT source, u AS id, sum(c) AS delta FROM ec{d}
+  GROUP BY source, u)"""
+        )
+    all_ec = " UNION ALL ".join(
+        f"SELECT * FROM ec{d}" for d in range(1, levels + 1)
+    )
+    parts.append(
+        f""",
+eb AS (SELECT least(u, v) AS a, greatest(u, v) AS b, sum(c) AS s
+       FROM ({all_ec}) GROUP BY 1, 2),
+base AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM sym),
+nn AS (SELECT count(*) AS n FROM verts),
+scored AS (SELECT base.a, base.b,
+       round(coalesce(eb.s, 0) * (CASE WHEN (SELECT n FROM nn) > 1
+             THEN 1.0 / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1))
+             ELSE 1.0 END), 6) AS b6
+  FROM base LEFT JOIN eb ON eb.a = base.a AND eb.b = base.b)"""
+    )
+    if top_cut is None:
+        parts.append(
+            "\nSELECT a AS src, b AS dst, b6 AS betweenness FROM scored"
+        )
+    else:
+        parts.append(
+            f""",
+ranked AS (SELECT a, b,
+       row_number() OVER (ORDER BY b6 DESC, a, b) AS rn FROM scored),
+kept AS (SELECT a AS src, b AS dst FROM ranked WHERE rn > {top_cut}),
+und2 AS (SELECT src, dst FROM kept UNION SELECT dst, src FROM kept),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT reach.id, und2.dst FROM reach JOIN und2 ON und2.src = reach.r
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id"""
+        )
     return "".join(parts)
 
 
@@ -5239,6 +5377,8 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "motif_attr_bindings": q_motif_attr_bindings,
         "motif_iso_count": q_motif_iso_count,
         "betweenness_centrality": q_betweenness,
+        "edge_betweenness": q_edge_betweenness,
+        "girvan_newman": q_girvan_newman,
         "betweenness_sampled": q_betweenness_sampled,
         "truss_numbers": q_truss_numbers,
         "core_number": q_core_number,
@@ -5385,6 +5525,8 @@ def _standalone_oracles() -> dict[str, str]:
         "motif_attr_bindings": _MOTIF_ATTR_SQL,
         "motif_iso_count": _motif_iso_sql(),
         "betweenness_centrality": _brandes_sql(6),
+        "edge_betweenness": _edge_brandes_sql(6),
+        "girvan_newman": _edge_brandes_sql(6, top_cut=2),
         "betweenness_sampled": _brandes_sql(6, sample_n=3),
         "core_number": _core_number_sql(5, 6),
         "pagerank_fixed": _pagerank_fixed_sql(6),
@@ -5562,7 +5704,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     "fused_flow_centrality": [
         "betweenness_centrality", "hits_fixed", "betweenness_sampled",
-        "salsa_fixed", "salsa_scores",
+        "salsa_fixed", "salsa_scores", "edge_betweenness", "girvan_newman",
     ],
     "fused_cores": [
         "core_number", "ktruss_3", "maximal_independent_set",

@@ -122,3 +122,83 @@ class TestSampled:
         want = nx.betweenness_centrality(g)
         for kk, v in want.items():
             assert abs(got[str(kk)] - v) < 1e-9, kk
+
+
+class TestEdgeBetweenness:
+    @pytest.mark.parametrize("seed", [3, 11])
+    @pytest.mark.parametrize("norm", [True, False])
+    def test_undirected(self, spark, seed, norm):
+        from grandiso_networkx_spark.operators.betweenness import (
+            edge_betweenness,
+        )
+
+        g = nx.fast_gnp_random_graph(20, 0.15, seed=seed)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        got = {
+            (r.src, r.dst): r.betweenness
+            for r in edge_betweenness(
+                _edges_df(spark, g), normalized=norm
+            ).collect()
+        }
+        want = nx.edge_betweenness_centrality(g, normalized=norm)
+        assert len(got) == g.number_of_edges()
+        for (u, v), b in want.items():
+            a, c = sorted((str(u), str(v)))
+            assert abs(got[(a, c)] - b) < 1e-9, (u, v)
+
+    @pytest.mark.parametrize("norm", [True, False])
+    def test_directed(self, spark, norm):
+        from grandiso_networkx_spark.operators.betweenness import (
+            edge_betweenness,
+        )
+
+        g = nx.fast_gnp_random_graph(18, 0.15, directed=True, seed=6)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        got = {
+            (r.src, r.dst): r.betweenness
+            for r in edge_betweenness(
+                _edges_df(spark, g), directed=True, normalized=norm
+            ).collect()
+        }
+        want = nx.edge_betweenness_centrality(g, normalized=norm)
+        for (u, v), b in want.items():
+            assert abs(got[(str(u), str(v))] - b) < 1e-9, (u, v)
+
+    def test_sampled_extrapolation(self, spark):
+        """Full-source sample == exact (the n/k scale cancels)."""
+        from grandiso_networkx_spark.operators.betweenness import (
+            edge_betweenness,
+        )
+
+        g = nx.fast_gnp_random_graph(14, 0.2, seed=9)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        df = _edges_df(spark, g)
+        src_df = (
+            df.select("src").union(df.select("dst")).distinct()
+            .withColumnRenamed("src", "id")
+        )
+        got = {
+            (r.src, r.dst): r.betweenness
+            for r in edge_betweenness(df, sources=src_df).collect()
+        }
+        want = nx.edge_betweenness_centrality(g)
+        for (u, v), b in want.items():
+            a, c = sorted((str(u), str(v)))
+            assert abs(got[(a, c)] - b) < 1e-9, (u, v)
+
+    def test_bridge_dominates(self, spark):
+        """Two triangles joined by one bridge: the bridge carries all
+        cross-cluster pairs and must score highest."""
+        from grandiso_networkx_spark.operators.betweenness import (
+            edge_betweenness,
+        )
+
+        edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+        df = spark.createDataFrame(
+            [(str(u), str(v)) for u, v in edges], "src string, dst string"
+        )
+        got = {
+            (r.src, r.dst): r.betweenness
+            for r in edge_betweenness(df).collect()
+        }
+        assert max(got, key=got.get) == ("2", "3")
