@@ -2112,6 +2112,109 @@ SELECT ea AS src, eb AS dst, ew AS weight FROM ce e0
 """
 
 
+def q_onion_layers(spark, sf_dir):
+    """Onion decomposition (operators/kcore.py onion_layers; semantics
+    oracle ``nx.onion_layers``) over the event-transition graph —
+    cores bit-identical to core_number, layers numbering the effective
+    peel rounds; value-checked against the unrolled SQL peel with a
+    dense_rank over the non-empty phase-rounds."""
+    from grandiso_networkx_spark.operators.kcore import onion_layers
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return onion_layers(e)
+
+
+def _onion_sql(kmax: int = 6, rounds: int = 6) -> str:
+    """Unrolled onion peel: the :func:`_core_number_sql` phase-round
+    chain, with each round's removed set kept (``a{k}_{r-1}`` minus
+    ``a{k}_{r}``) and layers assigned by dense_rank over the non-empty
+    rounds in (phase, round) order — removals occupy a prefix of each
+    phase's rounds (peeling is monotone), so this numbers exactly the
+    engine's effective rounds.  ``kmax`` must exceed the true maximum
+    core (the top core peels in phase ``maxcore + 1``)."""
+    parts = [
+        f"""WITH raw AS MATERIALIZED (SELECT src, dst FROM ({_REPLY_EDGES_SQL})),
+verts AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw)),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM raw WHERE src <> dst)),
+a1_0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)"""
+    ]
+    prev = "a1_0"
+    for k in range(1, kmax + 1):
+        if k > 1:
+            parts.append(f",\na{k}_0 AS MATERIALIZED (SELECT id FROM {prev})")
+            prev = f"a{k}_0"
+        for r in range(1, rounds + 1):
+            parts.append(
+                f""",
+a{k}_{r} AS MATERIALIZED (
+  SELECT v.id FROM {prev} v
+  JOIN sym e ON e.src = v.id
+  JOIN {prev} w ON w.id = e.dst
+  GROUP BY v.id HAVING count(*) >= {k})"""
+            )
+            prev = f"a{k}_{r}"
+    arms = " UNION ALL ".join(
+        f"SELECT id, {k} AS k, {r} AS r FROM "
+        f"(SELECT id FROM a{k}_{r - 1} EXCEPT SELECT id FROM a{k}_{r})"
+        for k in range(1, kmax + 1)
+        for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+peeled AS ({arms}),
+lay AS (SELECT k, r, dense_rank() OVER (ORDER BY k, r) AS lr
+        FROM (SELECT DISTINCT k, r FROM peeled)),
+iso AS (SELECT id FROM verts WHERE id NOT IN (SELECT src FROM sym)),
+shift AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM iso)
+                 THEN 1 ELSE 0 END AS s)
+SELECT id, 0 AS core, 1 AS layer FROM iso
+UNION ALL
+SELECT p.id, p.k - 1 AS core,
+       CAST(l.lr + (SELECT s FROM shift) AS INT) AS layer
+FROM peeled p JOIN lay l ON l.k = p.k AND l.r = p.r"""
+    )
+    return "".join(parts)
+
+
+def q_triangle_doulion(spark, sf_dir):
+    """DOULION sampled triangle estimate (operators/triangles.py
+    triangle_count_sampled) over the user co-participation projection:
+    portable-hash edge sparsification at p = 0.7 then the exact
+    oriented count, extrapolated by 1/p^3 — bit-replayed in SQL with
+    the same md5 draws."""
+    from grandiso_networkx_spark.operators.bipartite import bipartite_project
+    from grandiso_networkx_spark.operators.triangles import (
+        triangle_count_sampled,
+    )
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    g = bipartite_project(e, max_item_degree=500).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return triangle_count_sampled(g, keep=700, mod=1000, seed=42)
+
+
+_TRIANGLE_DOULION_SQL = f"""
+WITH e0 AS ({_INVOKE_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+keep AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 500),
+g AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN keep USING (dst)),
+proj AS (SELECT DISTINCT a.src AS a, b.src AS b
+         FROM g a JOIN g b ON a.dst = b.dst AND a.src < b.src),
+samp AS MATERIALIZED (
+  SELECT a, b FROM proj
+  WHERE CAST('0x' || substring(md5(a || '|' || b || '|' || '42'), 1, 15)
+             AS BIGINT) % 1000 < 700)
+SELECT count(*) AS n_sampled,
+       round(count(*) / {(700 / 1000) ** 3!r}, 6) AS estimate
+FROM samp e1 JOIN samp e2 ON e1.b = e2.a
+JOIN samp e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def q_linkpred_events(spark, sf_dir):
     """Common-neighbor / Jaccard / Adamic–Adar / resource-allocation /
     preferential-attachment scores over the bipartite
@@ -5289,6 +5392,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "triangle_motif_count": q_triangle_motif_count,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
+        "triangle_doulion": q_triangle_doulion,
         "local_clustering": q_local_clustering,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -5382,6 +5486,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "betweenness_sampled": q_betweenness_sampled,
         "truss_numbers": q_truss_numbers,
         "core_number": q_core_number,
+        "onion_layers": q_onion_layers,
         "linkpred_events": q_linkpred_events,
         "pagerank_fixed": q_pagerank_fixed,
         "vertex_features": q_vertex_features,
@@ -5436,6 +5541,7 @@ def _standalone_oracles() -> dict[str, str]:
         "triangle_motif_count": _TRIANGLE_MOTIF_SQL,
         "triangle_count": _TRIANGLE_SQL,
         "triangle_per_vertex": _TRIANGLE_PER_VERTEX_SQL,
+        "triangle_doulion": _TRIANGLE_DOULION_SQL,
         "local_clustering": _LOCAL_CLUSTERING_SQL,
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
@@ -5529,6 +5635,7 @@ def _standalone_oracles() -> dict[str, str]:
         "girvan_newman": _edge_brandes_sql(6, top_cut=2),
         "betweenness_sampled": _brandes_sql(6, sample_n=3),
         "core_number": _core_number_sql(5, 6),
+        "onion_layers": _onion_sql(6, 6),
         "pagerank_fixed": _pagerank_fixed_sql(6),
         "vertex_features": _vertex_features_sql(6),
         "rmat_edges": _rmat_sql(8, 1024),
@@ -5658,7 +5765,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_motif_iso_attr": ["motif_iso_count", "motif_attr_bindings"],
     "fused_triangles": [
         "triangle_count", "triangle_per_vertex", "local_clustering",
-        "edge_embeddedness", "triad_census",
+        "edge_embeddedness", "triad_census", "triangle_doulion",
     ],
     "fused_tpch": ["pricing_summary", "top_customers", "regional_volume"],
     "fused_dedup_exact": [
@@ -5708,7 +5815,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     "fused_cores": [
         "core_number", "ktruss_3", "maximal_independent_set",
-        "densest_subgraph",
+        "densest_subgraph", "onion_layers",
     ],
     "fused_coloring_wl": ["greedy_coloring", "wl_colors"],
     "fused_temporal_sssp": [

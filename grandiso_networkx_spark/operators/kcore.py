@@ -317,3 +317,77 @@ def densest_subgraph(
     return best_vs.select(
         "id", F.lit(best_density).cast("double").alias("density")
     )
+
+
+def onion_layers(edges: DataFrame, max_iter: int = 500) -> DataFrame:
+    """Onion decomposition ``(id, core, layer)`` — the peel-depth
+    refinement of the k-core (Hébert-Dufresne, Grochow & Allard 2016;
+    semantics oracle ``networkx.onion_layers``): within the core
+    phases, every peel round that removes at least one vertex is one
+    layer, numbered globally from 1.
+
+    Same level-synchronous phase loop as :func:`core_number` (the core
+    assignment here is bit-identical to it), with the effective-round
+    counter carried as the layer id — no extra shuffles beyond the
+    phase loop's own degree count + anti joins.  Vertices with only
+    self-loops mirror networkx's isolated-vertex branch: they form
+    layer 1 (core 0) and shift every peeled layer up by one.
+    """
+    sym = _simple_sym(edges)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = sym.localCheckpoint()
+    spark = edges.sparkSession
+    id_type = verts.schema["id"].dataType.simpleString()
+    assigned = spark.createDataFrame([], f"id {id_type}, core int, layer int")
+    remaining = e.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    # networkx onion_layers: degree-0 vertices are their own first layer
+    iso = verts.join(remaining, "id", "left_anti").localCheckpoint()
+    layer = 0
+    if iso.limit(1).count() > 0:
+        layer = 1
+        assigned = assigned.unionByName(
+            iso.select("id", F.lit(0).alias("core"), F.lit(1).alias("layer"))
+        )
+    k = 1
+    rounds = 0
+    while remaining.limit(1).count() > 0:
+        while True:
+            rounds += 1
+            if rounds > max_iter:
+                raise RuntimeError(
+                    f"onion peeling did not converge in {max_iter} rounds."
+                )
+            deg = e.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+            low = (
+                remaining.join(deg, "id", "left")
+                .where(F.coalesce("degree", F.lit(0)) < k)
+                .select("id")
+                .transform(flat_checkpoint)
+            )
+            if low.limit(1).count() == 0:
+                break
+            layer += 1
+            assigned = assigned.unionByName(
+                low.select(
+                    "id",
+                    F.lit(k - 1).alias("core"),
+                    F.lit(layer).alias("layer"),
+                )
+            ).transform(flat_checkpoint)
+            remaining = remaining.join(low, "id", "left_anti").transform(
+                flat_checkpoint
+            )
+            e = (
+                e.join(low.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(low.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                .transform(flat_checkpoint)
+            )
+        k += 1
+    return assigned

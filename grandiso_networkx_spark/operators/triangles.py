@@ -104,3 +104,51 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def triangle_count_sampled(
+    edges: DataFrame,
+    keep: int,
+    mod: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD'09) sampled triangle estimate:
+    one row ``(n_sampled, estimate)``.
+
+    Each canonical undirected edge survives with probability
+    ``p = keep/mod`` decided by the portable 60-bit md5 hash of
+    ``min|max|seed`` — deterministic under any partitioning/retry and
+    bit-replayable in SQL — then the exact oriented count runs on the
+    sparsified graph and extrapolates by ``1/p^3`` (each triangle
+    survives iff all three edges do).  This is the 100-TB path when
+    the exact count's Σ deg(out)² wedge work is too hot: sampling
+    shrinks the edge set BEFORE the two wedge joins, so the whole
+    pipeline cost scales by ~p² while the estimator stays unbiased.
+    """
+    from ..functions.hashing import hash60_keyed
+
+    if not (0 < keep <= mod):
+        raise ValueError("need 0 < keep <= mod")
+    und = (
+        symmetrize(edges)
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    draw = F.pmod(
+        hash60_keyed(
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+            F.lit(str(seed)),
+        ),
+        F.lit(mod),
+    )
+    sampled = und.where(draw < F.lit(keep))
+    p = keep / mod
+    return (
+        triangles(sampled)
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select(
+            "n_sampled",
+            F.round(F.col("n_sampled") / F.lit(p**3), 6).alias("estimate"),
+        )
+    )
