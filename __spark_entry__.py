@@ -5108,6 +5108,83 @@ GROUP BY doc_id
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Self-trained add-one bigram LM score (operators/lmscore.py
+    bigram_logprob): per-doc mean bigram log-prob — the KenLM-style
+    signal one order above the unigram scorer, SQL-exact."""
+    from grandiso_networkx_spark.operators.lmscore import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_logprob(d)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("mean_logp", 6).alias("mean_logp")
+    )
+
+
+_BIGRAM_LOGPROB_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, toks[s] AS w1, toks[s + 1] AS w2
+  FROM d, unnest(generate_series(1, (len(toks) - 1)::BIGINT)) AS u(s)
+),
+c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n) AS cn FROM c2 GROUP BY 1),
+vv AS (SELECT count(DISTINCT tok) AS v
+       FROM (SELECT unnest(toks) AS tok FROM d)),
+m AS (SELECT c2.w1, c2.w2,
+             ln((n + 1.0) / (cn + 1.0 * (SELECT v FROM vv))) AS logp
+      FROM c2 JOIN c1 USING (w1))
+SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS mean_logp
+FROM bg JOIN m USING (w1, w2) GROUP BY doc_id
+"""
+
+_VOCAB_MAX = 50
+
+
+def q_vocab_table(spark, sf_dir):
+    """Frequency-ranked top-50 vocabulary with deterministic tie order
+    (operators/tokenize.py vocab_table) — the word-level tokenizer
+    vocab, ids stable across runs/partitionings/engines."""
+    from grandiso_networkx_spark.operators.tokenize import vocab_table
+
+    return vocab_table(_t(spark, sf_dir, "documents"), _VOCAB_MAX)
+
+
+def q_token_ids(spark, sf_dir):
+    """Tokenize-to-ids under the corpus top-50 vocab, OOV → -1
+    (operators/tokenize.py token_ids) — the exploded input_ids form."""
+    from grandiso_networkx_spark.operators.tokenize import token_ids
+
+    return token_ids(_t(spark, sf_dir, "documents"), max_vocab=_VOCAB_MAX)
+
+
+_VOCAB_TABLE_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+SELECT tok,
+       (row_number() OVER (ORDER BY n DESC, tok) - 1)::BIGINT AS tid, n
+FROM counts QUALIFY tid < {_VOCAB_MAX}
+"""
+
+_TOKEN_IDS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+pt AS (SELECT doc_id, (s - 1)::BIGINT AS pos, toks[s] AS tok
+       FROM d, unnest(generate_series(1, len(toks)::BIGINT)) AS u(s)),
+v AS ({_VOCAB_TABLE_SQL})
+SELECT doc_id, pos, coalesce(v.tid, -1)::BIGINT AS tid
+FROM pt LEFT JOIN v USING (tok)
+"""
+
+
 def q_edge_embeddedness(spark, sf_dir):
     """Per-edge common-neighbor counts on the undirected reply graph
     (operators/triangles.py edge_embeddedness) — tie-strength signal,
@@ -5401,6 +5478,9 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pii_counts": q_pii_counts,
         "pii_redacted": q_pii_redacted,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "vocab_table": q_vocab_table,
+        "token_ids": q_token_ids,
         "edge_embeddedness": q_edge_embeddedness,
         "rich_club": q_rich_club,
         "clique4_motif_count": q_clique4_motif_count,
@@ -5550,6 +5630,9 @@ def _standalone_oracles() -> dict[str, str]:
         "pii_counts": _pii_counts_sql(),
         "pii_redacted": _pii_redacted_sql(),
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "vocab_table": _VOCAB_TABLE_SQL,
+        "token_ids": _TOKEN_IDS_SQL,
         "edge_embeddedness": _EDGE_EMBED_SQL,
         "rich_club": _RICH_CLUB_SQL,
         "clique4_motif_count": _CLIQUE4_SQL,
@@ -5774,7 +5857,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_curation": ["curate_corpus", "dataset_split", "stratified_sample"],
     "fused_token_stats": [
         "token_counts", "token_quantiles", "token_entropy", "vocab_coverage",
-        "unigram_logprob",
+        "unigram_logprob", "bigram_logprob", "vocab_table", "token_ids",
     ],
     "fused_quality": [
         "quality_features", "repetition_features", "lang_guess",

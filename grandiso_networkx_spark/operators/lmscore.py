@@ -103,3 +103,102 @@ def lm_quality_buckets(
         "mean_logp",
         F.ntile(n_buckets).over(w).alias("bucket"),
     )
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """``(doc_id, w1, w2)`` — adjacent lower-cased token pairs within
+    each document (docs with < 2 tokens yield none).  One shuffle: the
+    per-document ``lead`` window partitions by ``doc_id``."""
+    from pyspark.sql import Window
+
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = (
+        docs.select("doc_id", F.split(t, r"\s+").alias("__t"), t.alias("__s"))
+        .where(F.length("__s") > 0)
+        .select("doc_id", F.posexplode("__t").alias("pos", "w1"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.select("doc_id", "w1", F.lead("w1").over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+
+
+def bigram_model(
+    docs: DataFrame, text_col: str = "text", k: float = 1.0
+) -> DataFrame:
+    """Add-k-smoothed bigram LM trained on the corpus: ``(w1, w2, n,
+    logp)`` with ``logp = ln((n + k) / (context(w1) + k·V))`` where
+    ``context(w1)`` is w1's occurrence count as a bigram left side and
+    ``V`` the corpus unigram vocabulary size — the KenLM-style signal
+    one notch above the unigram scorer, still exactly SQL-mirrorable.
+
+    Scale shape: one tokenize pass + one ``lead`` window (shuffle by
+    doc_id) + one bigram groupBy; context counts derive from the
+    bigram table itself (no second scan); V and the context table are
+    broadcast-size (Heaps' law).
+    """
+    bg = _doc_bigrams(docs, text_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    c1 = c2.groupBy("w1").agg(F.sum("n").alias("__cn"))
+    vocab = (
+        _doc_tokens(docs, text_col)
+        .agg(F.countDistinct("tok").alias("__v"))
+    )
+    return (
+        c2.join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.log(
+                (F.col("n") + F.lit(k)) / (F.col("__cn") + F.lit(k) * F.col("__v"))
+            ).alias("logp"),
+        )
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    model: DataFrame | None = None,
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram log-prob ``(doc_id, n_bigrams,
+    mean_logp)``; documents with fewer than 2 tokens are dropped
+    (they have no bigrams to score).
+
+    Self-scoring (``model=None``) never meets an unseen bigram.  With
+    a held-out ``model`` (a :func:`bigram_model` result carrying the
+    same smoothing), unseen pairs are scored by the add-k floor — the
+    model's per-context smoothed zero — via a left join + coalesce
+    against the model's context marginals; fully-unseen contexts get
+    ``ln(1/V)``.
+    """
+    if model is None:
+        m = bigram_model(docs, text_col, k=k)
+    else:
+        m = model
+    bg = _doc_bigrams(docs, text_col)
+    # context floor: ln(k / (context + k·V)) per seen w1; ln(1/V) else
+    c1 = m.groupBy("w1").agg(F.sum("n").alias("__cn"))
+    v = m.select("w2").union(m.select("w1")).distinct().count()
+    floor_seen = F.log(F.lit(k) / (F.col("__cn") + F.lit(k) * F.lit(float(v))))
+    scored = (
+        bg.join(F.broadcast(m.select("w1", "w2", "logp")), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "logp",
+                F.when(F.col("__cn").isNotNull(), floor_seen).otherwise(
+                    F.log(F.lit(1.0) / F.lit(float(v)))
+                ),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("lp").alias("mean_logp"),
+    )

@@ -1,0 +1,79 @@
+"""Frequency-ranked vocabulary induction and tokenize-to-ids — the
+corpus→tensor bridge of a training-data pipeline (SURVEY.md §2.7
+class; no reference analogue — the reference is a motif matcher).
+
+``vocab_table`` ranks the corpus's whitespace tokens by (count desc,
+token asc) and keeps the top ``max_vocab`` as ids 0..max_vocab-1 — the
+word-level equivalent of a tokenizer's vocab file, with a wholly
+deterministic tie order so the mapping is stable across runs,
+partitionings, and engines.  ``token_ids`` rewrites every document as
+``(doc_id, pos, tid)`` rows under that mapping, out-of-vocabulary
+tokens becoming ``unk_id`` (-1 by default) — the exploded form of an
+``input_ids`` tensor, kept tall-not-nested so the result is exactly
+SQL-checkable and downstream ops (packing, windowing) can reuse the
+rows without re-tokenizing.
+
+Scale shape: one tokenize-explode pass; the vocab build is one token
+groupBy (map-side combined) + a row_number over the vocabulary only
+(vocabulary ≪ corpus by Heaps' law — the single-partition window sees
+|V| rows, not the token stream); the id rewrite is a broadcast join
+against that small vocab.  No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _positioned_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """``(doc_id, pos, tok)`` — lower-cased whitespace tokens with
+    0-based in-document positions; blank docs dropped."""
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    return (
+        docs.select("doc_id", F.split(t, r"\s+").alias("__t"), t.alias("__s"))
+        .where(F.length("__s") > 0)
+        .select("doc_id", F.posexplode("__t").alias("pos", "tok"))
+    )
+
+
+def vocab_table(
+    docs: DataFrame, max_vocab: int, text_col: str = "text"
+) -> DataFrame:
+    """Top-``max_vocab`` vocabulary ``(tok, tid, n)`` with ids assigned
+    by (count desc, token asc) — id 0 is the most frequent token."""
+    if max_vocab <= 0:
+        raise ValueError("max_vocab must be positive")
+    counts = (
+        _positioned_tokens(docs, text_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.select(
+            "tok", (F.row_number().over(w) - 1).cast("long").alias("tid"), "n"
+        )
+        .where(F.col("tid") < max_vocab)
+    )
+
+
+def token_ids(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    max_vocab: int = 32768,
+    unk_id: int = -1,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, pos, tid)`` — every document's token stream under the
+    vocabulary mapping (``vocab`` defaults to :func:`vocab_table` of
+    the corpus itself), OOV tokens mapped to ``unk_id``."""
+    v = vocab if vocab is not None else vocab_table(docs, max_vocab, text_col)
+    return (
+        _positioned_tokens(docs, text_col)
+        .join(F.broadcast(v.select("tok", "tid")), "tok", "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce("tid", F.lit(unk_id).cast("long")).alias("tid"),
+        )
+    )

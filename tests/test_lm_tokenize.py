@@ -1,0 +1,127 @@
+"""Bigram LM scoring and vocab/tokenize-to-ids vs pure-Python
+references."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from grandiso_networkx_spark.operators.lmscore import (
+    bigram_logprob,
+    bigram_model,
+)
+from grandiso_networkx_spark.operators.tokenize import token_ids, vocab_table
+
+DOCS = [
+    (0, "the cat sat on the mat", ),
+    (1, "the dog sat on the log", ),
+    (2, "cat and dog", ),
+    (3, "", ),
+    (4, "single", ),
+    (5, "THE the The", ),
+]
+
+
+def _toks(text):
+    t = text.strip().lower()
+    return t.split() if t else []
+
+
+def _ref_bigram_model(docs, k=1.0):
+    c2, c1 = Counter(), Counter()
+    vocab = set()
+    for _, text in docs:
+        ts = _toks(text)
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    return {
+        (a, b): (n, math.log((n + k) / (c1[a] + k * V)))
+        for (a, b), n in c2.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bigram_model_matches_reference(spark, docs_df):
+    got = {
+        (r.w1, r.w2): (r.n, r.logp) for r in bigram_model(docs_df).collect()
+    }
+    want = _ref_bigram_model(DOCS)
+    assert set(got) == set(want)
+    for key, (n, lp) in want.items():
+        assert got[key][0] == n
+        assert got[key][1] == pytest.approx(lp, abs=1e-12)
+
+
+def test_bigram_logprob_self_scoring(spark, docs_df):
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_logp)
+        for r in bigram_logprob(docs_df).collect()
+    }
+    model = _ref_bigram_model(DOCS)
+    for did, text in DOCS:
+        ts = _toks(text)
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert did not in got  # <2 tokens: dropped
+            continue
+        lps = [model[p][1] for p in pairs]
+        assert got[did][0] == len(pairs)
+        assert got[did][1] == pytest.approx(sum(lps) / len(lps), abs=1e-12)
+
+
+def test_bigram_heldout_floor(spark, docs_df):
+    """Unseen pairs score the add-k floor; unseen contexts ln(1/V)."""
+    m = bigram_model(docs_df)
+    target = spark.createDataFrame(
+        [(100, "the zebra"), (101, "qq zz")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_logp)
+        for r in bigram_logprob(target, model=m).collect()
+    }
+    model = _ref_bigram_model(DOCS)
+    mv = {w for a, b in model for w in (a, b)}
+    V = len(mv)
+    c1 = Counter()
+    for (a, _), (n, _) in model.items():
+        c1[a] += n
+    # ("the","zebra"): context "the" seen, pair unseen
+    assert got[100] == (1, pytest.approx(math.log(1.0 / (c1["the"] + V)), abs=1e-12))
+    # ("qq","zz"): context unseen
+    assert got[101] == (1, pytest.approx(math.log(1.0 / V), abs=1e-12))
+
+
+def test_vocab_table_ranking(spark, docs_df):
+    got = [(r.tok, r.tid, r.n) for r in vocab_table(docs_df, 5).collect()]
+    cnt = Counter(t for _, text in DOCS for t in _toks(text))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert sorted(got, key=lambda x: x[1]) == [
+        (tok, i, n) for i, (tok, n) in enumerate(want)
+    ]
+
+
+def test_token_ids_with_oov(spark, docs_df):
+    ids = {
+        (r.doc_id, r.pos): r.tid
+        for r in token_ids(docs_df, max_vocab=3).collect()
+    }
+    cnt = Counter(t for _, text in DOCS for t in _toks(text))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    vmap = {tok: i for i, (tok, _) in enumerate(ranked[:3])}
+    for did, text in DOCS:
+        for pos, tok in enumerate(_toks(text)):
+            assert ids[(did, pos)] == vmap.get(tok, -1), (did, pos, tok)
+    # blank doc contributes nothing
+    assert not any(d == 3 for d, _ in ids)
+
+
+def test_vocab_validation(spark, docs_df):
+    with pytest.raises(ValueError):
+        vocab_table(docs_df, 0)
