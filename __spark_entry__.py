@@ -2863,6 +2863,102 @@ l{i + 1} AS (SELECT l.id, coalesce(p.new_label, l.label) AS label
     return "".join(parts)
 
 
+def q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised LPA (operators/label_propagation.py
+    seeded_label_propagation): the lexicographically smallest / largest
+    vertices are clamped to labels 'A'/'B', everyone else adopts the
+    majority labeled-neighbor label (ties -> smallest) — value-checked
+    against the unrolled synchronous SQL replay."""
+    from grandiso_networkx_spark.operators.label_propagation import (
+        seeded_label_propagation,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).selectExpr(
+        "stack(2, lo, 'A', hi, 'B') as (id, label)"
+    )
+    return seeded_label_propagation(e, seeds, max_iter=8)
+
+
+def _seeded_lpa_sql(iters: int = 8) -> str:
+    """Unrolled seeded synchronous LPA: min/max vertex clamped to
+    'A'/'B', unlabeled vertices adopt only from labeled neighbors."""
+    parts = [
+        f"""WITH re AS ({_REPLY_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM re
+        UNION SELECT dst AS src, src AS dst FROM re),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+seeds AS (SELECT min(id) AS id, 'A' AS label FROM verts
+          UNION ALL SELECT max(id), 'B' FROM verts),
+l0 AS (SELECT v.id, s.label, s.label IS NOT NULL AS is_seed
+       FROM verts v LEFT JOIN seeds s USING (id))"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+pick{i} AS (
+  SELECT id, label AS new_label FROM (
+    SELECT s.dst AS id, l.label,
+           row_number() OVER (PARTITION BY s.dst
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM sym s JOIN l{i} l ON l.id = s.src AND l.label IS NOT NULL
+    GROUP BY s.dst, l.label) t WHERE rn = 1),
+l{i + 1} AS MATERIALIZED (
+  SELECT l.id,
+         CASE WHEN l.is_seed THEN l.label
+              ELSE coalesce(p.new_label, l.label) END AS label,
+         l.is_seed
+  FROM l{i} l LEFT JOIN pick{i} p ON p.id = l.id)"""
+        )
+    parts.append(f"\nSELECT id, label FROM l{iters}")
+    return "".join(parts)
+
+
+def q_double_sweep(spark, sf_dir):
+    """Double-sweep diameter lower bound (operators/bfs.py
+    double_sweep): two BFS passes instead of the all-sources
+    eccentricity table — the scale path for diameter estimation."""
+    from grandiso_networkx_spark.operators.bfs import double_sweep
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return double_sweep(e)
+
+
+_DOUBLE_SWEEP_SQL = f"""
+WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM re WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+s0 AS (SELECT min(id) AS id FROM verts),
+w1(id, dist) AS (
+  SELECT id, 0 FROM s0
+  UNION
+  SELECT s.dst, w1.dist + 1 FROM w1 JOIN sym s ON s.src = w1.id
+  WHERE w1.dist < 8
+),
+d1 AS (SELECT id, min(dist) AS dist FROM w1 GROUP BY id),
+far AS (SELECT id FROM d1 ORDER BY dist DESC, id LIMIT 1),
+w2(id, dist) AS (
+  SELECT id, 0 FROM far
+  UNION
+  SELECT s.dst, w2.dist + 1 FROM w2 JOIN sym s ON s.src = w2.id
+  WHERE w2.dist < 8
+),
+d2 AS (SELECT id, min(dist) AS dist FROM w2 GROUP BY id)
+SELECT (SELECT id FROM s0) AS start_id, (SELECT id FROM far) AS far_id,
+       CAST(max(dist) AS INT) AS diameter_lb
+FROM d2
+"""
+
+
 def q_label_propagation_weighted(spark, sf_dir):
     """Weighted LPA: neighbor-label score = summed undirected edge
     weight (both orientations add), same min-label tie-break."""
@@ -5594,6 +5690,8 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "louvain_round": q_louvain_round,
         "louvain_communities": q_louvain_communities,
         "label_propagation_weighted": q_label_propagation_weighted,
+        "seeded_lpa": q_seeded_lpa,
+        "double_sweep": q_double_sweep,
         # iterative / hash-seeded ops: rows-only driver checks; exactness
         # is covered by the networkx-oracle pytest suite instead.
         "minhash_portable_pairs": q_minhash_portable,
@@ -5744,6 +5842,8 @@ def _standalone_oracles() -> dict[str, str]:
         "label_propagation": _lpa_sql(8),
         "louvain_round": _louvain_sql(3),
         "label_propagation_weighted": _lpa_weighted_sql(8),
+        "seeded_lpa": _seeded_lpa_sql(8),
+        "double_sweep": _DOUBLE_SWEEP_SQL,
         "minhash_portable_pairs": _minhash_portable_sql(),
         "simhash_portable": _SIMHASH_PORTABLE_SQL,
         "strongly_connected_components": _SCC_SQL,
@@ -5891,6 +5991,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_spectral": ["katz_fixed", "eigenvector_fixed", "pagerank_fixed"],
     "fused_distance_centrality": [
         "harmonic_centrality", "closeness_centrality", "eccentricity",
+        "double_sweep",
     ],
     "fused_flow_centrality": [
         "betweenness_centrality", "hits_fixed", "betweenness_sampled",
@@ -5911,6 +6012,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     "fused_communities": [
         "label_propagation", "label_propagation_weighted", "louvain_round",
+        "seeded_lpa",
     ],
     "fused_community_quality": [
         "modularity", "partition_quality", "attr_assortativity",

@@ -60,3 +60,38 @@ def bfs_levels(
         dist = dist.unionByName(nxt).transform(flat_checkpoint)
         frontier = nxt.select("id")
     raise RuntimeError(f"BFS did not terminate within max_depth={max_depth}.")
+
+
+def double_sweep(
+    edges: DataFrame, directed: bool = False, max_depth: int = 10_000
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib
+    2009): BFS from the lexicographically smallest vertex, hop to the
+    farthest vertex found (ties -> smallest id), BFS again; the second
+    sweep's eccentricity is a high-quality diameter lower bound at the
+    cost of exactly TWO BFS passes — the scale substitute for the
+    all-sources eccentricity table.  One row: ``(start_id, far_id,
+    diameter_lb)``.
+
+    Operates on the start vertex's reachable component (the standard
+    assumption).  The only driver-side data are two single-row
+    collects (the start id and the farthest id) — the sweeps
+    themselves are the distributed frontier loop of
+    :func:`bfs_levels`.
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    start = verts.agg(F.min("id").alias("id")).collect()[0]["id"]
+    d1 = bfs_levels(edges, start, directed=directed, max_depth=max_depth)
+    far = (
+        d1.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]["id"]
+    )
+    d2 = bfs_levels(edges, far, directed=directed, max_depth=max_depth)
+    return d2.agg(F.max("dist").alias("diameter_lb")).select(
+        F.lit(start).alias("start_id"),
+        F.lit(far).alias("far_id"),
+        F.col("diameter_lb").cast("int").alias("diameter_lb"),
+    )

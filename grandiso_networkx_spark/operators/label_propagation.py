@@ -154,3 +154,67 @@ def lpa_oracle(
             break
         labels = new
     return labels
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Semi-supervised LPA: ``(id, label)`` where ``seeds`` (an
+    ``(id, label)`` frame) are clamped to their given labels forever
+    and every other vertex adopts, each synchronous round, the most
+    frequent label among its LABELED neighbors (ties -> smallest
+    label; no labeled neighbor -> unchanged, possibly still NULL).
+    Stops at fixpoint or ``max_iter``.  Vertices never reached by any
+    seed's influence keep a NULL label — the caller decides whether
+    that means "unknown" or "own community".
+
+    Same per-round dataflow as :func:`label_propagation` (one join,
+    one map-side-combined groupBy, one windowed top-1), plus the seed
+    clamp carried as a boolean column in the state frame — no extra
+    shuffle.  Duplicate seed rows resolve to the smallest label (the
+    engine's standard deterministic tie rule).
+    """
+    sym = symmetrize(edges).persist()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    s = seeds.groupBy("id").agg(F.min("label").alias("__seed"))
+    labels = (
+        verts.join(s, "id", "left")
+        .select(
+            "id",
+            F.col("__seed").alias("label"),
+            F.col("__seed").isNotNull().alias("is_seed"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.where(F.col("label").isNotNull())
+            .select(F.col("id").alias("src"), "label"),
+            "src",
+        ).select(F.col("dst").alias("id"), "label")
+        freq = nbr.groupBy("id", "label").agg(F.count(F.lit(1)).alias("n"))
+        pick = (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        adopted = F.when(F.col("is_seed"), F.col("label")).otherwise(
+            F.coalesce("new_label", "label")
+        )
+        new_labels = labels.join(pick, "id", "left").select(
+            "id",
+            adopted.alias("label"),
+            "is_seed",
+            (
+                ~(adopted.eqNullSafe(F.col("label")))
+            ).alias("__changed"),
+        ).transform(flat_checkpoint)
+        changed = new_labels.where("__changed").count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", "label")
