@@ -247,3 +247,111 @@ def stream_cms_cells(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("window_start"), "r", "c", "n")
     )
+
+
+_PACK_STATE_SCHEMA = "cum long"
+_PACK_OUT_SCHEMA = (
+    "shard long, seq long, doc_id long, piece_start long, piece_len long"
+)
+
+
+def _pack_fn(key, pdf_iter, state: GroupState):
+    """Per-shard packing state = the shard's running token total; each
+    micro-batch extends the concat stream in deterministic (doc_id)
+    order within the batch.  All arithmetic is vectorized numpy — the
+    only Python loop is over pandas batches."""
+    import numpy as np
+
+    (shard,) = key
+    cum0 = state.get[0] if state.exists else 0
+    outs = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("doc_id")
+        n = pdf["n"].to_numpy(dtype="int64")
+        if len(n) == 0:
+            continue
+        budget = int(pdf["budget"].iloc[0])
+        ends = cum0 + np.cumsum(n)
+        starts = ends - n
+        first = starts // budget
+        last = (ends - 1) // budget
+        reps = (last - first + 1).astype("int64")
+        doc_idx = np.repeat(np.arange(len(n)), reps)
+        # window index within each doc's span: global position minus
+        # the span's first position, offset by the span's first window
+        pos = np.arange(reps.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        seq = first[doc_idx] + pos
+        lo = seq * budget
+        hi = lo + budget
+        piece_start = np.maximum(lo - starts[doc_idx], 0)
+        piece_len = np.minimum(ends[doc_idx], hi) - np.maximum(
+            starts[doc_idx], lo
+        )
+        outs.append(
+            pd.DataFrame(
+                {
+                    "shard": shard,
+                    "seq": seq,
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
+                    "piece_start": piece_start,
+                    "piece_len": piece_len,
+                }
+            )
+        )
+        cum0 = int(ends[-1])
+    state.update((cum0,))
+    yield from outs or [
+        pd.DataFrame(
+            columns=["shard", "seq", "doc_id", "piece_start", "piece_len"]
+        )
+    ]
+
+
+def stream_pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``operators/packing.pack_sequences``: as
+    document files land, each hash shard's token stream keeps growing
+    and new exactly-``budget`` training windows are emitted
+    incrementally — per-shard state is ONE long (the running token
+    total), constant regardless of corpus size.
+
+    Token counting and shard assignment stay JVM-side expressions
+    (identical to the batch op); the stateful kernel sees only
+    ``(shard, doc_id, n)`` and does vectorized numpy window
+    arithmetic.  Equivalence: a single-batch stream over files sorted
+    by ``doc_id`` emits byte-identical rows to the batch op (pinned in
+    tests/test_streaming.py); across multiple micro-batches the concat
+    order is arrival-then-doc_id — the streaming definition of the
+    layout, with windows never rewritten once emitted (append-only
+    sink).
+    """
+    from ..functions.hashing import hash60
+    from ..operators.textstats import token_count
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    d = (
+        docs.select(
+            F.col("doc_id"),
+            token_count(F.col(text_col)).alias("n"),
+            F.lit(budget).cast("long").alias("budget"),
+        )
+        .where(F.col("n") > 0)
+        .withColumn(
+            "shard",
+            F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(n_shards)),
+        )
+    )
+    return d.groupBy("shard").applyInPandasWithState(
+        _pack_fn,
+        _PACK_OUT_SCHEMA,
+        _PACK_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -275,3 +275,52 @@ def test_stream_cms_matches_batch_grid(spark, transcript_dir, tmp_path):
         for r in cms_build(keys, depth=3, width=64).collect()
     }
     assert merged == want
+
+
+def test_stream_pack_sequences_matches_batch(spark, tmp_path):
+    """Single-batch stream over doc files == batch pack_sequences;
+    a second file drop extends shard streams without rewriting
+    already-emitted windows."""
+    from grandiso_networkx_spark.operators.packing import pack_sequences
+    from grandiso_networkx_spark.streaming.derive_stream import (
+        stream_pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(3 + (i * 7) % 11)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    p = f"{tmp_path}/docs_in"
+    docs.write.mode("append").parquet(p)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 100)
+        .parquet(p)
+    )
+    got = _run_stream(
+        spark,
+        stream_pack_sequences(stream, budget=8, n_shards=4),
+        "pack_stream",
+        tmp_path,
+    )
+    want = pack_sequences(docs, 8, n_shards=4)
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+
+    # drop more files: previously emitted rows stay, new docs extend
+    more = spark.createDataFrame(
+        [(100 + i, " ".join(f"x{i}_{j}" for j in range(5))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    more.write.mode("append").parquet(p)
+    got2 = _run_stream(spark, stream_pack_sequences(
+        spark.readStream.schema("doc_id long, text string").parquet(p),
+        budget=8, n_shards=4,
+    ), "pack_stream2", tmp_path)
+    g2 = sorted(tuple(r) for r in got2.collect())
+    # one fresh checkpoint over both files in doc_id order == batch over all
+    want_all = pack_sequences(docs.unionByName(more), 8, n_shards=4)
+    assert g2 == sorted(tuple(r) for r in want_all.collect())
