@@ -4652,6 +4652,59 @@ def q_user_projection(spark, sf_dir):
     return bipartite_project(e, max_item_degree=500)
 
 
+def q_sparsify_lspar(spark, sf_dir):
+    """L-Spar similarity sparsification (operators/sparsify.py) of the
+    user co-participation projection: each user keeps its
+    ceil(sqrt(deg)) highest-Jaccard neighbors — the pre-clustering
+    sparsifier, value-checked against the SQL wedge + window replay."""
+    from grandiso_networkx_spark.operators.bipartite import bipartite_project
+    from grandiso_networkx_spark.operators.sparsify import sparsify_similarity
+
+    e = _event_invoke_edges(spark, sf_dir).select("src", "dst")
+    g = bipartite_project(e, max_item_degree=500).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    out = sparsify_similarity(g)
+    return out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SPARSIFY_SQL = f"""
+WITH e0 AS ({_INVOKE_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+keep AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 500),
+g AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN keep USING (dst)),
+proj AS MATERIALIZED (SELECT DISTINCT a.src AS a, b.src AS b
+         FROM g a JOIN g b ON a.dst = b.dst AND a.src < b.src),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM proj
+         UNION ALL SELECT b AS u, a AS v FROM proj),
+deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u),
+cn AS MATERIALIZED (
+  SELECT s1.u AS a, s2.u AS b, count(*) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+  JOIN proj p ON p.a = s1.u AND p.b = s2.u
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.a, p.b,
+         coalesce(cn.cn, 0) / (da.deg + db.deg - coalesce(cn.cn, 0))
+           AS jaccard
+  FROM proj p
+  LEFT JOIN cn ON cn.a = p.a AND cn.b = p.b
+  JOIN deg da ON da.id = p.a
+  JOIN deg db ON db.id = p.b),
+twoway AS (SELECT a AS u, b AS v, jaccard FROM scored
+         UNION ALL SELECT b AS u, a AS v, jaccard FROM scored),
+ranked AS (
+  SELECT u, v, jaccard,
+         row_number() OVER (PARTITION BY u
+                            ORDER BY jaccard DESC, v ASC) AS rn,
+         ceil(sqrt(deg))::BIGINT AS keep_n
+  FROM twoway JOIN deg ON deg.id = twoway.u)
+SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst,
+       round(jaccard, 6) AS jaccard
+FROM ranked WHERE rn <= keep_n
+"""
+
+
 _USER_PROJECTION_SQL = f"""
 WITH e0 AS ({_INVOKE_EDGES_SQL}),
 e AS (SELECT DISTINCT src, dst FROM e0),
@@ -5604,6 +5657,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "retention_cohorts": q_retention_cohorts,
         "event_outliers": q_event_outliers,
         "user_projection": q_user_projection,
+        "sparsify_lspar": q_sparsify_lspar,
         "butterfly_count": q_butterfly_count,
         "butterfly_per_user": q_butterfly_per_user,
         "simrank_fixed": q_simrank_fixed,
@@ -5758,6 +5812,7 @@ def _standalone_oracles() -> dict[str, str]:
         "retention_cohorts": _RETENTION_SQL,
         "event_outliers": _EVENT_OUTLIERS_SQL,
         "user_projection": _USER_PROJECTION_SQL,
+        "sparsify_lspar": _SPARSIFY_SQL,
         "butterfly_count": _BUTTERFLY_COUNT_SQL,
         "butterfly_per_user": _BUTTERFLY_PER_USER_SQL,
         "simrank_fixed": _simrank_fixed_sql(4),
@@ -5984,6 +6039,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_user_graph": [
         "user_projection", "reciprocity", "cms_sketch",
         "butterfly_count", "butterfly_per_user", "bipartite_clustering",
+        "sparsify_lspar",
     ],
     "fused_components": [
         "connected_components", "connected_components_star", "bfs_levels",
