@@ -667,6 +667,46 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_training_windows(spark, sf_dir):
+    """End-to-end training-batch build — the full pipeline chain a
+    pretraining run executes, composed from the engine's own
+    operators: curate (lang → quality → dedup-representative → hash
+    sample) → concat-and-split sequence packing into 512-token
+    windows.  One scan feeds the curation filters, the dedup window
+    and the packing window are the only shuffles, and the whole chain
+    is value-checked against the composed SQL oracle."""
+    from grandiso_networkx_spark.operators.curation import curate_corpus
+    from grandiso_networkx_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curate_corpus(
+        docs,
+        lang="en",
+        min_tokens=5,
+        max_tokens=500,
+        max_punct_ratio=0.2,
+        max_digit_ratio=0.2,
+        sample_mod=4,
+        sample_keep=3,
+        seed=42,
+    ).select("doc_id")
+    survivors = docs.join(kept, "doc_id", "left_semi")
+    return pack_sequences(survivors, _PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+def _training_windows_sql() -> str:
+    """Composed oracle: the packing replay over only the curation
+    survivors (the curate oracle nests as a subquery)."""
+    pack = _PACK_SEQUENCES_SQL.replace(
+        "FROM documents\n), s AS (",
+        f"""FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM ({_curate_sql()}))
+), s AS (""",
+    )
+    assert "WHERE doc_id IN" in pack
+    return pack
+
+
 def _curate_sql() -> str:
     # lazy: _LANG_SQL is defined further down the module
     return f"""
@@ -5637,6 +5677,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "vocab_coverage": q_vocab_coverage,
         "source_quality": q_source_quality,
         "curate_corpus": q_curate_corpus,
+        "training_windows": q_training_windows,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -5792,6 +5833,7 @@ def _standalone_oracles() -> dict[str, str]:
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "source_quality": _SOURCE_QUALITY_SQL,
         "curate_corpus": _curate_sql(),
+        "training_windows": _training_windows_sql(),
         "dataset_split": _DATASET_SPLIT_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
@@ -6010,7 +6052,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_dedup_exact": [
         "exact_dedup", "dedup_keep", "passage_dedup", "span_scrub",
     ],
-    "fused_curation": ["curate_corpus", "dataset_split", "stratified_sample"],
+    "fused_curation": ["curate_corpus", "dataset_split", "stratified_sample", "training_windows"],
     "fused_token_stats": [
         "token_counts", "token_quantiles", "token_entropy", "vocab_coverage",
         "unigram_logprob", "bigram_logprob", "vocab_table", "token_ids",
