@@ -4212,6 +4212,55 @@ FROM per, tot
 """
 
 
+def q_partition_agreement(spark, sf_dir):
+    """ARI + NMI between the engine's own connected-components and
+    8-round LPA partitions of the reply graph
+    (operators/community.py partition_agreement) — the standard
+    community-detection agreement scores, value-checked against the
+    composed SQL replay of both partitions + the contingency
+    formulas."""
+    from grandiso_networkx_spark.operators.community import (
+        partition_agreement,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    p1 = connected_components(e).select(
+        "id", F.col("component").alias("label")
+    )
+    p2 = label_propagation(q_reply_edges(spark, sf_dir), max_iter=8)
+    return partition_agreement(p1, p2)
+
+
+def _partition_agreement_sql() -> str:
+    return f"""
+WITH j AS MATERIALIZED (
+  SELECT p1.id, p1.component AS l1, p2.label AS l2
+  FROM ({_COMPONENTS_SQL}) p1 JOIN ({_lpa_sql(8)}) p2 USING (id)),
+cont AS MATERIALIZED (SELECT l1, l2, count(*) AS nij FROM j GROUP BY 1, 2),
+a AS MATERIALIZED (SELECT l1, sum(nij)::BIGINT AS ai FROM cont GROUP BY 1),
+b AS MATERIALIZED (SELECT l2, sum(nij)::BIGINT AS bj FROM cont GROUP BY 1),
+s AS (SELECT
+   (SELECT sum(nij * (nij - 1) / 2.0) FROM cont) AS sum_comb,
+   (SELECT sum(ai * (ai - 1) / 2.0) FROM a) AS sum_a,
+   (SELECT sum(bj * (bj - 1) / 2.0) FROM b) AS sum_b,
+   (SELECT sum(nij)::BIGINT FROM cont) AS n),
+mi AS (SELECT sum((nij / s.n) * ln((s.n * nij) / (ai * bj))) AS mi
+       FROM cont JOIN a USING (l1) JOIN b USING (l2), s),
+h AS (SELECT
+   (SELECT sum(-(ai / s.n) * ln(ai / s.n)) FROM a, s) AS h1,
+   (SELECT sum(-(bj / s.n) * ln(bj / s.n)) FROM b, s) AS h2)
+SELECT s.n AS n,
+  round(CASE WHEN (sum_a + sum_b) / 2.0 = sum_a * sum_b / (s.n * (s.n - 1) / 2.0)
+        THEN 1.0
+        ELSE (sum_comb - sum_a * sum_b / (s.n * (s.n - 1) / 2.0))
+             / ((sum_a + sum_b) / 2.0
+                - sum_a * sum_b / (s.n * (s.n - 1) / 2.0)) END, 6) AS ari,
+  round(CASE WHEN (h1 + h2) / 2.0 = 0 THEN 1.0
+        ELSE mi / ((h1 + h2) / 2.0) END, 6) AS nmi
+FROM s, mi, h
+"""
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity (operators/community.py) of the same
     md5-bucket partition — nx.community.modularity semantics,
@@ -5768,6 +5817,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "two_hop_counts": q_two_hop_counts,
         "partition_quality": q_partition_quality,
         "modularity": q_modularity,
+        "partition_agreement": q_partition_agreement,
         "hits_fixed": q_hits_invoke,
         "salsa_fixed": q_salsa_fixed,
         "salsa_scores": q_salsa_scores,
@@ -5923,6 +5973,7 @@ def _standalone_oracles() -> dict[str, str]:
         "two_hop_counts": _TWO_HOP_SQL,
         "partition_quality": _PARTITION_QUALITY_SQL,
         "modularity": _MODULARITY_SQL,
+        "partition_agreement": _partition_agreement_sql(),
         "hits_fixed": _hits_fixed_sql(8),
         "salsa_fixed": _salsa_fixed_sql(4),
         "salsa_scores": _SALSA_SCORES_SQL,
@@ -6115,6 +6166,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     "fused_community_quality": [
         "modularity", "partition_quality", "attr_assortativity",
+        "partition_agreement",
     ],
     "fused_linkpred": [
         "linkpred_events", "link_training_pairs", "simrank_fixed",

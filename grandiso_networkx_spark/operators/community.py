@@ -588,3 +588,88 @@ def louvain_oracle(
             verts.add(t[1])
         return {u: u for u in verts}
     return mapping
+
+
+def partition_agreement(p1: DataFrame, p2: DataFrame) -> DataFrame:
+    """Adjusted Rand index + normalized mutual information between two
+    partitions of the same vertex set — the standard agreement scores
+    for comparing community detections (Hubert–Arabie ARI; NMI with
+    sklearn's arithmetic-mean normalization).  One row: ``(n, ari,
+    nmi)``.
+
+    Inputs are ``(id, label)`` frames; vertices must appear in both
+    (inner join — a vertex missing from either side is excluded, like
+    comparing on the common support).  Degenerate cases pinned: two
+    single-cluster partitions → ARI 1, NMI 1 (sklearn convention);
+    all-singletons vs all-singletons likewise.
+
+    Scale shape: one equi join on id + one ``groupBy(l1, l2)``
+    contingency count (map-side combined, rows = distinct label pairs
+    ≪ vertices), marginals derive from the contingency table itself,
+    and the scores are two tiny aggregates — everything past the join
+    is broadcast-sized.  All combinatorics stay on longs until the
+    final divisions, so any SQL replay is bit-identical.
+    """
+    j = p1.select(F.col("id"), F.col("label").alias("l1")).join(
+        p2.select(F.col("id"), F.col("label").alias("l2")), "id"
+    )
+    cont = j.groupBy("l1", "l2").agg(F.count(F.lit(1)).alias("nij")).persist()
+    a = cont.groupBy("l1").agg(F.sum("nij").alias("ai"))
+    b = cont.groupBy("l2").agg(F.sum("nij").alias("bj"))
+
+    def comb2(c):
+        return (c * (c - F.lit(1))) / F.lit(2.0)
+
+    n_total = cont.agg(F.sum("nij").alias("n"))
+    sums = (
+        cont.agg(F.sum(comb2(F.col("nij"))).alias("sum_comb"))
+        .crossJoin(a.agg(F.sum(comb2(F.col("ai"))).alias("sum_a")))
+        .crossJoin(b.agg(F.sum(comb2(F.col("bj"))).alias("sum_b")))
+        .crossJoin(n_total)
+    )
+    # MI / entropies: contingency joined back to its own marginals
+    mi_frame = (
+        cont.join(a, "l1")
+        .join(b, "l2")
+        .crossJoin(F.broadcast(n_total))
+        .agg(
+            F.sum(
+                (F.col("nij") / F.col("n"))
+                * F.log(
+                    (F.col("n") * F.col("nij"))
+                    / (F.col("ai") * F.col("bj"))
+                )
+            ).alias("mi")
+        )
+    )
+    h1 = (
+        a.crossJoin(F.broadcast(n_total))
+        .agg(
+            F.sum(-(F.col("ai") / F.col("n")) * F.log(F.col("ai") / F.col("n"))).alias("h1")
+        )
+    )
+    h2 = (
+        b.crossJoin(F.broadcast(n_total))
+        .agg(
+            F.sum(-(F.col("bj") / F.col("n")) * F.log(F.col("bj") / F.col("n"))).alias("h2")
+        )
+    )
+    exp = (F.col("sum_a") * F.col("sum_b")) / comb2(F.col("n"))
+    maxi = (F.col("sum_a") + F.col("sum_b")) / F.lit(2.0)
+    ari = F.when(
+        maxi == exp, F.lit(1.0)  # both partitions degenerate: perfect
+    ).otherwise((F.col("sum_comb") - exp) / (maxi - exp))
+    denom = (F.col("h1") + F.col("h2")) / F.lit(2.0)
+    nmi = F.when(denom == 0, F.lit(1.0)).otherwise(F.col("mi") / denom)
+    out = (
+        sums.crossJoin(mi_frame)
+        .crossJoin(h1)
+        .crossJoin(h2)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(ari, 6).alias("ari"),
+            F.round(nmi, 6).alias("nmi"),
+        )
+    )
+    cont.unpersist()
+    return out

@@ -9,6 +9,7 @@ from networkx.algorithms.cuts import conductance as nx_conductance
 
 from grandiso_networkx_spark.operators.community import (
     modularity,
+    partition_agreement,
     partition_quality,
 )
 
@@ -183,3 +184,80 @@ class TestLouvain:
             return sorted(map(sorted, out.values()))
 
         assert parts(got) == parts(want_map)
+
+
+class TestPartitionAgreement:
+    def _df(self, spark, mapping):
+        return spark.createDataFrame(
+            [(str(k), str(v)) for k, v in mapping.items()],
+            "id string, label string",
+        )
+
+    @staticmethod
+    def _ref(m1, m2):
+        import math
+        from collections import Counter
+
+        ids = sorted(set(m1) & set(m2))
+        n = len(ids)
+        cont = Counter((m1[i], m2[i]) for i in ids)
+        a = Counter()
+        b = Counter()
+        for (x, y), c in cont.items():
+            a[x] += c
+            b[y] += c
+        c2 = lambda c: c * (c - 1) / 2.0
+        sum_comb = sum(c2(c) for c in cont.values())
+        sum_a = sum(c2(c) for c in a.values())
+        sum_b = sum(c2(c) for c in b.values())
+        exp = sum_a * sum_b / c2(n)
+        maxi = (sum_a + sum_b) / 2.0
+        ari = 1.0 if maxi == exp else (sum_comb - exp) / (maxi - exp)
+        mi = sum(
+            (c / n) * math.log(n * c / (a[x] * b[y]))
+            for (x, y), c in cont.items()
+        )
+        h1 = -sum((c / n) * math.log(c / n) for c in a.values())
+        h2 = -sum((c / n) * math.log(c / n) for c in b.values())
+        denom = (h1 + h2) / 2.0
+        nmi = 1.0 if denom == 0 else mi / denom
+        return n, ari, nmi
+
+    def test_identical_partitions_are_perfect(self, spark):
+        m = {i: i % 3 for i in range(12)}
+        row = partition_agreement(
+            self._df(spark, m), self._df(spark, m)
+        ).collect()[0]
+        assert row.n == 12 and row.ari == 1.0 and row.nmi == 1.0
+
+    def test_single_cluster_degenerate(self, spark):
+        m = {i: "x" for i in range(8)}
+        row = partition_agreement(
+            self._df(spark, m), self._df(spark, m)
+        ).collect()[0]
+        assert row.ari == 1.0 and row.nmi == 1.0
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        m1 = {i: rng.randrange(4) for i in range(60)}
+        m2 = {i: rng.randrange(5) for i in range(60)}
+        row = partition_agreement(
+            self._df(spark, m1), self._df(spark, m2)
+        ).collect()[0]
+        n, ari, nmi = self._ref(
+            {str(k): str(v) for k, v in m1.items()},
+            {str(k): str(v) for k, v in m2.items()},
+        )
+        assert row.n == n
+        assert row.ari == pytest.approx(ari, abs=1e-6)
+        assert row.nmi == pytest.approx(nmi, abs=1e-6)
+
+    def test_common_support_only(self, spark):
+        m1 = {0: "a", 1: "a", 2: "b"}
+        m2 = {1: "x", 2: "y", 3: "z"}
+        row = partition_agreement(
+            self._df(spark, m1), self._df(spark, m2)
+        ).collect()[0]
+        assert row.n == 2
