@@ -1878,6 +1878,56 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(e, seed=42).orderBy("id")
 
 
+def q_maximal_matching(spark, sf_dir):
+    """Handshake maximal matching of the reply graph (operators/
+    matching.py, portable-md5 edge priorities) — value-checked against
+    an unrolled SQL replay of the same locally-dominant rule."""
+    from grandiso_networkx_spark.operators.matching import maximal_matching
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return maximal_matching(e, seed=42)
+
+
+def _matching_sql(rounds: int = 4, seed: int = 42) -> str:
+    """Unrolled handshake matching: per round each vertex's best
+    incident edge by (md5 priority, src, dst); edges picked by BOTH
+    endpoints match, their vertices retire.  ``rounds`` must be >= the
+    actual round count (the global minimum edge always matches, so
+    rounds <= |V|/2; extra rounds are empty no-ops)."""
+    parts = [
+        f"""WITH re AS ({_REPLY_EDGES_SQL}),
+und AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM re WHERE src <> dst),
+e0 AS MATERIALIZED (
+  SELECT src, dst,
+         CAST('0x' || substring(
+             md5(src || '|' || dst || '|' || '{seed}'), 1, 15) AS BIGINT)
+           AS p
+  FROM und)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+best{i} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT v, p, src, dst,
+           row_number() OVER (PARTITION BY v ORDER BY p, src, dst) AS rn
+    FROM (SELECT src AS v, p, src, dst FROM e{i}
+          UNION ALL SELECT dst AS v, p, src, dst FROM e{i}))
+  WHERE rn = 1),
+hs{i} AS MATERIALIZED (
+  SELECT src, dst FROM best{i} GROUP BY src, dst HAVING count(*) = 2),
+used{i} AS (SELECT src AS v FROM hs{i} UNION SELECT dst FROM hs{i}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.* FROM e{i} e
+  WHERE e.src NOT IN (SELECT v FROM used{i})
+    AND e.dst NOT IN (SELECT v FROM used{i}))"""
+        )
+    arms = " UNION ALL ".join(f"SELECT src, dst FROM hs{i}" for i in range(rounds))
+    parts.append(f"\nSELECT src, dst FROM ({arms})")
+    return "".join(parts)
+
+
 def _mis_sql(rounds: int = 6, seed: int = 42) -> str:
     """Unrolled Luby: round r selects live vertices whose
     ``(md5-priority, id)`` struct is strictly below every live
@@ -5789,6 +5839,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "ktruss_3": q_ktruss,
         "minimum_spanning_forest": q_mst,
         "maximal_independent_set": q_mis,
+        "maximal_matching": q_maximal_matching,
         "greedy_coloring": q_coloring,
         "wl_colors": q_wl_colors,
         "temporal_reach": q_temporal_reach,
@@ -5947,6 +5998,7 @@ def _standalone_oracles() -> dict[str, str]:
         "eccentricity": _ECCENTRICITY_SQL,
         "ktruss_3": _ktruss_sql(3, 5),
         "maximal_independent_set": _mis_sql(6, 42),
+        "maximal_matching": _matching_sql(4, 42),
         "greedy_coloring": _coloring_sql(12, 42),
         "wl_colors": _wl_colors_sql(3),
         "temporal_reach": _temporal_reach_sql(6),
@@ -6149,7 +6201,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     "fused_cores": [
         "core_number", "ktruss_3", "maximal_independent_set",
-        "densest_subgraph", "onion_layers",
+        "densest_subgraph", "onion_layers", "maximal_matching",
     ],
     "fused_coloring_wl": ["greedy_coloring", "wl_colors"],
     "fused_temporal_sssp": [
