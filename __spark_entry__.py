@@ -1878,6 +1878,53 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(e, seed=42).orderBy("id")
 
 
+def q_neighbor_sample(spark, sf_dir):
+    """Two-layer GraphSAGE neighbor sampling (operators/sampling.py
+    neighbor_sample) from the two smallest reply-graph vertices,
+    fanouts (3, 2) — deterministic md5-ranked picks, value-checked
+    against the unrolled SQL replay."""
+    from grandiso_networkx_spark.operators.sampling import neighbor_sample
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.orderBy("id").limit(2)
+    return neighbor_sample(e, seeds, [3, 2], seed=42)
+
+
+def _neighbor_sample_sql(fanouts=(3, 2), seed: int = 42) -> str:
+    parts = [
+        f"""WITH re AS ({_REPLY_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM re WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+f0 AS (SELECT id AS src FROM verts ORDER BY id LIMIT 2)"""
+    ]
+    for h, fan in enumerate(fanouts, start=1):
+        parts.append(
+            f""",
+b{h} AS MATERIALIZED (
+  SELECT {h} AS hop, src, dst FROM (
+    SELECT f.src, s.dst,
+           row_number() OVER (PARTITION BY f.src ORDER BY
+             CAST('0x' || substring(md5(f.src || '|' || s.dst
+                  || '|' || '{h}' || '|' || '{seed}'), 1, 15) AS BIGINT),
+             s.dst) AS rn
+    FROM f{h - 1} f JOIN sym s ON s.src = f.src)
+  WHERE rn <= {fan}),
+f{h} AS (SELECT DISTINCT dst AS src FROM b{h})"""
+        )
+    arms = " UNION ALL ".join(
+        f"SELECT hop, src, dst FROM b{h}" for h in range(1, len(fanouts) + 1)
+    )
+    parts.append(f"\nSELECT hop, src, dst FROM ({arms})")
+    return "".join(parts)
+
+
 def q_maximal_matching(spark, sf_dir):
     """Handshake maximal matching of the reply graph (operators/
     matching.py, portable-md5 edge priorities) — value-checked against
@@ -5840,6 +5887,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "minimum_spanning_forest": q_mst,
         "maximal_independent_set": q_mis,
         "maximal_matching": q_maximal_matching,
+        "neighbor_sample": q_neighbor_sample,
         "greedy_coloring": q_coloring,
         "wl_colors": q_wl_colors,
         "temporal_reach": q_temporal_reach,
@@ -5999,6 +6047,7 @@ def _standalone_oracles() -> dict[str, str]:
         "ktruss_3": _ktruss_sql(3, 5),
         "maximal_independent_set": _mis_sql(6, 42),
         "maximal_matching": _matching_sql(4, 42),
+        "neighbor_sample": _neighbor_sample_sql((3, 2), 42),
         "greedy_coloring": _coloring_sql(12, 42),
         "wl_colors": _wl_colors_sql(3),
         "temporal_reach": _temporal_reach_sql(6),
@@ -6224,7 +6273,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
         "linkpred_events", "link_training_pairs", "simrank_fixed",
     ],
     "fused_walks_uniform": ["random_walks", "weighted_walks"],
-    "fused_walks_node2vec": ["node2vec_walks", "ego_net"],
+    "fused_walks_node2vec": ["node2vec_walks", "ego_net", "neighbor_sample"],
     "fused_graph_summary": [
         "graph_stats", "degree_distribution", "rmat_edges", "graph_coarsen",
         "rich_club", "avg_degree_connectivity",

@@ -134,3 +134,65 @@ def link_training_pairs(
     )
     out = e.select("src", "dst", F.lit(1).alias("label")).unionByName(negs)
     return out
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: list[int],
+    seed: int = 42,
+    directed: bool = False,
+) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling: ``(hop, src, dst)``
+    edge blocks, hop 1 = edges out of the seed set, hop h = edges out
+    of hop h-1's sampled frontier; every frontier vertex keeps at most
+    ``fanouts[h-1]`` neighbors, chosen by portable-md5 rank of
+    ``src|dst|hop|seed`` — the GNN mini-batch primitive, deterministic
+    under any partitioning/retry/engine (unlike rand()-based samplers,
+    a retried task resamples the identical neighbors).
+
+    Scale shape per hop: one equi join (frontier onto the adjacency)
+    + one ``row_number`` window partitioned by the frontier vertex —
+    a hub contributes at most ``fanout`` sampled edges per hop no
+    matter its degree, which is the entire point of layered sampling.
+    The frontier stays a distinct vertex frame (revisited vertices
+    resample the same neighbors — md5 rank is hop-dependent but
+    visit-independent).
+    """
+    if not fanouts or any(f <= 0 for f in fanouts):
+        raise ValueError("fanouts must be a non-empty list of positive ints")
+    e = (
+        (edges.select("src", "dst") if directed else _symmetrize(edges))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()  # multi-edges must not eat fanout slots twice
+        .persist()
+    )
+    frontier = seeds.select(F.col("id").alias("src")).distinct()
+    spark = edges.sparkSession
+    idt = e.schema["src"].dataType.simpleString()
+    out = spark.createDataFrame([], f"hop int, src {idt}, dst {idt}")
+    for h, fan in enumerate(fanouts, start=1):
+        w = Window.partitionBy("src").orderBy("__r", "dst")
+        block = (
+            frontier.join(e, "src")
+            .withColumn(
+                "__r",
+                _hash60(
+                    F.concat_ws(
+                        "|",
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                        F.lit(str(h)),
+                        F.lit(str(seed)),
+                    )
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= fan)
+            .select(F.lit(h).alias("hop"), "src", "dst")
+            .transform(flat_checkpoint)
+        )
+        out = out.unionByName(block)
+        frontier = block.select(F.col("dst").alias("src")).distinct()
+    e.unpersist()
+    return out
