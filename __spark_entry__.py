@@ -1878,6 +1878,56 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(e, seed=42).orderBy("id")
 
 
+def q_matching_coarsen(spark, sf_dir):
+    """Multilevel coarsening step: contract the handshake matching's
+    pairs (label = min endpoint, unmatched vertices keep themselves)
+    into the quotient supergraph — the matching+contract composition
+    every multilevel partitioner runs, composed from the engine's own
+    maximal_matching and coarsen_graph."""
+    from grandiso_networkx_spark.operators.dag import coarsen_graph
+    from grandiso_networkx_spark.operators.matching import maximal_matching
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    m = maximal_matching(e, seed=42)
+    pair_labels = m.select(F.col("src").alias("id"), F.col("src").alias("label")).unionAll(
+        m.select(F.col("dst").alias("id"), F.col("src").alias("label"))
+    )
+    labels = (
+        verts.join(pair_labels, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("label"))
+    )
+    return coarsen_graph(e, labels).select(
+        "src_label", "dst_label", "edge_count", F.round("weight", 6).alias("weight")
+    )
+
+
+def _matching_coarsen_sql() -> str:
+    """Quotient of the reply graph under the handshake-matching
+    contraction (the matching oracle nests as a subquery; src of a
+    matched canonical pair is its min endpoint by construction)."""
+    return f"""
+WITH m AS MATERIALIZED (SELECT src, dst FROM ({_matching_sql(4, 42)})),
+re AS ({_REPLY_EDGES_SQL}),
+verts AS (SELECT DISTINCT id FROM (
+    SELECT src AS id FROM re UNION ALL SELECT dst FROM re)),
+lab AS MATERIALIZED (
+  SELECT v.id, coalesce(p.label, v.id) AS label
+  FROM verts v LEFT JOIN (
+    SELECT src AS id, src AS label FROM m
+    UNION ALL SELECT dst AS id, src AS label FROM m) p USING (id))
+SELECT ls.label AS src_label, ld.label AS dst_label,
+       count(*)::BIGINT AS edge_count,
+       round(sum(1.0), 6) AS weight
+FROM re JOIN lab ls ON ls.id = re.src JOIN lab ld ON ld.id = re.dst
+GROUP BY 1, 2
+"""
+
+
 def q_neighbor_sample(spark, sf_dir):
     """Two-layer GraphSAGE neighbor sampling (operators/sampling.py
     neighbor_sample) from the two smallest reply-graph vertices,
@@ -5887,6 +5937,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "minimum_spanning_forest": q_mst,
         "maximal_independent_set": q_mis,
         "maximal_matching": q_maximal_matching,
+        "matching_coarsen": q_matching_coarsen,
         "neighbor_sample": q_neighbor_sample,
         "greedy_coloring": q_coloring,
         "wl_colors": q_wl_colors,
@@ -6047,6 +6098,7 @@ def _standalone_oracles() -> dict[str, str]:
         "ktruss_3": _ktruss_sql(3, 5),
         "maximal_independent_set": _mis_sql(6, 42),
         "maximal_matching": _matching_sql(4, 42),
+        "matching_coarsen": _matching_coarsen_sql(),
         "neighbor_sample": _neighbor_sample_sql((3, 2), 42),
         "greedy_coloring": _coloring_sql(12, 42),
         "wl_colors": _wl_colors_sql(3),
@@ -6276,7 +6328,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_walks_node2vec": ["node2vec_walks", "ego_net", "neighbor_sample"],
     "fused_graph_summary": [
         "graph_stats", "degree_distribution", "rmat_edges", "graph_coarsen",
-        "rich_club", "avg_degree_connectivity",
+        "rich_club", "avg_degree_connectivity", "matching_coarsen",
     ],
     "fused_vertex_features": ["vertex_features", "feature_neighbor_mean"],
     "fused_retrieval": ["bm25_topk", "tfidf_terms"],
