@@ -1878,6 +1878,25 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(e, seed=42).orderBy("id")
 
 
+def q_vertex_cover(spark, sf_dir):
+    """2-approximation vertex cover = the handshake matching's
+    endpoints (operators/matching.py vertex_cover_2approx)."""
+    from grandiso_networkx_spark.operators.matching import (
+        vertex_cover_2approx,
+    )
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return vertex_cover_2approx(e, seed=42)
+
+
+def _vertex_cover_sql() -> str:
+    return f"""
+WITH m AS (SELECT * FROM ({_matching_sql(4, 42)}))
+SELECT DISTINCT id FROM (
+  SELECT src AS id FROM m UNION ALL SELECT dst AS id FROM m)
+"""
+
+
 def q_matching_coarsen(spark, sf_dir):
     """Multilevel coarsening step: contract the handshake matching's
     pairs (label = min endpoint, unmatched vertices keep themselves)
@@ -5938,6 +5957,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "maximal_independent_set": q_mis,
         "maximal_matching": q_maximal_matching,
         "matching_coarsen": q_matching_coarsen,
+        "vertex_cover": q_vertex_cover,
         "neighbor_sample": q_neighbor_sample,
         "greedy_coloring": q_coloring,
         "wl_colors": q_wl_colors,
@@ -6099,6 +6119,7 @@ def _standalone_oracles() -> dict[str, str]:
         "maximal_independent_set": _mis_sql(6, 42),
         "maximal_matching": _matching_sql(4, 42),
         "matching_coarsen": _matching_coarsen_sql(),
+        "vertex_cover": _vertex_cover_sql(),
         "neighbor_sample": _neighbor_sample_sql((3, 2), 42),
         "greedy_coloring": _coloring_sql(12, 42),
         "wl_colors": _wl_colors_sql(3),
@@ -6303,6 +6324,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_cores": [
         "core_number", "ktruss_3", "maximal_independent_set",
         "densest_subgraph", "onion_layers", "maximal_matching",
+        "vertex_cover",
     ],
     "fused_coloring_wl": ["greedy_coloring", "wl_colors"],
     "fused_temporal_sssp": [

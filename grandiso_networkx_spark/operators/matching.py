@@ -107,3 +107,23 @@ def maximal_matching(
             .transform(flat_checkpoint)
         )
     raise RuntimeError(f"matching did not converge in {max_iter} rounds.")
+
+
+def vertex_cover_2approx(
+    edges: DataFrame, seed: int = 42
+) -> DataFrame:
+    """``(id)`` — a vertex cover at most 2x the minimum (the classic
+    maximal-matching bound: every cover must hit each matched edge at
+    least once, and this cover spends exactly two per matched edge).
+    Deterministic: the endpoints of :func:`maximal_matching` under the
+    same portable-hash priorities.
+
+    Cover property is structural: an uncovered edge would have both
+    endpoints unmatched, contradicting the matching's maximality.
+    """
+    m = maximal_matching(edges, seed=seed)
+    return (
+        m.select(F.col("src").alias("id"))
+        .unionAll(m.select(F.col("dst").alias("id")))
+        .distinct()
+    )

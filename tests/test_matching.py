@@ -103,3 +103,34 @@ def test_weighted_priority_ties_deterministic(spark):
     assert a == b
     # equal weights: smallest (src, dst) wins locally -> (a,b) and (c,d)
     assert a == [("a", "b"), ("c", "d")]
+
+
+class TestVertexCover:
+    @pytest.mark.parametrize("seed", [2, 14])
+    def test_cover_property_and_bound(self, spark, seed):
+        from itertools import combinations
+
+        from grandiso_networkx_spark.operators.matching import (
+            vertex_cover_2approx,
+        )
+
+        g = nx.fast_gnp_random_graph(12, 0.25, seed=seed)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        cover = {
+            r.id for r in vertex_cover_2approx(_edges_df(spark, g)).collect()
+        }
+        # every edge covered
+        for u, v in g.edges():
+            assert str(u) in cover or str(v) in cover
+        # brute-force optimum on the small graph
+        verts = sorted(str(v) for v in g)
+        opt = None
+        for k in range(len(verts) + 1):
+            for sub in combinations(verts, k):
+                s = set(sub)
+                if all(str(u) in s or str(v) in s for u, v in g.edges()):
+                    opt = k
+                    break
+            if opt is not None:
+                break
+        assert len(cover) <= 2 * opt
