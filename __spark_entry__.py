@@ -1878,6 +1878,35 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(e, seed=42).orderBy("id")
 
 
+def q_landmark_distances(spark, sf_dir):
+    """Landmark distance oracle (operators/bfs.py landmark_distances):
+    exact BFS distances from the 2 smallest vertices — the
+    d(u,v) <= min_l d(u,l)+d(l,v) estimation table."""
+    from grandiso_networkx_spark.operators.bfs import landmark_distances
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return landmark_distances(e, n_landmarks=2)
+
+
+_LANDMARK_SQL = f"""
+WITH RECURSIVE re AS ({_REPLY_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM re WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+lms AS (SELECT id FROM verts ORDER BY id LIMIT 2),
+walk(landmark, id, dist) AS (
+  SELECT id, id, 0 FROM lms
+  UNION
+  SELECT w.landmark, s.dst, w.dist + 1
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < 8
+)
+SELECT landmark, id, CAST(min(dist) AS INT) AS dist
+FROM walk GROUP BY landmark, id
+"""
+
+
 def q_vertex_cover(spark, sf_dir):
     """2-approximation vertex cover = the handshake matching's
     endpoints (operators/matching.py vertex_cover_2approx)."""
@@ -5958,6 +5987,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "maximal_matching": q_maximal_matching,
         "matching_coarsen": q_matching_coarsen,
         "vertex_cover": q_vertex_cover,
+        "landmark_distances": q_landmark_distances,
         "neighbor_sample": q_neighbor_sample,
         "greedy_coloring": q_coloring,
         "wl_colors": q_wl_colors,
@@ -6120,6 +6150,7 @@ def _standalone_oracles() -> dict[str, str]:
         "maximal_matching": _matching_sql(4, 42),
         "matching_coarsen": _matching_coarsen_sql(),
         "vertex_cover": _vertex_cover_sql(),
+        "landmark_distances": _LANDMARK_SQL,
         "neighbor_sample": _neighbor_sample_sql((3, 2), 42),
         "greedy_coloring": _coloring_sql(12, 42),
         "wl_colors": _wl_colors_sql(3),
@@ -6315,7 +6346,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_spectral": ["katz_fixed", "eigenvector_fixed", "pagerank_fixed"],
     "fused_distance_centrality": [
         "harmonic_centrality", "closeness_centrality", "eccentricity",
-        "double_sweep",
+        "double_sweep", "landmark_distances",
     ],
     "fused_flow_centrality": [
         "betweenness_centrality", "hits_fixed", "betweenness_sampled",

@@ -95,3 +95,60 @@ def double_sweep(
         F.lit(far).alias("far_id"),
         F.col("diameter_lb").cast("int").alias("diameter_lb"),
     )
+
+
+def landmark_distances(
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    directed: bool = False,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """Landmark distance table ``(landmark, id, dist)`` — exact BFS
+    distances from the ``n_landmarks`` lexicographically smallest
+    vertices to every vertex they reach (the classic distance-oracle /
+    landmark-embedding preprocessing: at query time
+    ``d(u,v) <= min_l d(u,l) + d(l,v)`` upper-bounds any pairwise
+    distance from 2·k lookups instead of a BFS).
+
+    One level-synchronous multi-source BFS keyed ``(landmark, id)`` —
+    a round is one equi join + one anti join regardless of landmark
+    count, the same loop shape as closeness/betweenness's forward
+    sweep.  Landmark choice is deterministic (smallest ids) so the
+    table is a pure function of the edge set; callers wanting
+    degree-biased landmarks pass their own seed frame to
+    :func:`bfs_levels` per landmark instead.
+    """
+    if n_landmarks <= 0:
+        raise ValueError("n_landmarks must be positive")
+    e = (
+        edges.select("src", "dst")
+        if directed
+        else symmetrize(edges)
+    ).where(F.col("src") != F.col("dst")).persist()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    lms = verts.orderBy("id").limit(n_landmarks)
+    dist = lms.select(
+        F.col("id").alias("landmark"), "id", F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = dist.select("landmark", "id")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .select("landmark", F.col("dst").alias("id"))
+            .dropDuplicates(["landmark", "id"])
+            .join(dist.select("landmark", "id"), ["landmark", "id"], "left_anti")
+            .select("landmark", "id", F.lit(depth).alias("dist"))
+            .transform(flat_checkpoint)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).transform(flat_checkpoint)
+        frontier = nxt.select("landmark", "id")
+    else:
+        raise RuntimeError(f"BFS did not terminate within max_depth={max_depth}.")
+    e.unpersist()
+    return dist

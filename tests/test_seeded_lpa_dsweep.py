@@ -129,3 +129,46 @@ class TestDoubleSweep:
 
 def _orig(g, sid):
     return next(v for v in g if str(v) == sid)
+
+
+class TestLandmarks:
+    def test_matches_networkx_bfs(self, spark):
+        from grandiso_networkx_spark.operators.bfs import landmark_distances
+
+        g = nx.fast_gnp_random_graph(24, 0.12, seed=6)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        got = {
+            (r.landmark, r.id): r.dist
+            for r in landmark_distances(_edges_df(spark, g), 3).collect()
+        }
+        lms = sorted(str(v) for v in g)[:3]
+        want = {}
+        for lm in lms:
+            src = next(v for v in g if str(v) == lm)
+            for v, d in nx.single_source_shortest_path_length(g, src).items():
+                want[(lm, str(v))] = d
+        assert got == want
+
+    def test_triangle_inequality_bound(self, spark):
+        from grandiso_networkx_spark.operators.bfs import landmark_distances
+
+        g = nx.fast_gnp_random_graph(18, 0.2, seed=8)
+        g = g.subgraph(max(nx.connected_components(g), key=len)).copy()
+        rows = landmark_distances(_edges_df(spark, g), 2).collect()
+        d = {(r.landmark, r.id): r.dist for r in rows}
+        lms = {r.landmark for r in rows}
+        for u in g:
+            for v in g:
+                est = min(
+                    d[(l, str(u))] + d[(l, str(v))]
+                    for l in lms
+                    if (l, str(u)) in d and (l, str(v)) in d
+                )
+                assert est >= nx.shortest_path_length(g, u, v)
+
+    def test_validation(self, spark):
+        from grandiso_networkx_spark.operators.bfs import landmark_distances
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            landmark_distances(df, 0)
