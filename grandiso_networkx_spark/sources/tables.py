@@ -45,6 +45,18 @@ def read_transcripts(
             ) from exc
     elif fmt == "parquet":
         df = spark.read.parquet(source)
+    elif fmt in ("csv", "json"):
+        # explicit schema: no inference pass over a 10^12-turn dump,
+        # and ts parses as a real timestamp instead of a string guess
+        schema = (
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        reader = spark.read.schema(schema)
+        if fmt == "csv":
+            df = reader.option("header", "true").csv(source)
+        else:
+            df = reader.json(source)
     else:
         raise ValueError(f"unsupported transcript format: {fmt!r}")
     df = df.select(*TRANSCRIPT_COLUMNS)

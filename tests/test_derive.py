@@ -118,3 +118,26 @@ def test_iceberg_scan_gated(spark):
         read_transcripts(spark, "nocat.db.tbl", fmt="iceberg")
     with pytest.raises(ValueError):
         read_transcripts(spark, "x", fmt="orc2")
+
+
+def test_csv_json_transcript_scan(spark, tmp_path):
+    """CSV/JSON ingestion shares the parquet scan contract: explicit
+    schema (no inference pass), same columns, same derived edges."""
+    from grandiso_networkx_spark.operators.derive import derive_edges
+    from grandiso_networkx_spark.sources.tables import read_transcripts
+    from grandiso_networkx_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=12)
+    csv_p, json_p = f"{tmp_path}/t_csv", f"{tmp_path}/t_json"
+    t.write.option("header", "true").mode("overwrite").csv(csv_p)
+    t.write.mode("overwrite").json(json_p)
+    want = sorted(
+        tuple(r) for r in derive_edges(t).collect()
+    )
+    for fmt, path in (("csv", csv_p), ("json", json_p)):
+        back = read_transcripts(spark, path, fmt=fmt)
+        assert back.columns == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        ]
+        got = sorted(tuple(r) for r in derive_edges(back).collect())
+        assert got == want, fmt
