@@ -5259,6 +5259,39 @@ SELECT u AS user_id, t0, t1, t2 FROM s2
 """
 
 
+def q_user_activity(spark, sf_dir):
+    """Per-user session profile (operators/olap.py
+    user_activity_features): volume, diversity, span, mean gap, and
+    modal event type — the dialogue-curation feature table."""
+    from grandiso_networkx_spark.operators.olap import user_activity_features
+
+    return user_activity_features(_t(spark, sf_dir, "events"))
+
+
+_USER_ACTIVITY_SQL = """
+WITH base AS (
+  SELECT user_id, count(*) AS n_events,
+         count(DISTINCT event_type) AS n_types,
+         min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, event_type AS top_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY count(*) DESC, event_type ASC) AS rn
+    FROM events GROUP BY user_id, event_type) t WHERE rn = 1
+)
+SELECT b.user_id, b.n_events, b.n_types,
+       round((t1 - t0) / 1000000.0, 6) AS span_sec,
+       round(CASE WHEN n_events > 1
+             THEN ((t1 - t0) / 1000000.0) / (n_events - 1) END, 6)
+         AS mean_gap_sec,
+       top.top_type
+FROM base b JOIN top USING (user_id)
+"""
+
+
 def q_event_rollup(spark, sf_dir):
     """ROLLUP subtotals over (event_type, hour-of-day)
     (operators/olap.py) — one Expand + hash aggregate; subtotal keys
@@ -5938,6 +5971,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pmi_pairs": q_pmi_pairs,
         "cms_sketch": q_cms_sketch,
         "event_rollup": q_event_rollup,
+        "user_activity": q_user_activity,
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "event_outliers": q_event_outliers,
@@ -6100,6 +6134,7 @@ def _standalone_oracles() -> dict[str, str]:
         "pmi_pairs": _PMI_SQL,
         "cms_sketch": _CMS_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
+        "user_activity": _USER_ACTIVITY_SQL,
         "event_funnel": _EVENT_FUNNEL_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "event_outliers": _EVENT_OUTLIERS_SQL,
@@ -6332,6 +6367,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_event_funnel": ["event_funnel", "retention_cohorts", "event_sessions"],
     "fused_event_outliers": [
         "event_outliers", "user_running_totals", "top_transitions",
+        "user_activity",
     ],
     "fused_event_joins": ["event_asof_signup", "event_interval_join"],
     "fused_user_graph": [

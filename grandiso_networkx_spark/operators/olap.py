@@ -142,3 +142,62 @@ def retention_cohorts(
         .groupBy("cohort_start", "period")
         .agg(F.count_distinct("u").alias("n_users"))
     )
+
+
+def user_activity_features(events: DataFrame) -> DataFrame:
+    """Per-user event-sequence profile ``(user_id, n_events, n_types,
+    span_sec, mean_gap_sec, top_type)`` — the session/conversation
+    feature table a dialogue-data curation pass filters on (activity
+    volume, diversity, pacing, dominant action).
+
+    - ``span_sec``    — last minus first event time, seconds;
+    - ``mean_gap_sec``— ``span / (n_events - 1)`` (NULL for a single
+      event) — the average inter-event gap without materializing the
+      per-gap stream;
+    - ``top_type``    — most frequent event type, ties broken by the
+      lexicographically smallest (the engine's standard rule).
+
+    Scale shape: ONE ``groupBy(user_id)`` over the event scan plus a
+    ``groupBy(user_id, event_type)`` + per-user top-1 window for the
+    mode — both map-side combined; timestamps reduce via integer
+    epoch-micros so any SQL replay is bit-identical.
+    """
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        # micros since epoch, timezone-free — matches DuckDB epoch_us
+        # on the same wall-clock value (the parquet tables are NTZ)
+        epoch = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:
+        epoch = F.unix_micros(F.col("ts"))
+    base = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min(epoch).alias("__t0"),
+        F.max(epoch).alias("__t1"),
+    )
+    span = (F.col("__t1") - F.col("__t0")) / F.lit(1_000_000.0)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("__n"), F.asc("event_type")
+    )
+    top = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    return base.join(top, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(span, 6).alias("span_sec"),
+        F.round(
+            F.when(
+                F.col("n_events") > 1, span / (F.col("n_events") - 1)
+            ),
+            6,
+        ).alias("mean_gap_sec"),
+        "top_type",
+    )

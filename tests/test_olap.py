@@ -93,3 +93,28 @@ class TestRetentionCohorts:
             (0, 2): 1,   # user 1 returned two buckets later
             (10, 0): 1,  # user 2's cohort
         }
+
+
+def test_user_activity_features(spark):
+    import datetime as dt
+
+    from grandiso_networkx_spark.operators.olap import user_activity_features
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, "a", t0),
+        (1, "b", t0 + dt.timedelta(seconds=10)),
+        (1, "a", t0 + dt.timedelta(seconds=30)),
+        (2, "z", t0),
+        (3, "b", t0),
+        (3, "c", t0 + dt.timedelta(seconds=5)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {r.user_id: r for r in user_activity_features(ev).collect()}
+    assert got[1].n_events == 3 and got[1].n_types == 2
+    assert got[1].span_sec == 30.0 and got[1].mean_gap_sec == 15.0
+    assert got[1].top_type == "a"  # 2 vs 1
+    assert got[2].mean_gap_sec is None and got[2].span_sec == 0.0
+    assert got[3].top_type == "b"  # tie 1-1 -> smallest
