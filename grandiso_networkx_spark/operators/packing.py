@@ -84,6 +84,11 @@ def pack_sequences(
     consecutive windows — the explode enumerates every window it
     touches.  The piece arithmetic is pure JVM column math; the only
     exchange in the plan is the hash partition by ``shard``.
+
+    PRECONDITION: ``id_col`` values are unique (the documents table's
+    key).  Duplicate ids would make the within-shard order — and
+    therefore the window layout — ambiguous between runs; dedup first
+    (``exact_dedup``/``near_dedup_keep``) as any real pipeline does.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
