@@ -11,10 +11,10 @@ __version__ = "0.1.0"
 
 from .graph import HostGraph
 from .plans.motif import Motif, compile_plan, uniform_node_interestingness
-from .operators.betweenness import betweenness_centrality
+from .operators.betweenness import betweenness_centrality, edge_betweenness
 from .operators.anomaly import robust_outliers
 from .operators.asof import asof_join
-from .operators.bfs import bfs_levels
+from .operators.bfs import bfs_levels, double_sweep, landmark_distances
 from .operators.bipartite import bipartite_project
 from .operators.components import (
     connected_components,
@@ -27,7 +27,11 @@ from .operators.closeness import (
 )
 from .operators.coloring import greedy_coloring
 from .operators.cms import cms_build, cms_heavy_hitters, cms_query
-from .operators.community import modularity, partition_quality
+from .operators.community import (
+    modularity,
+    partition_agreement,
+    partition_quality,
+)
 from .operators.cooccur import pmi_pairs, skipgram_pairs
 from .operators.curation import (
     curate_corpus,
@@ -49,8 +53,17 @@ from .operators.hyperball import (
     two_hop_counts,
 )
 from .operators.katz import katz_centrality
-from .operators.kcore import core_number, k_core, k_truss, truss_number
-from .operators.label_propagation import label_propagation
+from .operators.kcore import (
+    core_number,
+    k_core,
+    k_truss,
+    onion_layers,
+    truss_number,
+)
+from .operators.label_propagation import (
+    label_propagation,
+    seeded_label_propagation,
+)
 from .operators.linkpred import link_prediction_scores
 from .operators.match import find_motifs, find_motifs_df, find_motifs_iter
 from .operators.mis import maximal_independent_set
@@ -63,13 +76,30 @@ from .operators.olap import (
     event_rollup,
     retention_cohorts,
     top_transitions_per_user,
+    user_activity_features,
     user_running_totals,
 )
+from .operators.packing import (
+    chunk_documents,
+    mixture_sample,
+    mixture_weights,
+    pack_sequences,
+    pack_stats,
+)
+from .operators.lmscore import (
+    bigram_logprob,
+    bigram_model,
+    lm_quality_buckets,
+    unigram_logprob,
+)
+from .operators.tokenize import token_ids, vocab_table
+from .operators.sparsify import sparsify_similarity
+from .operators.matching import maximal_matching, vertex_cover_2approx
 from .operators.pagerank import pagerank
 from .operators.rangejoin import interval_join
 from .operators.ppr import personalized_pagerank
 from .operators.retrieval import bm25_topk, tfidf_terms
-from .operators.sampling import ego_net, link_training_pairs
+from .operators.sampling import ego_net, link_training_pairs, neighbor_sample
 from .operators.scc import strongly_connected_components
 from .operators.similarity import embedding_clusters
 from .operators.sssp import sssp
@@ -83,7 +113,11 @@ from .operators.stats import (
     local_clustering,
     transitivity,
 )
-from .operators.triangles import per_vertex_triangles, triangle_count
+from .operators.triangles import (
+    per_vertex_triangles,
+    triangle_count,
+    triangle_count_sampled,
+)
 from .operators.wl import wl_colors, wl_graph_hash
 from .operators.walks import (
     node2vec_walks,
@@ -105,6 +139,30 @@ from .sources.bucketed import (
 # plus the analytics / training-data operators the reference lacks.
 __all__ = [
     "HostGraph",
+    "bigram_logprob",
+    "bigram_model",
+    "chunk_documents",
+    "double_sweep",
+    "edge_betweenness",
+    "landmark_distances",
+    "lm_quality_buckets",
+    "maximal_matching",
+    "mixture_sample",
+    "mixture_weights",
+    "neighbor_sample",
+    "onion_layers",
+    "pack_sequences",
+    "pack_stats",
+    "partition_agreement",
+    "seeded_label_propagation",
+    "sparsify_similarity",
+    "token_ids",
+    "triangle_count_sampled",
+    "unigram_logprob",
+    "user_activity_features",
+    "vertex_cover_2approx",
+    "vocab_table",
+
     "Motif",
     "asof_join",
     "attribute_assortativity",
