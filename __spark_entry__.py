@@ -343,6 +343,61 @@ SELECT id, count(*) AS tri_count FROM stacked GROUP BY id
 """
 
 
+def q_four_profile(spark, sf_dir):
+    """Exact induced 4-vertex graphlet profile of the reply graph
+    (operators/triangles.py four_profile) — closed-form aggregates +
+    one bounded K4 incidence count, inclusion-exclusion to induced."""
+    from grandiso_networkx_spark.operators.triangles import four_profile
+
+    e = q_reply_edges(spark, sf_dir).select("src", "dst")
+    return four_profile(e)
+
+
+_FOUR_PROFILE_SQL = f"""
+WITH re AS ({_REPLY_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM re WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM re WHERE src <> dst)),
+und AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+tri AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tt AS (SELECT count(*) AS t FROM tri),
+tv AS (SELECT id, count(*) AS t FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY id),
+cp AS (SELECT coalesce(sum(d * (d-1) * (d-2) / 6.0), 0) AS claw,
+              coalesce(sum(coalesce(tv.t, 0) * (d - 2)), 0) AS paw
+       FROM deg LEFT JOIN tv ON tv.id = deg.id),
+p4c AS (SELECT coalesce(sum((du.d - 1) * (dv.d - 1)), 0)
+               - 3 * (SELECT t FROM tt) AS p4
+        FROM und JOIN deg du ON du.id = und.a
+        JOIN deg dv ON dv.id = und.b),
+cnp AS MATERIALIZED (
+  SELECT s1.src AS a, s2.src AS b, count(*) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst AND s1.src < s2.src
+  GROUP BY 1, 2),
+c4c AS (SELECT coalesce(sum(cn * (cn-1) / 2.0) / 2.0, 0) AS c4 FROM cnp),
+diac AS (SELECT coalesce(sum(cnp.cn * (cnp.cn - 1) / 2.0), 0) AS diamond
+         FROM cnp JOIN und ON und.a = cnp.a AND und.b = cnp.b),
+k4c AS (SELECT count(*) / 4.0 AS k4
+        FROM tri JOIN sym s1 ON s1.src = tri.a
+        WHERE EXISTS (SELECT 1 FROM sym s2
+                      WHERE s2.src = tri.b AND s2.dst = s1.dst)
+          AND EXISTS (SELECT 1 FROM sym s3
+                      WHERE s3.src = tri.c AND s3.dst = s1.dst))
+SELECT CAST(p4 - 4*c4 - 2*paw + 6*diamond - 12*k4 AS BIGINT) AS p4,
+       CAST(claw - paw + 2*diamond - 4*k4 AS BIGINT) AS claw,
+       CAST(c4 - diamond + 3*k4 AS BIGINT) AS c4,
+       CAST(paw - 4*diamond + 12*k4 AS BIGINT) AS paw,
+       CAST(diamond - 6*k4 AS BIGINT) AS diamond,
+       CAST(k4 AS BIGINT) AS k4
+FROM cp, p4c, c4c, diac, k4c
+"""
+
+
 def q_local_clustering(spark, sf_dir):
     """Per-vertex local clustering coefficient over the reply graph
     (``nx.clustering`` semantics — 2·tri/(deg·(deg−1)), 0 below degree
@@ -5936,6 +5991,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
         "triangle_doulion": q_triangle_doulion,
+        "four_profile": q_four_profile,
         "local_clustering": q_local_clustering,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -6099,6 +6155,7 @@ def _standalone_oracles() -> dict[str, str]:
         "triangle_count": _TRIANGLE_SQL,
         "triangle_per_vertex": _TRIANGLE_PER_VERTEX_SQL,
         "triangle_doulion": _TRIANGLE_DOULION_SQL,
+        "four_profile": _FOUR_PROFILE_SQL,
         "local_clustering": _LOCAL_CLUSTERING_SQL,
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
@@ -6338,6 +6395,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_triangles": [
         "triangle_count", "triangle_per_vertex", "local_clustering",
         "edge_embeddedness", "triad_census", "triangle_doulion",
+        "four_profile",
     ],
     "fused_tpch": ["pricing_summary", "top_customers", "regional_volume"],
     "fused_dedup_exact": [

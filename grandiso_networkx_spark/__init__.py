@@ -114,6 +114,7 @@ from .operators.stats import (
     transitivity,
 )
 from .operators.triangles import (
+    four_profile,
     per_vertex_triangles,
     triangle_count,
     triangle_count_sampled,
@@ -144,6 +145,7 @@ __all__ = [
     "chunk_documents",
     "double_sweep",
     "edge_betweenness",
+    "four_profile",
     "landmark_distances",
     "lm_quality_buckets",
     "maximal_matching",

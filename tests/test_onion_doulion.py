@@ -97,3 +97,60 @@ class TestDoulion:
             triangle_count_sampled(df, keep=0)
         with pytest.raises(ValueError):
             triangle_count_sampled(df, keep=2000, mod=1000)
+
+
+class TestFourProfile:
+    @staticmethod
+    def _brute(g):
+        from itertools import combinations
+
+        pats = {
+            "p4": nx.path_graph(4),
+            "claw": nx.star_graph(3),
+            "c4": nx.cycle_graph(4),
+            "paw": nx.Graph([(0, 1), (1, 2), (2, 0), (0, 3)]),
+            "diamond": nx.Graph([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]),
+            "k4": nx.complete_graph(4),
+        }
+        out = dict.fromkeys(pats, 0)
+        for quad in combinations(g.nodes(), 4):
+            sub = g.subgraph(quad)
+            if not nx.is_connected(sub):
+                continue
+            for name, p in pats.items():
+                if nx.is_isomorphic(sub, p):
+                    out[name] += 1
+                    break
+        return out
+
+    @pytest.mark.parametrize("seed", [4, 15, 33])
+    def test_matches_brute_force(self, spark, seed):
+        from grandiso_networkx_spark.operators.triangles import four_profile
+
+        g = nx.fast_gnp_random_graph(14, 0.3, seed=seed)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        df = spark.createDataFrame(
+            [(str(u), str(v)) for u, v in g.edges()], "src string, dst string"
+        )
+        row = four_profile(df).collect()[0]
+        want = self._brute(g)
+        got = {k: row[k] for k in want}
+        assert got == want
+
+    def test_known_shapes(self, spark):
+        from grandiso_networkx_spark.operators.triangles import four_profile
+
+        for g, key, n in [
+            (nx.complete_graph(4), "k4", 1),
+            (nx.cycle_graph(4), "c4", 1),
+            (nx.path_graph(4), "p4", 1),
+            (nx.star_graph(3), "claw", 1),
+        ]:
+            df = spark.createDataFrame(
+                [(str(u), str(v)) for u, v in g.edges()],
+                "src string, dst string",
+            )
+            row = four_profile(df).collect()[0]
+            prof = {k: row[k] for k in ("p4", "claw", "c4", "paw", "diamond", "k4")}
+            assert prof.pop(key) == n, (key, prof)
+            assert all(v == 0 for v in prof.values()), (key, prof)
