@@ -4462,6 +4462,82 @@ FROM per, tot
 """
 
 
+def q_local_community(spark, sf_dir):
+    """ACL seed-local community (operators/community.py
+    local_community): 6-round weighted PPR from the smallest reply
+    vertex, rank/degree sweep, best-conductance prefix — the local
+    clustering primitive that never touches the full graph."""
+    from grandiso_networkx_spark.operators.community import local_community
+
+    e = q_reply_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(1)
+    )
+    return local_community(e, seeds, fixed_iterations=6, weight_col="weight")
+
+
+def _local_comm_sql(iters: int = 6) -> str:
+    """Sweep-cut replay: the weighted symmetrized PPR chain (same
+    g/x structure as _ppr_fixed_sql) + cumulative volume/internal
+    windows over the reached set, argmin conductance prefix."""
+    parts = [
+        f"""WITH e0 AS ({_REPLY_EDGES_SQL}),
+undw AS (SELECT src, dst, sum(w) AS w FROM (
+    SELECT src, dst, weight * 1.0 AS w FROM e0 WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight * 1.0 AS w FROM e0
+    WHERE src <> dst) GROUP BY src, dst),
+sym AS MATERIALIZED (SELECT src, dst FROM undw),
+outw AS (SELECT src, sum(w) AS w FROM undw GROUP BY src),
+seeds AS (SELECT min(src) AS seed FROM sym),
+x0 AS (SELECT seed, seed AS vid, 1.0 AS r FROM seeds)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+g{i} AS (SELECT x.seed,
+         coalesce(e.dst, x.seed) AS vid,
+         CASE WHEN o.w IS NULL THEN 0.85 * x.r
+              ELSE 0.85 * x.r * e.w / o.w END AS t
+  FROM x{i} x
+  LEFT JOIN outw o ON o.src = x.vid
+  LEFT JOIN undw e ON e.src = x.vid),
+x{i + 1} AS (SELECT seed, vid, sum(t) AS r FROM (
+    SELECT seed, vid, t FROM g{i}
+    UNION ALL SELECT seed, seed AS vid, 0.15 AS t FROM seeds
+  ) u GROUP BY seed, vid)"""
+        )
+    parts.append(
+        f""",
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+tv AS (SELECT sum(d) AS total FROM deg),
+ranked AS MATERIALIZED (
+  SELECT x.vid AS id, deg.d,
+         row_number() OVER (ORDER BY x.r / deg.d DESC, x.vid) AS pos
+  FROM x{iters} x JOIN deg ON deg.id = x.vid),
+vol AS (SELECT pos,
+        sum(d) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS vol
+        FROM ranked),
+inte AS (SELECT greatest(pu.pos, pv.pos) AS mp, count(*) AS n
+  FROM (SELECT src AS a, dst AS b FROM sym WHERE src < dst) c
+  JOIN ranked pu ON pu.id = c.a
+  JOIN ranked pv ON pv.id = c.b
+  GROUP BY 1),
+sweep AS (
+  SELECT pos,
+         (vol - 2 * coalesce(sum(n) OVER (ORDER BY pos
+              ROWS UNBOUNDED PRECEDING), 0)) AS cut,
+         least(vol, (SELECT total FROM tv) - vol) AS denom
+  FROM vol LEFT JOIN inte ON inte.mp = vol.pos),
+best AS (SELECT pos AS k, cut / denom AS phi FROM sweep
+         WHERE denom > 0 ORDER BY cut / denom, pos LIMIT 1)
+SELECT r.id, CAST(r.pos AS INT) AS pos,
+       round((SELECT phi FROM best), 6) AS conductance
+FROM ranked r WHERE r.pos <= (SELECT k FROM best)"""
+    )
+    return "".join(parts)
+
+
 def q_partition_agreement(spark, sf_dir):
     """ARI + NMI between the engine's own connected-components and
     8-round LPA partitions of the reply graph
@@ -6108,6 +6184,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "partition_quality": q_partition_quality,
         "modularity": q_modularity,
         "partition_agreement": q_partition_agreement,
+        "local_community": q_local_community,
         "hits_fixed": q_hits_invoke,
         "salsa_fixed": q_salsa_fixed,
         "salsa_scores": q_salsa_scores,
@@ -6271,6 +6348,7 @@ def _standalone_oracles() -> dict[str, str]:
         "partition_quality": _PARTITION_QUALITY_SQL,
         "modularity": _MODULARITY_SQL,
         "partition_agreement": _partition_agreement_sql(),
+        "local_community": _local_comm_sql(6),
         "hits_fixed": _hits_fixed_sql(8),
         "salsa_fixed": _salsa_fixed_sql(4),
         "salsa_scores": _SALSA_SCORES_SQL,
@@ -6462,7 +6540,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     "fused_communities": [
         "label_propagation", "label_propagation_weighted", "louvain_round",
-        "seeded_lpa",
+        "seeded_lpa", "local_community",
     ],
     "fused_community_quality": [
         "modularity", "partition_quality", "attr_assortativity",

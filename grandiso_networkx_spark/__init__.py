@@ -28,6 +28,7 @@ from .operators.closeness import (
 from .operators.coloring import greedy_coloring
 from .operators.cms import cms_build, cms_heavy_hitters, cms_query
 from .operators.community import (
+    local_community,
     modularity,
     partition_agreement,
     partition_quality,
@@ -147,6 +148,7 @@ __all__ = [
     "edge_betweenness",
     "four_profile",
     "landmark_distances",
+    "local_community",
     "lm_quality_buckets",
     "maximal_matching",
     "mixture_sample",

@@ -673,3 +673,133 @@ def partition_agreement(p1: DataFrame, p2: DataFrame) -> DataFrame:
     )
     cont.unpersist()
     return out
+
+
+def local_community(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fixed_iterations: int = 6,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Seed-local community by PPR sweep cut (Andersen–Chung–Lang
+    2006): ``(id, pos, conductance)`` — the best-conductance prefix of
+    the reached vertices ordered by ``rank/degree``.
+
+    Pinned rule: scores are the engine's fixed-round personalized
+    PageRank from the (single) seed; the sweep orders reached
+    vertices by ``rank/deg`` (ties → smallest id) over the
+    SYMMETRIZED UNWEIGHTED simple graph and returns the prefix
+    minimizing ``cut(S)/min(vol(S), vol(V∖S))`` (ties → smallest
+    prefix; prefixes with a zero denominator are skipped).
+    ``conductance`` repeats the winning value on every row.
+
+    Scale shape: the expensive part is the PPR loop (shared machinery,
+    O(rounds·E)); the sweep itself runs over the REACHED set only —
+    locality is the point — so its ordering window and the two
+    cumulative sums are small-frame operations, with the per-edge
+    ``max(pos)`` attach as the only join against the edge set.
+    """
+    from .ppr import personalized_pagerank
+
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    if weight_col is not None:
+        und_w = edges.where(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.col(weight_col).cast("double").alias("__w")
+        )
+        walk_edges = (
+            und_w.unionAll(
+                und_w.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "__w"
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+        )
+        p = personalized_pagerank(
+            walk_edges, seeds, weight_col="__w",
+            fixed_iterations=fixed_iterations,
+        ).select("id", "rank")
+    else:
+        # the PPR walk runs on the SYMMETRIZED graph — community
+        # membership must not depend on stored edge orientation
+        p = personalized_pagerank(
+            sym, seeds, fixed_iterations=fixed_iterations
+        ).select("id", "rank")
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    total_vol = sym.count()  # = 2m
+    from pyspark.sql import Window
+
+    ranked = (
+        p.join(deg, "id")
+        .withColumn("__s", F.col("rank") / F.col("deg"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.desc("__s"), F.asc("id"))
+            ),
+        )
+        .persist()
+    )
+    wk = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    vol = ranked.select("pos", F.sum("deg").over(wk).alias("vol"))
+    can = sym.where(F.col("src") < F.col("dst"))
+    internal = (
+        can.join(
+            ranked.select(F.col("id").alias("src"), F.col("pos").alias("pu")),
+            "src",
+        )
+        .join(
+            ranked.select(F.col("id").alias("dst"), F.col("pos").alias("pv")),
+            "dst",
+        )
+        .select(F.greatest("pu", "pv").alias("mp"))
+        .groupBy("mp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wi = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        vol.join(internal.withColumnRenamed("mp", "pos"), "pos", "left")
+        .select(
+            "pos",
+            "vol",
+            F.sum(F.coalesce("n", F.lit(0))).over(wi).alias("internal"),
+        )
+        .select(
+            "pos",
+            (F.col("vol") - 2 * F.col("internal")).alias("cut"),
+            F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")).alias(
+                "denom"
+            ),
+        )
+        .where(F.col("denom") > 0)
+        .select(
+            "pos", (F.col("cut") / F.col("denom")).alias("phi")
+        )
+    )
+    best = sweep.agg(
+        F.min(F.struct("phi", "pos")).alias("b")
+    ).select(
+        F.col("b.pos").alias("__k"), F.col("b.phi").alias("__phi")
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(best))
+        .where(F.col("pos") <= F.col("__k"))
+        .select("id", "pos", F.round(F.col("__phi"), 6).alias("conductance"))
+    )
+    rows = out.collect()
+    sym.unpersist()
+    ranked.unpersist()
+    idt = ranked.schema["id"].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        rows, f"id {idt}, pos int, conductance double"
+    )

@@ -261,3 +261,72 @@ class TestPartitionAgreement:
             self._df(spark, m1), self._df(spark, m2)
         ).collect()[0]
         assert row.n == 2
+
+
+class TestLocalCommunity:
+    def test_two_cliques_sweep_finds_seed_clique(self, spark):
+        from grandiso_networkx_spark.operators.community import local_community
+
+        g = nx.Graph()
+        g.add_edges_from(nx.complete_graph(range(0, 5)).edges())
+        g.add_edges_from(nx.complete_graph(range(10, 15)).edges())
+        g.add_edge(4, 10)
+        df = spark.createDataFrame(
+            [(str(u), str(v)) for u, v in g.edges()], "src string, dst string"
+        )
+        seeds = spark.createDataFrame([("0",)], "id string")
+        rows = local_community(df, seeds, fixed_iterations=8).collect()
+        members = {r.id for r in rows}
+        assert members == {"0", "1", "2", "3", "4"}
+        # conductance of the K5 side: cut=1, vol=21 -> 1/21
+        assert rows[0].conductance == round(1 / 21, 6)
+
+    def test_matches_python_replay(self, spark):
+        from grandiso_networkx_spark.operators.community import local_community
+        from grandiso_networkx_spark.operators.ppr import personalized_pagerank
+
+        g = nx.fast_gnp_random_graph(22, 0.15, seed=10)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        df = spark.createDataFrame(
+            [(str(u), str(v)) for u, v in g.edges()], "src string, dst string"
+        )
+        seed = sorted(str(v) for v in g)[0]
+        seeds = spark.createDataFrame([(seed,)], "id string")
+        got = {(r.id, r.pos) for r in local_community(df, seeds).collect()}
+
+        # replay the pinned rule from the engine's own PPR scores
+        # over the symmetrized graph (the op's walk contract)
+        sym = df.unionAll(df.selectExpr("dst as src", "src as dst")).distinct()
+        p = {
+            r.id: r.rank
+            for r in personalized_pagerank(
+                sym, seeds, fixed_iterations=6
+            ).collect()
+        }
+        deg = {str(v): g.degree(v) for v in g}
+        order = sorted(
+            (v for v in p if v in deg),
+            key=lambda v: (-(p[v] / deg[v]), v),
+        )
+        total = 2 * g.number_of_edges()
+        best = None
+        S = set()
+        vol = 0
+        internal = 0
+        for k, v in enumerate(order, start=1):
+            vol += deg[v]
+            internal += sum(1 for u in g[_orig2(g, v)] if str(u) in S)
+            S.add(v)
+            cut = vol - 2 * internal
+            denom = min(vol, total - vol)
+            if denom <= 0:
+                continue
+            phi = cut / denom
+            if best is None or phi < best[0]:
+                best = (phi, k)
+        want = {(v, i + 1) for i, v in enumerate(order[: best[1]])}
+        assert got == want
+
+
+def _orig2(g, sid):
+    return next(v for v in g if str(v) == sid)
