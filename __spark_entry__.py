@@ -5782,6 +5782,35 @@ FROM pt LEFT JOIN v USING (tok)
 """
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law least-squares fit over the corpus vocabulary
+    (operators/tokenize.py zipf_fit) — the one-row corpus-health
+    diagnostic (slope ≈ -1 for natural text)."""
+    from grandiso_networkx_spark.operators.tokenize import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+_ZIPF_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y, n
+  FROM counts)
+SELECT count(*) AS n_types, sum(n)::BIGINT AS n_tokens,
+       round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6)
+         AS intercept,
+       round(covar_pop(x, y) * covar_pop(x, y)
+             / (var_pop(x) * var_pop(y)), 6) AS r2
+FROM ranked
+"""
+
+
 def q_edge_embeddedness(spark, sf_dir):
     """Per-edge common-neighbor counts on the undirected reply graph
     (operators/triangles.py edge_embeddedness) — tie-strength signal,
@@ -6079,6 +6108,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bigram_logprob": q_bigram_logprob,
         "vocab_table": q_vocab_table,
         "token_ids": q_token_ids,
+        "zipf_fit": q_zipf_fit,
         "edge_embeddedness": q_edge_embeddedness,
         "rich_club": q_rich_club,
         "clique4_motif_count": q_clique4_motif_count,
@@ -6244,6 +6274,7 @@ def _standalone_oracles() -> dict[str, str]:
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "vocab_table": _VOCAB_TABLE_SQL,
         "token_ids": _TOKEN_IDS_SQL,
+        "zipf_fit": _ZIPF_SQL,
         "edge_embeddedness": _EDGE_EMBED_SQL,
         "rich_club": _RICH_CLUB_SQL,
         "clique4_motif_count": _CLIQUE4_SQL,
@@ -6483,6 +6514,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_token_stats": [
         "token_counts", "token_quantiles", "token_entropy", "vocab_coverage",
         "unigram_logprob", "bigram_logprob", "vocab_table", "token_ids",
+        "zipf_fit",
     ],
     "fused_quality": [
         "quality_features", "repetition_features", "lang_guess",

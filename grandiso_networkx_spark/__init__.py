@@ -93,7 +93,7 @@ from .operators.lmscore import (
     lm_quality_buckets,
     unigram_logprob,
 )
-from .operators.tokenize import token_ids, vocab_table
+from .operators.tokenize import token_ids, vocab_table, zipf_fit
 from .operators.sparsify import sparsify_similarity
 from .operators.matching import maximal_matching, vertex_cover_2approx
 from .operators.pagerank import pagerank
@@ -166,6 +166,7 @@ __all__ = [
     "user_activity_features",
     "vertex_cover_2approx",
     "vocab_table",
+    "zipf_fit",
 
     "Motif",
     "asof_join",

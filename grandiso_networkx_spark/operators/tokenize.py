@@ -77,3 +77,43 @@ def token_ids(
             F.coalesce("tid", F.lit(unk_id).cast("long")).alias("tid"),
         )
     )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution — one row
+    ``(n_types, n_tokens, slope, intercept, r2)`` from the least-
+    squares regression of ``ln(freq)`` on ``ln(rank)`` over the whole
+    vocabulary (natural text ⇒ slope ≈ -1; a far-off slope flags
+    templated/synthetic corpora — the cheapest corpus-health
+    diagnostic there is).
+
+    Rank order is the deterministic :func:`vocab_table` order
+    (count desc, token asc).  One tokenize pass + one vocabulary
+    ``row_number`` (|V| rows by Heaps' law) + one closed-form
+    regression aggregate (``covar_pop``/``var_pop`` — no iteration);
+    population moments over exact ln values, so any SQL replay is
+    IEEE-identical.
+    """
+    counts = (
+        _positioned_tokens(docs, text_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+        "n",
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(
+            (F.covar_pop("x", "y") * F.covar_pop("x", "y"))
+            / (F.var_pop("x") * F.var_pop("y")),
+            6,
+        ).alias("r2"),
+    )

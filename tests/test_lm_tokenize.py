@@ -125,3 +125,40 @@ def test_token_ids_with_oov(spark, docs_df):
 def test_vocab_validation(spark, docs_df):
     with pytest.raises(ValueError):
         vocab_table(docs_df, 0)
+
+
+def test_zipf_fit_matches_numpy(spark, docs_df):
+    import math
+
+    import numpy as np
+
+    from grandiso_networkx_spark.operators.tokenize import zipf_fit
+
+    row = zipf_fit(docs_df).collect()[0]
+    cnt = Counter(t for _, text in DOCS for t in _toks(text))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([n for _, n in ranked], dtype=float))
+    slope = ((x - x.mean()) * (y - y.mean())).mean() / ((x - x.mean()) ** 2).mean()
+    inter = y.mean() - slope * x.mean()
+    r2 = (((x - x.mean()) * (y - y.mean())).mean() ** 2) / (
+        ((x - x.mean()) ** 2).mean() * ((y - y.mean()) ** 2).mean()
+    )
+    assert row.n_types == len(ranked)
+    assert row.n_tokens == sum(cnt.values())
+    assert row.slope == pytest.approx(slope, abs=1e-6)
+    assert row.intercept == pytest.approx(inter, abs=1e-6)
+    assert row.r2 == pytest.approx(r2, abs=1e-6)
+
+
+def test_zipf_slope_negative_on_real_text(spark):
+    from grandiso_networkx_spark.operators.tokenize import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox " * (i % 5 + 1)) + f"rare{i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert row.slope < 0
+    assert 0 <= row.r2 <= 1
