@@ -5811,6 +5811,44 @@ FROM ranked
 """
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (operators/tokenize.py
+    heaps_fit) — the companion one-row diagnostic to zipf_fit."""
+    from grandiso_networkx_spark.operators.tokenize import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+_HEAPS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+pt AS MATERIALIZED (
+  SELECT doc_id, (s - 1)::BIGINT AS pos, toks[s] AS tok
+  FROM d, unnest(generate_series(1, len(toks)::BIGINT)) AS u(s)),
+lens AS (SELECT doc_id, count(*) AS len FROM pt GROUP BY doc_id),
+offs AS (SELECT doc_id,
+         (sum(len) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - len)::BIGINT AS off
+         FROM lens),
+first AS MATERIALIZED (
+  SELECT tok, min(o.off + pt.pos) AS fpos
+  FROM pt JOIN offs o USING (doc_id) GROUP BY tok),
+pts AS (
+  SELECT ln(CAST(fpos + 1 AS DOUBLE)) AS x,
+         ln(CAST(row_number() OVER (ORDER BY fpos) AS DOUBLE)) AS y
+  FROM first),
+tot AS (SELECT count(*)::BIGINT AS n FROM pt)
+SELECT count(*) AS n_types, (SELECT n FROM tot) AS n_tokens,
+       round(covar_pop(x, y) / var_pop(x), 6) AS beta,
+       round(exp(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x)), 6) AS k,
+       round(covar_pop(x, y) * covar_pop(x, y)
+             / (var_pop(x) * var_pop(y)), 6) AS r2
+FROM pts
+"""
+
+
 def q_edge_embeddedness(spark, sf_dir):
     """Per-edge common-neighbor counts on the undirected reply graph
     (operators/triangles.py edge_embeddedness) — tie-strength signal,
@@ -6109,6 +6147,7 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "vocab_table": q_vocab_table,
         "token_ids": q_token_ids,
         "zipf_fit": q_zipf_fit,
+        "heaps_fit": q_heaps_fit,
         "edge_embeddedness": q_edge_embeddedness,
         "rich_club": q_rich_club,
         "clique4_motif_count": q_clique4_motif_count,
@@ -6275,6 +6314,7 @@ def _standalone_oracles() -> dict[str, str]:
         "vocab_table": _VOCAB_TABLE_SQL,
         "token_ids": _TOKEN_IDS_SQL,
         "zipf_fit": _ZIPF_SQL,
+        "heaps_fit": _HEAPS_SQL,
         "edge_embeddedness": _EDGE_EMBED_SQL,
         "rich_club": _RICH_CLUB_SQL,
         "clique4_motif_count": _CLIQUE4_SQL,
@@ -6514,7 +6554,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_token_stats": [
         "token_counts", "token_quantiles", "token_entropy", "vocab_coverage",
         "unigram_logprob", "bigram_logprob", "vocab_table", "token_ids",
-        "zipf_fit",
+        "zipf_fit", "heaps_fit",
     ],
     "fused_quality": [
         "quality_features", "repetition_features", "lang_guess",

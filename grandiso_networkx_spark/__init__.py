@@ -93,7 +93,7 @@ from .operators.lmscore import (
     lm_quality_buckets,
     unigram_logprob,
 )
-from .operators.tokenize import token_ids, vocab_table, zipf_fit
+from .operators.tokenize import heaps_fit, token_ids, vocab_table, zipf_fit
 from .operators.sparsify import sparsify_similarity
 from .operators.matching import maximal_matching, vertex_cover_2approx
 from .operators.pagerank import pagerank
@@ -147,6 +147,7 @@ __all__ = [
     "double_sweep",
     "edge_betweenness",
     "four_profile",
+    "heaps_fit",
     "landmark_distances",
     "local_community",
     "lm_quality_buckets",

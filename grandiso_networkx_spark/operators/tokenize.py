@@ -117,3 +117,53 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps'-law fit of vocabulary growth — one row ``(n_types,
+    n_tokens, beta, k, r2)`` from the least-squares regression of
+    ``ln(V)`` on ``ln(position)`` over each type's first occurrence in
+    the deterministic doc-id-ordered token stream (``V(n) ≈ K·n^β``,
+    natural text ⇒ β ≈ 0.4-0.6 — the companion diagnostic to
+    :func:`zipf_fit`: together they fingerprint whether a corpus's
+    type/token statistics look like language or like templates).
+
+    The global token position = per-doc offset (one running sum over
+    the DOCUMENT count, tokens never globally sorted) + in-doc
+    position; each type's first position is a ``min`` aggregate; the
+    regression runs over |V| points.  At 10^12-token scale fit on a
+    hash-sampled doc subset — the curve is scale-invariant under the
+    deterministic sample, and the doc-offset window is the only
+    global-order step.
+    """
+    pt = _positioned_tokens(docs, text_col)
+    lens = pt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__len"))
+    wdoc = Window.orderBy("doc_id")
+    offs = lens.select(
+        "doc_id",
+        (F.sum("__len").over(wdoc) - F.col("__len")).alias("__off"),
+    )
+    first = (
+        pt.join(offs, "doc_id")
+        .select("tok", (F.col("__off") + F.col("pos")).alias("gpos"))
+        .groupBy("tok")
+        .agg(F.min("gpos").alias("first"))
+    )
+    wv = Window.orderBy("first")
+    pts = first.select(
+        F.log((F.col("first") + 1).cast("double")).alias("x"),
+        F.log(F.row_number().over(wv).cast("double")).alias("y"),
+    )
+    total = pt.count()
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.lit(total).alias("n_tokens"),
+        F.round(slope, 6).alias("beta"),
+        F.round(F.exp(F.avg("y") - slope * F.avg("x")), 6).alias("k"),
+        F.round(
+            (F.covar_pop("x", "y") * F.covar_pop("x", "y"))
+            / (F.var_pop("x") * F.var_pop("y")),
+            6,
+        ).alias("r2"),
+    )

@@ -162,3 +162,30 @@ def test_zipf_slope_negative_on_real_text(spark):
     row = zipf_fit(docs).collect()[0]
     assert row.slope < 0
     assert 0 <= row.r2 <= 1
+
+
+def test_heaps_fit_matches_numpy(spark, docs_df):
+    import numpy as np
+
+    from grandiso_networkx_spark.operators.tokenize import heaps_fit
+
+    row = heaps_fit(docs_df).collect()[0]
+    stream = []
+    for did, text in sorted(DOCS):
+        stream.extend(_toks(text))
+    firsts = {}
+    for i, t in enumerate(stream):
+        firsts.setdefault(t, i)
+    pos = sorted(firsts.values())
+    x = np.log(np.array(pos, dtype=float) + 1)
+    y = np.log(np.arange(1, len(pos) + 1, dtype=float))
+    slope = ((x - x.mean()) * (y - y.mean())).mean() / ((x - x.mean()) ** 2).mean()
+    k = float(np.exp(y.mean() - slope * x.mean()))
+    r2 = (((x - x.mean()) * (y - y.mean())).mean() ** 2) / (
+        ((x - x.mean()) ** 2).mean() * ((y - y.mean()) ** 2).mean()
+    )
+    assert row.n_types == len(pos)
+    assert row.n_tokens == len(stream)
+    assert row.beta == pytest.approx(slope, abs=1e-6)
+    assert row.k == pytest.approx(k, abs=1e-5)
+    assert row.r2 == pytest.approx(r2, abs=1e-6)
