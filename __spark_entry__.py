@@ -1444,15 +1444,78 @@ def q_semantic_dedup_keep_lsh(spark, sf_dir):
     (similarity.embedding_near_pairs — candidates only ever meet
     inside hyperplane-code buckets, |bucket|²-local work instead of
     n²) → near_dedup_keep.  This is the composition to run at corpus
-    scale; q_semantic_dedup_keep is its exact-pairs value-checked
-    twin.  Driver check is rows-only (the LSH blocking is
-    probabilistic-recall by construction); recall on planted
-    duplicates is pinned by tests/test_dedup_semantic_lsh.py."""
+    scale; q_semantic_dedup_keep is its exact-pairs twin.  VALUE-
+    checked (r3): the hyperplanes are driver-side numpy literals, so
+    the oracle embeds the SAME plane constants, replays the bucket
+    collisions + cosine filter, and closes the keep/drop components
+    with a recursive CTE — the LSH blocking is probabilistic-recall
+    vs the exact twin, but bit-deterministic in itself.  Recall on
+    planted duplicates additionally pinned by
+    tests/test_dedup_semantic_lsh.py."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_pairs(
         emb, dim=64, threshold=0.4, bits=10, tables=6
     ).select("a", "b")
     return dedup.near_dedup_keep(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
+def _semantic_lsh_keep_sql(dim: int = 64, threshold: float = 0.4,
+                           bits: int = 10, tables: int = 6,
+                           seed: int = 42) -> str:
+    """SQL replay of q_semantic_dedup_keep_lsh: identical numpy plane
+    literals (np.random.RandomState(seed + 131*t).standard_normal) per
+    table, same-bucket candidate pairs, exact cosine >= threshold
+    filter, then the min-id component closure (same recursive CTE as
+    _SEMANTIC_DEDUP_KEEP_SQL).  Sign decisions are stable across
+    engines because |dot| on random planes is never within
+    float-summation-order distance of zero."""
+    import numpy as np
+
+    def bucket_expr(col: str, t: int) -> str:
+        planes = np.random.RandomState(seed + 131 * t).standard_normal(
+            (bits, dim)
+        )
+        terms = []
+        for i in range(bits):
+            lits = ", ".join(repr(float(x)) for x in planes[i])
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, [{lits}]) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    bucket_ctes = ",\n".join(
+        f"bt{t} AS MATERIALIZED (SELECT vec_id, ({bucket_expr('v', t)}) AS bucket FROM e)"
+        for t in range(tables)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT l.vec_id AS a, r.vec_id AS b FROM bt{t} l "
+        f"JOIN bt{t} r USING (bucket) WHERE l.vec_id < r.vec_id"
+        for t in range(tables)
+    )
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{bucket_ctes},
+cand AS (SELECT DISTINCT a, b FROM ({union})),
+p AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN e ea ON ea.vec_id = c.a
+  JOIN e eb ON eb.vec_id = c.b
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+),
+und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+),
+comp AS (SELECT id, min(r) AS keep FROM reach GROUP BY id)
+SELECT emb.vec_id,
+       coalesce(c.keep, emb.vec_id) AS keep_id,
+       coalesce(c.keep, emb.vec_id) <> emb.vec_id AS is_dup
+FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+"""
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -1955,10 +2018,18 @@ walk(landmark, id, dist) AS (
   UNION
   SELECT w.landmark, s.dst, w.dist + 1
   FROM walk w JOIN sym s ON s.src = w.id
-  WHERE w.dist < 8
-)
-SELECT landmark, id, CAST(min(dist) AS INT) AS dist
-FROM walk GROUP BY landmark, id
+  WHERE w.dist < 10
+),
+mins AS (SELECT landmark, id, min(dist) AS d FROM walk GROUP BY landmark, id)
+SELECT landmark, id, CAST(d AS INT) AS dist FROM mins
+UNION ALL
+-- Cap guard: a shortest distance AT the cap means the frontier may
+-- not be exhausted (deeper vertices would be silently missing) —
+-- poison the result so the driver diff names the oracle, not the
+-- engine.  Validated bound at sf0.01: max landmark distance <= 7.
+SELECT 'ORACLE_CAP_EXCEEDED' AS landmark,
+       '_LANDMARK_SQL dist cap 10 hit' AS id, -1 AS dist
+FROM (SELECT 1 AS one FROM mins WHERE d >= 10 LIMIT 1)
 """
 
 
@@ -2124,7 +2195,19 @@ e{i + 1} AS MATERIALIZED (
     AND e.dst NOT IN (SELECT v FROM used{i}))"""
         )
     arms = " UNION ALL ".join(f"SELECT src, dst FROM hs{i}" for i in range(rounds))
-    parts.append(f"\nSELECT src, dst FROM ({arms})")
+    # Cap guard: handshake matching matches >= 1 edge per round while
+    # edges remain, so convergence == e{rounds} empty.  If the unroll
+    # cap is ever too small (data regen, larger sf), emit a poison row
+    # instead of silently truncating — the driver diff then names the
+    # oracle, not the engine.
+    parts.append(
+        f"""
+SELECT src, dst FROM ({arms})
+UNION ALL
+SELECT 'ORACLE_CAP_EXCEEDED' AS src,
+       '_matching_sql rounds={rounds} too small' AS dst
+FROM (SELECT 1 AS one FROM e{rounds} LIMIT 1)"""
+    )
     return "".join(parts)
 
 
@@ -2168,7 +2251,17 @@ live{r + 1} AS MATERIALIZED (
     member = " UNION ALL ".join(
         f"SELECT id FROM sel{r}" for r in range(rounds)
     )
-    parts.append(f"\nSELECT id FROM ({member}) ORDER BY id")
+    # Cap guard: Luby terminates when the live set empties; a non-empty
+    # live{rounds} means the unroll stopped early — poison rather than
+    # silently returning a non-maximal independent set.
+    parts.append(
+        f"""
+SELECT id FROM ({member})
+UNION ALL
+SELECT 'ORACLE_CAP_EXCEEDED (_mis_sql rounds={rounds})' AS id
+FROM (SELECT 1 AS one FROM live{rounds} LIMIT 1)
+ORDER BY id"""
+    )
     return "".join(parts)
 
 
@@ -2452,6 +2545,16 @@ a{k}_{r} AS MATERIALIZED (
         for k in range(1, kmax + 1)
         for r in range(1, rounds + 1)
     )
+    # Cap guards: (a) kmax must exceed the true max core — then the
+    # final phase's residual is empty; (b) rounds must reach each
+    # phase's fixpoint — then no phase still removes vertices in its
+    # LAST round.  Either violation poisons the result so the driver
+    # diff names the oracle, not the engine.
+    last_round_arms = " UNION ALL ".join(
+        f"SELECT 1 AS one FROM "
+        f"(SELECT id FROM a{k}_{rounds - 1} EXCEPT SELECT id FROM a{k}_{rounds})"
+        for k in range(1, kmax + 1)
+    )
     parts.append(
         f""",
 peeled AS ({arms}),
@@ -2459,12 +2562,17 @@ lay AS (SELECT k, r, dense_rank() OVER (ORDER BY k, r) AS lr
         FROM (SELECT DISTINCT k, r FROM peeled)),
 iso AS (SELECT id FROM verts WHERE id NOT IN (SELECT src FROM sym)),
 shift AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM iso)
-                 THEN 1 ELSE 0 END AS s)
+                 THEN 1 ELSE 0 END AS s),
+capviol AS (SELECT 1 AS one FROM a{kmax}_{rounds}
+            UNION ALL {last_round_arms})
 SELECT id, 0 AS core, 1 AS layer FROM iso
 UNION ALL
 SELECT p.id, p.k - 1 AS core,
        CAST(l.lr + (SELECT s FROM shift) AS INT) AS layer
-FROM peeled p JOIN lay l ON l.k = p.k AND l.r = p.r"""
+FROM peeled p JOIN lay l ON l.k = p.k AND l.r = p.r
+UNION ALL
+SELECT 'ORACLE_CAP_EXCEEDED' AS id, -1 AS core, -1 AS layer
+FROM (SELECT 1 FROM capviol LIMIT 1)"""
     )
     return "".join(parts)
 
@@ -3088,13 +3196,77 @@ def q_truss_numbers(spark, sf_dir):
     """Full truss decomposition of the undirected reply graph
     (operators/kcore.py truss_number): per-edge max-k membership via
     level-synchronous support peeling, one phase per truss level.
-    The peel's phase count is data-dependent, so there is no unrolled
-    SQL oracle (rows-only driver check); exactness is pinned by
-    tests/test_truss.py against a networkx.k_truss sweep."""
+    VALUE-checked (r3): the peel unrolls in SQL exactly like the
+    core/onion oracles — phases k=3..kmax, each stripped to a fixpoint
+    within a validated round cap, with poison-row guards on BOTH caps
+    (_truss_sql) — so the data-dependent phase count is bounded, not
+    assumed.  Exactness additionally pinned by tests/test_truss.py
+    against a networkx.k_truss sweep."""
     from grandiso_networkx_spark.operators.kcore import truss_number
 
     e = q_reply_edges(spark, sf_dir).select("src", "dst")
     return truss_number(e)
+
+
+def _truss_sql(kmax: int = 8, rounds: int = 6) -> str:
+    """SQL replay of q_truss_numbers: phase ``k`` strips (to a
+    fixpoint, ``rounds`` unrolled) every edge with triangle support
+    < k-2 among survivors; an edge dropped in phase k gets truss k-1.
+    Cap guards (poison rows, ADVICE r2 pattern): (a) every phase's
+    LAST unrolled round must remove nothing (fixpoint reached); (b)
+    the residual after phase ``kmax`` must be empty (kmax exceeds the
+    true max truss).  Validated at sf0.01: max truss 5 (the event-type
+    reply graph is nearly complete), every phase at fixpoint within
+    the cap."""
+    parts = [
+        f"""WITH raw AS MATERIALIZED (SELECT src, dst FROM ({_REPLY_EDGES_SQL})),
+e3_0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM raw WHERE src <> dst)"""
+    ]
+    drops = []
+    guards = [f"SELECT 1 AS one FROM e{kmax + 1}_0"]
+    for k in range(3, kmax + 1):
+        need = k - 2
+        for r in range(1, rounds + 1):
+            prev = f"e{k}_{r - 1}"
+            parts.append(
+                f""",
+sym{k}_{r} AS (SELECT src, dst FROM {prev}
+               UNION ALL SELECT dst AS src, src AS dst FROM {prev}),
+e{k}_{r} AS MATERIALIZED (
+  SELECT t.src, t.dst FROM (
+    SELECT e.src, e.dst, count(*) AS supp
+    FROM {prev} e
+    JOIN sym{k}_{r} s1 ON s1.src = e.src
+    JOIN sym{k}_{r} s2 ON s2.src = e.dst AND s2.dst = s1.dst
+    GROUP BY e.src, e.dst) t
+  WHERE t.supp >= {need})"""
+            )
+        parts.append(
+            f",\ne{k + 1}_0 AS MATERIALIZED (SELECT src, dst FROM e{k}_{rounds})"
+        )
+        drops.append(
+            f"SELECT src, dst, {k - 1} AS truss FROM "
+            f"(SELECT src, dst FROM e{k}_0 EXCEPT SELECT src, dst FROM e{k}_{rounds})"
+        )
+        guards.append(
+            f"SELECT 1 AS one FROM (SELECT src, dst FROM e{k}_{rounds - 1} "
+            f"EXCEPT SELECT src, dst FROM e{k}_{rounds})"
+        )
+    drop_union = "\nUNION ALL\n".join(drops)
+    guard_union = " UNION ALL ".join(guards)
+    parts.append(
+        f""",
+capviol AS ({guard_union})
+SELECT src, dst, truss FROM ({drop_union})
+UNION ALL
+SELECT 'ORACLE_CAP_EXCEEDED' AS src,
+       '_truss_sql kmax={kmax} rounds={rounds} too small' AS dst,
+       -1 AS truss
+FROM (SELECT 1 FROM capviol LIMIT 1)"""
+    )
+    return "".join(parts)
 
 
 def q_betweenness_sampled(spark, sf_dir):
@@ -3232,7 +3404,7 @@ w1(id, dist) AS (
   SELECT id, 0 FROM s0
   UNION
   SELECT s.dst, w1.dist + 1 FROM w1 JOIN sym s ON s.src = w1.id
-  WHERE w1.dist < 8
+  WHERE w1.dist < 10
 ),
 d1 AS (SELECT id, min(dist) AS dist FROM w1 GROUP BY id),
 far AS (SELECT id FROM d1 ORDER BY dist DESC, id LIMIT 1),
@@ -3240,12 +3412,22 @@ w2(id, dist) AS (
   SELECT id, 0 FROM far
   UNION
   SELECT s.dst, w2.dist + 1 FROM w2 JOIN sym s ON s.src = w2.id
-  WHERE w2.dist < 8
+  WHERE w2.dist < 10
 ),
 d2 AS (SELECT id, min(dist) AS dist FROM w2 GROUP BY id)
 SELECT (SELECT id FROM s0) AS start_id, (SELECT id FROM far) AS far_id,
        CAST(max(dist) AS INT) AS diameter_lb
 FROM d2
+UNION ALL
+-- Cap guard (see _LANDMARK_SQL): a min-dist AT the cap in either
+-- sweep means the BFS may be truncated — poison instead of silently
+-- under-reporting the bound.  Validated at sf0.01: both sweeps
+-- exhaust within 8.
+SELECT 'ORACLE_CAP_EXCEEDED' AS start_id,
+       '_DOUBLE_SWEEP_SQL dist cap 10 hit' AS far_id, -1 AS diameter_lb
+FROM (SELECT 1 AS one FROM (
+        SELECT dist FROM d1 UNION ALL SELECT dist FROM d2)
+      WHERE dist >= 10 LIMIT 1)
 """
 
 
@@ -5287,9 +5469,13 @@ SELECT round(
 
 def q_embedding_clusters(spark, sf_dir):
     """Deterministic k-means semantic sharding of the embeddings table
-    (operators/similarity.py embedding_clusters) — xxhash64-seeded
-    codebook is not SQL-portable, so rows-only here; nearest-centroid
-    exactness + determinism pinned in tests/test_embedding_clusters.py."""
+    (operators/similarity.py embedding_clusters).  VALUE-checked (r3):
+    the codebook seeds by the portable hash60(id|seed) convention, so
+    the ENTIRE pipeline — seed pick, each synchronous Lloyd step, the
+    final nearest-centroid assignment — replays in DuckDB SQL with no
+    literals at all (_embed_clusters_sql); nearest-centroid exactness
+    + determinism additionally pinned in
+    tests/test_embedding_clusters.py."""
     from grandiso_networkx_spark.operators.similarity import (
         embedding_clusters,
     )
@@ -5297,6 +5483,54 @@ def q_embedding_clusters(spark, sf_dir):
     return embedding_clusters(
         _t(spark, sf_dir, "embeddings"), n_clusters=8, lloyd_iters=2
     )
+
+
+def _embed_clusters_sql(n_clusters: int = 8, lloyd_iters: int = 2,
+                        seed: int = 42, dim: int = 64) -> str:
+    """SQL replay of q_embedding_clusters: the portable-hash60 seed
+    pick, each synchronous Lloyd step (assign by cosine desc / cid
+    asc, recentre by per-position mean), and the final assignment —
+    the codebook is DERIVED in SQL, not embedded as literals, because
+    the seed sample is the md5-affine hash60 convention.  Float
+    caveat: DuckDB's mean/cosine summation order can differ from
+    Spark's in the last ulp; assignments only flip on cross-centroid
+    ties within ~1e-12, which continuous synthetic embeddings never
+    produce (the cosine output itself is compared at round-6)."""
+
+    def assign(cents: str) -> str:
+        return f"""
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {cents} c) WHERE rn = 1"""
+
+    def recentre(a: str) -> str:
+        return f"""
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, g.pos, avg(v[g.pos]) AS m
+    FROM {a} CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS pos) g
+    GROUP BY cid, g.pos) GROUP BY cid"""
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"""seeds AS (
+  SELECT v, CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '|{seed}'), 1, 15) AS BIGINT) AS h
+  FROM e ORDER BY h LIMIT {n_clusters})""",
+        "c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h) AS INT)"
+        " AS cid, v AS cv FROM seeds)",
+    ]
+    for i in range(lloyd_iters):
+        ctes.append(f"a{i + 1} AS ({assign(f'c{i}')})")
+        ctes.append(f"c{i + 1} AS MATERIALIZED ({recentre(f'a{i + 1}')})")
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, cid, round(sim, 6) AS cosine FROM (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.v, c.cv) AS sim,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+  FROM e CROSS JOIN c{lloyd_iters} c) WHERE rn = 1"""
 
 
 def q_retention_cohorts(spark, sf_dir):
@@ -5819,6 +6053,137 @@ def q_heaps_fit(spark, sf_dir):
     return heaps_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge induction (operators/bpe.py bpe_merges): 6 rounds of
+    most-frequent-adjacent-pair merging over the word-frequency table
+    — the subword-tokenizer trainer.  Every round (pair counts, the
+    lexicographic-tie argmax, the greedy run-parity merge pass)
+    replays in an unrolled DuckDB CTE chain (_bpe_sql), so the whole
+    trainer is value-checked."""
+    from grandiso_networkx_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE encoding (operators/bpe.py bpe_encode): the 6 learned
+    merges applied to every word slot of every document — word pieces
+    in order, value-checked by replaying both the training chain and
+    the per-document merge passes in SQL."""
+    from grandiso_networkx_spark.operators.bpe import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_merges(docs, n_merges=6))
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """Shared unrolled BPE-training CTE chain: s0..s{n} symbol tables
+    over the word-frequency vocab + b0..b{n-1} per-round winning
+    pairs (count desc, pair lexicographic — the engine's exact
+    tie-break).  The greedy left-to-right merge is the run-parity
+    window rule (see operators/bpe.py)."""
+    parts = [
+        r"""w AS MATERIALIZED (
+  SELECT word, count(*) AS n FROM (
+    SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+    FROM documents)
+  WHERE length(word) > 0 GROUP BY word),
+s0 AS MATERIALIZED (
+  SELECT word, n, CAST(g.i - 1 AS INT) AS pos,
+         substring(word, CAST(g.i AS INT), 1) AS sym
+  FROM w, UNNEST(generate_series(1, CAST(length(word) AS BIGINT))) AS g(i))"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+b{i} AS MATERIALIZED (
+  SELECT sym AS l, nxt AS r, c FROM (
+    SELECT sym, nxt, sum(n) AS c FROM (
+      SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, n
+      FROM s{i})
+    WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+sel{i} AS (
+  SELECT *, m AND (row_number() OVER (PARTITION BY word, run ORDER BY pos) % 2 = 1) AS sel
+  FROM (
+    SELECT *, CASE WHEN m THEN pos - row_number()
+                 OVER (PARTITION BY word, m ORDER BY pos) END AS run
+    FROM (
+      SELECT word, n, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+             (sym = (SELECT l FROM b{i})
+              AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                  = (SELECT r FROM b{i})) AS m
+      FROM s{i}))),
+s{i + 1} AS MATERIALIZED (
+  SELECT word, n,
+         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INT) AS pos,
+         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+  FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos),
+                           false) AS dropme
+        FROM sel{i})
+  WHERE NOT dropme)"""
+        )
+    return "".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = 6) -> str:
+    arms = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS INT) AS merge_idx, l AS "left", r AS "right", '
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"WITH {_bpe_train_ctes(n_merges)}\n{arms}"
+
+
+def _bpe_encode_sql(n_merges: int = 6) -> str:
+    """Training chain + the same merge passes unrolled over the
+    per-document word-slot symbol stream."""
+    parts = [
+        f"WITH {_bpe_train_ctes(n_merges)}",
+        r""",
+dwords AS MATERIALIZED (
+  SELECT doc_id, CAST(g.i - 1 AS INT) AS widx, toks[g.i] AS word
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents) t,
+       UNNEST(generate_series(1, CAST(len(toks) AS BIGINT))) AS g(i)
+  WHERE length(toks[g.i]) > 0),
+d0 AS MATERIALIZED (
+  SELECT doc_id, widx, CAST(g.i - 1 AS INT) AS pos,
+         substring(word, CAST(g.i AS INT), 1) AS sym
+  FROM dwords, UNNEST(generate_series(1, CAST(length(word) AS BIGINT))) AS g(i))""",
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+dsel{i} AS (
+  SELECT *, m AND (row_number() OVER (PARTITION BY doc_id, widx, run ORDER BY pos) % 2 = 1) AS sel
+  FROM (
+    SELECT *, CASE WHEN m THEN pos - row_number()
+                 OVER (PARTITION BY doc_id, widx, m ORDER BY pos) END AS run
+    FROM (
+      SELECT doc_id, widx, pos, sym,
+             lead(sym) OVER (PARTITION BY doc_id, widx ORDER BY pos) AS nxt,
+             (sym = (SELECT l FROM b{i})
+              AND lead(sym) OVER (PARTITION BY doc_id, widx ORDER BY pos)
+                  = (SELECT r FROM b{i})) AS m
+      FROM d{i}))),
+d{i + 1} AS MATERIALIZED (
+  SELECT doc_id, widx,
+         CAST(row_number() OVER (PARTITION BY doc_id, widx ORDER BY pos) - 1 AS INT) AS pos,
+         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+  FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY doc_id, widx ORDER BY pos),
+                           false) AS dropme
+        FROM dsel{i})
+  WHERE NOT dropme)"""
+        )
+    parts.append(
+        f"\nSELECT doc_id, widx, pos, sym AS piece FROM d{n_merges}"
+    )
+    return "".join(parts)
+
+
 _HEAPS_SQL = r"""
 WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -6148,6 +6513,8 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "token_ids": q_token_ids,
         "zipf_fit": q_zipf_fit,
         "heaps_fit": q_heaps_fit,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "edge_embeddedness": q_edge_embeddedness,
         "rich_club": q_rich_club,
         "clique4_motif_count": q_clique4_motif_count,
@@ -6315,6 +6682,8 @@ def _standalone_oracles() -> dict[str, str]:
         "token_ids": _TOKEN_IDS_SQL,
         "zipf_fit": _ZIPF_SQL,
         "heaps_fit": _HEAPS_SQL,
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "edge_embeddedness": _EDGE_EMBED_SQL,
         "rich_club": _RICH_CLUB_SQL,
         "clique4_motif_count": _CLIQUE4_SQL,
@@ -6399,6 +6768,9 @@ def _standalone_oracles() -> dict[str, str]:
         "attr_assortativity": _ATTR_ASSORT_SQL,
         "feature_neighbor_mean": _FEATURE_MEAN_SQL,
         "semantic_dedup_keep": _SEMANTIC_DEDUP_KEEP_SQL,
+        "semantic_dedup_keep_lsh": _semantic_lsh_keep_sql(),
+        "embedding_clusters": _embed_clusters_sql(),
+        "truss_numbers": _truss_sql(),
         "closeness_centrality": _CLOSENESS_SQL,
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,
@@ -6599,7 +6971,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_cores": [
         "core_number", "ktruss_3", "maximal_independent_set",
         "densest_subgraph", "onion_layers", "maximal_matching",
-        "vertex_cover",
+        "vertex_cover", "truss_numbers",
     ],
     "fused_coloring_wl": ["greedy_coloring", "wl_colors"],
     "fused_temporal_sssp": [
@@ -6630,22 +7002,32 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_vertex_features": ["vertex_features", "feature_neighbor_mean"],
     "fused_retrieval": ["bm25_topk", "tfidf_terms"],
     "fused_ann": ["cosine_topk", "ivf_ann_topk", "lsh_ann_topk", "mutual_knn"],
-    "fused_embedding_dedup": ["embedding_dup_pairs", "semantic_dedup_keep"],
+    "fused_embedding_dedup": [
+        "embedding_dup_pairs", "semantic_dedup_keep",
+        "semantic_dedup_keep_lsh", "embedding_clusters",
+    ],
     "fused_packing": [
         "pack_sequences", "pack_stats", "doc_chunks", "mixture_weights",
         "mixture_sample",
     ],
+    # r3: BPE trainer + encoder (new §2.7 ops), in the slot freed by
+    # folding fused_ann_rows into fused_graph_rows.
+    "fused_bpe": ["bpe_merges", "bpe_encode"],
 }
 
 # 3 rows-only bundles: members have no SQL oracle (hash-seeded kernels,
 # zlib, stubbed codecs, probabilistic-recall LSH); exactness for each is
 # pinned by the pytest suite instead (see the member docstrings).
+# r3: semantic_dedup_keep_lsh, embedding_clusters, and truss_numbers
+# graduated to value-checked bundles (plane-literal replay /
+# portable-hash60 codebook derived in SQL / guarded unrolled peel);
+# fused_ann_rows' remaining member folded into fused_graph_rows, its
+# slot reused for the new value bundle fused_bpe — 48/50 official
+# slots are now value-checked.
 _FUSED_ROWS_ONLY: dict[str, list[str]] = {
-    "fused_ann_rows": ["embedding_clusters", "minhash_dedup_pairs"],
     "fused_media_rows": ["media_features", "media_resize", "compression_ratio"],
     "fused_graph_rows": [
-        "pagerank_invoke_graph", "semantic_dedup_keep_lsh", "truss_numbers",
-        "louvain_communities",
+        "pagerank_invoke_graph", "louvain_communities", "minhash_dedup_pairs",
     ],
 }
 

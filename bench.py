@@ -18,7 +18,15 @@ Runs the engine's flagship workloads at ``$SPARK_GRAFT_SF_DIR``
 - ``dedup_minhash`` / ``cosine_topk`` — training-data ops on the sf
                      dir's documents/embeddings.
 
-Usage: ``python bench.py [--sf-dir DIR] [--cpus N] [--json-extra]``
+Noise protocol (r3): every timed leg runs ``$BENCH_REPS`` (default 3)
+back-to-back repetitions inside the same session; ``queries`` reports
+the per-leg MEDIAN and ``queries_spread`` the min/max — so round-over-
+round comparisons see the steady-state number, not the JIT window or a
+shared-tenancy spike (the r1→r2 "regression" that took a forensic
+NOTES section was exactly this noise).  One-time setup legs
+(graph_gen) run once; ``value`` is the sum of medians.
+
+Usage: ``python bench.py [--sf-dir DIR] [--cpus N] [--reps N]``
 """
 
 from __future__ import annotations
@@ -66,7 +74,7 @@ def powerlaw_graph(spark, n_vertices: int, n_edges: int, seed: int = 42):
     return e.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
 
 
-def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
+def run(sf_dir: str, cpus: int, scale: float = 1.0, reps: int = 3) -> dict:
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -79,12 +87,25 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
     )
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     counters: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, n_reps: int | None = None):
+        """Median-of-reps timing (see module doc): rep 0 absorbs JIT,
+        the median is the steady-state per-leg number the driver
+        compares round over round.  Returns the LAST rep's result."""
+        r = max(n_reps if n_reps is not None else reps, 1)
+        times = []
+        out = None
+        for _ in range(r):
+            t0 = time.time()
+            out = fn()
+            times.append(time.time() - t0)
+        st = sorted(times)
+        timings[name] = round(st[len(st) // 2], 3)
+        spread[name] = {
+            "min": round(st[0], 3), "max": round(st[-1], 3), "reps": r,
+        }
         return out
 
     # 1. stage-0 derivation over ~600k synthetic turns (scaled).  The
@@ -107,7 +128,8 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
     # motif/components graph stays at frontier-explosion-safe size.
     nv = int(100_000 * scale)
     ne = int(2_000_000 * scale)
-    g = timed("graph_gen", lambda: powerlaw_graph(spark, nv, ne).persist())
+    g = timed("graph_gen", lambda: powerlaw_graph(spark, nv, ne).persist(),
+              n_reps=1)  # one-time setup: re-running would stack caches
     n_edges_real = g.count()
     counters["graph_edges"] = n_edges_real
 
@@ -115,12 +137,18 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
     pr_edges = pr_g.count()
     counters["pagerank_graph_edges"] = pr_edges
     pr_iters: list[float] = []
-    timed(
-        "pagerank",
-        lambda: pagerank(pr_g, fixed_iterations=PR_ITERS, iter_seconds=pr_iters)
-        .agg(F.sum("rank"))
-        .collect(),
-    )
+
+    def _pagerank_leg():
+        # fresh per-iteration list each rep: steady-state metrics come
+        # from the LAST (warmest) rep
+        pr_iters.clear()
+        return (
+            pagerank(pr_g, fixed_iterations=PR_ITERS, iter_seconds=pr_iters)
+            .agg(F.sum("rank"))
+            .collect()
+        )
+
+    timed("pagerank", _pagerank_leg)
     # Two throughputs: e2e (whole call — surrogate ids, CSR build, JIT,
     # iterations) and steady-state (median per-iteration wall; the
     # number comparable with BENCH/BASELINE.md's scaling legs, where
@@ -135,7 +163,11 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
     steady = pr_iters[1:] or pr_iters
     mid = sorted(steady)[len(steady) // 2]
     counters["pagerank_steady_traversals_per_sec"] = round(pr_edges / mid, 1)
-    counters["pagerank_setup_sec"] = round(timings["pagerank"] - sum(pr_iters), 3)
+    # median leg wall minus the LAST rep's iteration walls — clamp: the
+    # median rep and the last rep may differ by noise
+    counters["pagerank_setup_sec"] = round(
+        max(timings["pagerank"] - sum(pr_iters), 0.0), 3
+    )
     pr_g.unpersist()
 
     host = HostGraph(g, directed=True)
@@ -198,6 +230,7 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
         "sf": sf,
         "cpus": cpus,
         "counters": counters,
@@ -208,6 +241,7 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     for i, a in enumerate(sys.argv):
         if a == "--sf-dir":
             sf_dir = sys.argv[i + 1]
@@ -215,4 +249,6 @@ if __name__ == "__main__":
             cpus = int(sys.argv[i + 1])
         if a == "--scale":
             scale = float(sys.argv[i + 1])
-    print(json.dumps(run(sf_dir, cpus, scale)))
+        if a == "--reps":
+            reps = int(sys.argv[i + 1])
+    print(json.dumps(run(sf_dir, cpus, scale, reps)))

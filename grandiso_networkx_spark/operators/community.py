@@ -796,10 +796,11 @@ def local_community(
         .where(F.col("pos") <= F.col("__k"))
         .select("id", "pos", F.round(F.col("__phi"), 6).alias("conductance"))
     )
-    rows = out.collect()
+    # Materialize DISTRIBUTED via localCheckpoint (severs the lineage
+    # into sym/ranked so both can be unpersisted safely) — never a
+    # driver collect: a well-connected seed can reach O(V) vertices in
+    # 6 PPR rounds, and callers should get a lazily composable frame.
+    result = out.localCheckpoint(eager=True)
     sym.unpersist()
     ranked.unpersist()
-    idt = ranked.schema["id"].dataType.simpleString()
-    return edges.sparkSession.createDataFrame(
-        rows, f"id {idt}, pos int, conductance double"
-    )
+    return result

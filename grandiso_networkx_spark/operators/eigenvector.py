@@ -13,14 +13,30 @@ iteration on the left eigenvector):
 
 Spark shape — the engine's standard gather loop: one
 edges-join-state + ``groupBy(dst).sum`` per round (map-side combine
-absorbs hub in-degree skew before the exchange), a left join against
-the vertex frame re-adds vertices with no in-edges (they keep their
-identity term), and the L2 norm is a driver scalar folded into the
-next round's plan as a literal — exactly the HITS 1/max-scaling shape,
-so the hot loop stays two shuffles per round regardless of graph
-size.  ``fixed_iterations`` runs exactly that many rounds with no
-convergence agg — the SQL-expressible mode the driver value-checks
-via an unrolled CTE chain.
+absorbs hub in-degree skew before the exchange); the state frame is
+verts-complete, so it is BOTH the update-join spine (re-adding
+vertices with no in-edges, which keep their identity term) and the
+free carrier of the previous iterate for the L1 delta — the HITS
+carried-literal pattern (``operators/hits.py``).  Driver serial cost
+per round (the fraction the N->4N scaling legs feel hardest):
+
+- convergence mode: ONE materialization + ONE combined agg that
+  returns the L2 norm AND the L1 delta together (the 1/norm needed
+  inside the delta is a broadcast 1-row subquery over the SAME
+  materialized frame, not a separate driver job); the norm is then
+  folded into the next round's plan as a literal.
+- fixed mode: ONE materialization + ZERO driver collects — the
+  per-round normalization divides by an in-plan broadcast 1-row norm
+  subquery over the cached frame (the broadcast materialization is
+  still one Spark job, but no driver round-trip sits on the serial
+  path; the division itself must stay per-round: it is nx's
+  recurrence and the value-checked oracle unrolls it).
+
+Down from 4 (norm collect + two checkpoints + err join-agg) / 3
+jobs per round; pinned by the job-count gate in
+tests/test_eigen_katz_jobs.py.  ``fixed_iterations`` runs exactly
+that many rounds with no convergence agg — the SQL-expressible mode
+the driver value-checks via an unrolled CTE chain.
 """
 
 from __future__ import annotations
@@ -68,6 +84,11 @@ def eigenvector_centrality(
 
     x = verts.select("vid", F.lit(1.0 / n).alias("x")).localCheckpoint()
     converged = fixed_iterations is not None
+    # zero-norm guard (nx: zero norm degrades to scale 1)
+    norm_expr = F.coalesce(
+        F.nullif(F.sqrt(F.sum(F.col("y") * F.col("y"))), F.lit(0.0)),
+        F.lit(1.0),
+    )
     for _ in range(max_iter):
         gathered = (
             e.join(x.withColumnRenamed("vid", "src"), "src")
@@ -75,31 +96,44 @@ def eigenvector_centrality(
             .groupBy("dst")
             .agg(F.sum("c").alias("g"))
         )
-        # y = x + gather; then normalize by the driver-collected L2
-        # norm (one scalar per round, folded into the next plan).
+        # y = x + gather; x is verts-complete, so it is BOTH the
+        # update-join spine and the free carrier of xlast for the L1
+        # delta — ONE materialization per round.
         y = (
             x.join(gathered, x["vid"] == gathered["dst"], "left")
             .select(
-                "vid",
+                x["vid"],
                 (F.col("x") + F.coalesce("g", F.lit(0.0))).alias("y"),
+                x["x"].alias("xlast"),
             )
             .transform(flat_checkpoint)
         )
-        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y")))).collect()[0][0]
-        x_new = y.select(
-            "vid", (F.col("y") / F.lit(norm or 1.0)).alias("x")
-        ).transform(flat_checkpoint)
+        nr = y.agg(norm_expr.alias("__nr"))
         if fixed_iterations is None:
-            err = (
-                x_new.join(x.withColumnRenamed("x", "xlast"), "vid")
-                .agg(F.sum(F.abs(F.col("x") - F.col("xlast"))))
-                .collect()[0][0]
+            # ONE combined agg: the L2 norm AND the L1 delta against
+            # the previous normalized x — the 1/norm inside the delta
+            # is a broadcast 1-row subquery over the SAME materialized
+            # frame (no recompute, no second driver job).
+            row = (
+                y.crossJoin(F.broadcast(nr))
+                .agg(
+                    F.max("__nr").alias("nr"),
+                    F.sum(
+                        F.abs(F.col("y") / F.col("__nr") - F.col("xlast"))
+                    ).alias("err"),
+                )
+                .collect()[0]
             )
-            if err < n * tol:
-                x = x_new
+            x = y.select("vid", (F.col("y") / F.lit(row["nr"])).alias("x"))
+            if row["err"] < n * tol:
                 converged = True
                 break
-        x = x_new
+        else:
+            # fixed mode: normalize in-plan from the broadcast 1-row
+            # norm over the cached frame — zero collects per round.
+            x = y.crossJoin(F.broadcast(nr)).select(
+                "vid", (F.col("y") / F.col("__nr")).alias("x")
+            )
 
     e.unpersist()
     verts.unpersist()

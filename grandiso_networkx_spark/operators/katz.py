@@ -10,11 +10,18 @@ Matches ``networkx.katz_centrality`` exactly:
 
 Spark shape — identical to the engine's other gather loops: one
 edges-join-state + ``groupBy(dst).sum`` per round (map-side combine
-absorbs hub in-degree skew before the exchange), a left join against
-the vertex frame to re-add vertices with no in-edges, and a
-``localCheckpoint`` per round for flat lineage.  ``fixed_iterations``
-runs exactly that many rounds with no convergence agg — the
-SQL-expressible mode the driver value-checks via an unrolled CTE.
+absorbs hub in-degree skew before the exchange) and a
+``localCheckpoint`` per round for flat lineage.  The state frame is
+verts-complete, so it is BOTH the update-join spine (re-adding
+vertices with no in-edges) and the free carrier of the previous
+iterate — the HITS carried-state pattern (``operators/hits.py``):
+convergence mode's L1 delta is ONE cheap agg over the just-
+materialized frame (no re-join of consecutive iterates, no second
+shuffle), so the loop body is 1 materialization + 1 scalar agg per
+round (fixed mode: 1 + 0), pinned by the job-count gate in
+tests/test_eigen_katz_jobs.py.  ``fixed_iterations`` runs exactly
+that many rounds with no convergence agg — the SQL-expressible mode
+the driver value-checks via an unrolled CTE.
 """
 
 from __future__ import annotations
@@ -68,20 +75,24 @@ def katz_centrality(
             .groupBy("dst")
             .agg(F.sum("c").alias("g"))
         )
+        # x is verts-complete, so it is BOTH the update-join spine and
+        # the free carrier of xlast for the L1 delta.
         x_new = (
-            verts.join(gathered, verts["vid"] == gathered["dst"], "left")
+            x.join(gathered, x["vid"] == gathered["dst"], "left")
             .select(
-                "vid",
+                x["vid"],
                 (
                     F.lit(alpha) * F.coalesce("g", F.lit(0.0)) + F.lit(beta)
                 ).alias("x"),
+                x["x"].alias("xlast"),
             )
             .transform(flat_checkpoint)
         )
         if fixed_iterations is None:
+            # ONE cheap agg over the just-materialized frame — never a
+            # re-join of consecutive iterates.
             err = (
-                x_new.join(x.withColumnRenamed("x", "xlast"), "vid")
-                .agg(F.sum(F.abs(F.col("x") - F.col("xlast"))))
+                x_new.agg(F.sum(F.abs(F.col("x") - F.col("xlast"))))
                 .collect()[0][0]
             )
             if err < n * tol:

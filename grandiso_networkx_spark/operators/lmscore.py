@@ -128,10 +128,19 @@ def bigram_model(
     docs: DataFrame, text_col: str = "text", k: float = 1.0
 ) -> DataFrame:
     """Add-k-smoothed bigram LM trained on the corpus: ``(w1, w2, n,
-    logp)`` with ``logp = ln((n + k) / (context(w1) + k·V))`` where
-    ``context(w1)`` is w1's occurrence count as a bigram left side and
-    ``V`` the corpus unigram vocabulary size — the KenLM-style signal
-    one notch above the unigram scorer, still exactly SQL-mirrorable.
+    logp, __v, __k)`` with ``logp = ln((n + k) / (context(w1) + k·V))``
+    where ``context(w1)`` is w1's occurrence count as a bigram left
+    side and ``V`` the corpus unigram vocabulary size — the KenLM-style
+    signal one notch above the unigram scorer, still exactly
+    SQL-mirrorable.
+
+    The smoothing parameters travel WITH the model as constant columns
+    ``__v`` (training-corpus unigram vocabulary size, double) and
+    ``__k`` (the add-k constant), so :func:`bigram_logprob` can score
+    held-out text with exactly the model's own smoothed-zero floor —
+    V from the model's bigram *support* (distinct w1∪w2) would differ
+    whenever a training token never enters a bigram (single-token
+    docs), making per-context probabilities inconsistent.
 
     Scale shape: one tokenize pass + one ``lead`` window (shuffle by
     doc_id) + one bigram groupBy; context counts derive from the
@@ -143,7 +152,7 @@ def bigram_model(
     c1 = c2.groupBy("w1").agg(F.sum("n").alias("__cn"))
     vocab = (
         _doc_tokens(docs, text_col)
-        .agg(F.countDistinct("tok").alias("__v"))
+        .agg(F.countDistinct("tok").cast("double").alias("__v"))
     )
     return (
         c2.join(F.broadcast(c1), "w1")
@@ -155,6 +164,8 @@ def bigram_model(
             F.log(
                 (F.col("n") + F.lit(k)) / (F.col("__cn") + F.lit(k) * F.col("__v"))
             ).alias("logp"),
+            "__v",
+            F.lit(float(k)).alias("__k"),
         )
     )
 
@@ -170,30 +181,49 @@ def bigram_logprob(
     (they have no bigrams to score).
 
     Self-scoring (``model=None``) never meets an unseen bigram.  With
-    a held-out ``model`` (a :func:`bigram_model` result carrying the
-    same smoothing), unseen pairs are scored by the add-k floor — the
-    model's per-context smoothed zero — via a left join + coalesce
-    against the model's context marginals; fully-unseen contexts get
-    ``ln(1/V)``.
+    a held-out ``model`` (a :func:`bigram_model` result carrying its
+    ``__v``/``__k`` smoothing columns), unseen pairs are scored by the
+    add-k floor — the model's per-context smoothed zero, using the
+    model's own training V and k — via a left join + coalesce against
+    the model's context marginals; fully-unseen contexts get
+    ``ln(1/V)``.  For a bare ``(w1, w2, n, logp)`` model frame (no
+    carried parameters) the floor falls back to V = the model's bigram
+    support (distinct w1∪w2) and the ``k`` argument — the documented
+    legacy rule, inconsistent with the trained model whenever training
+    tokens never entered a bigram.
     """
     if model is None:
         m = bigram_model(docs, text_col, k=k)
     else:
         m = model
     bg = _doc_bigrams(docs, text_col)
-    # context floor: ln(k / (context + k·V)) per seen w1; ln(1/V) else
+    # context floor: ln(k / (context + k·V)) per seen w1; ln(1/V) else.
+    # (__v, __k) ride the model when present (one tiny agg over the
+    # broadcast-size model — no driver action); support-derived V is
+    # the back-compat fallback.
     c1 = m.groupBy("w1").agg(F.sum("n").alias("__cn"))
-    v = m.select("w2").union(m.select("w1")).distinct().count()
-    floor_seen = F.log(F.lit(k) / (F.col("__cn") + F.lit(k) * F.lit(float(v))))
+    if "__v" in m.columns:
+        params = m.agg(
+            F.max("__v").alias("__v"),
+            (F.max("__k") if "__k" in m.columns else F.lit(float(k))).alias("__k"),
+        )
+    else:
+        params = (
+            m.select("w2").union(m.select("w1"))
+            .agg(F.countDistinct("w2").cast("double").alias("__v"))
+            .select("__v", F.lit(float(k)).alias("__k"))
+        )
+    floor_seen = F.log(F.col("__k") / (F.col("__cn") + F.col("__k") * F.col("__v")))
     scored = (
         bg.join(F.broadcast(m.select("w1", "w2", "logp")), ["w1", "w2"], "left")
         .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(params))
         .select(
             "doc_id",
             F.coalesce(
                 "logp",
                 F.when(F.col("__cn").isNotNull(), floor_seen).otherwise(
-                    F.log(F.lit(1.0) / F.lit(float(v)))
+                    F.log(F.lit(1.0) / F.col("__v"))
                 ),
             ).alias("lp"),
         )

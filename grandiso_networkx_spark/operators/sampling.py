@@ -13,9 +13,11 @@ reference; SURVEY.md §2.7 class).
   ``md5(u|v|i|seed) % n`` from a dense sorted vertex index, then
   true-edge collisions and self-pairs are anti-joined away — so the
   sample is identical under any partitioning/retry and reproducible
-  by the DuckDB oracle bit-for-bit.  The dense index is the one
-  global-sort prep (same one-time-prep class as PageRank's surrogate
-  map); the hot path is equi joins only.
+  by the DuckDB oracle bit-for-bit.  The dense index is built WITHOUT
+  a global single-partition sort: range-partition by id, rank within
+  each partition in parallel, add per-partition offsets (a running
+  sum over the tiny partition-count frame); the hot path is equi
+  joins only.
 """
 
 from __future__ import annotations
@@ -73,6 +75,37 @@ def ego_net(
     )
 
 
+def _dense_vertex_index(verts: DataFrame, nparts: int) -> DataFrame:
+    """``(id, __i long)`` with ``__i`` = 1-based global rank of ``id``,
+    built WITHOUT a global single-partition sort: range-partition by id
+    (range boundaries are totally ordered across partitions and
+    distinct ids never straddle one), ``row_number`` WITHIN each
+    partition in parallel, then add per-partition offsets — a running
+    sum over the partition-count frame (``nparts`` rows), the
+    heaps_fit doc-offset pattern.
+
+    The partitioned input is ``localCheckpoint``-ed (one eager job) to
+    pin the sampled range boundaries, so the size pass and the rank
+    pass see identical partitions; its blocks are reclaimed by the
+    ContextCleaner once unreferenced.
+    """
+    parted = (
+        verts.repartitionByRange(max(nparts, 1), "id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "__pid", F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off")
+    )
+    wrank = Window.partitionBy("__pid").orderBy("id")
+    return parted.join(F.broadcast(offs), "__pid").select(
+        "id",
+        (F.col("__off") + F.row_number().over(wrank)).cast("long").alias("__i"),
+    )
+
+
 def link_training_pairs(
     edges: DataFrame,
     neg_per_pos: int = 1,
@@ -96,10 +129,11 @@ def link_training_pairs(
         .unionAll(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    # Dense 1..n index: the one global-sort prep (see module doc).
-    idx = verts.select(
-        "id", F.row_number().over(Window.orderBy("id")).alias("__i")
-    ).persist()
+    # Dense 1..n index = global rank by id, parallel (see
+    # _dense_vertex_index; plan pinned by tests/test_plan_gates_r3.py).
+    spark = edges.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    idx = _dense_vertex_index(verts, nparts).persist()
     n = idx.count()
 
     cand = e.select(
@@ -118,7 +152,7 @@ def link_training_pairs(
                 F.lit(n),
             )
             + 1
-        ).cast("int").alias("__i"),
+        ).cast("long").alias("__i"),
     )
     negs = (
         cand.join(F.broadcast(idx) if n <= 5_000_000 else idx, "__i")

@@ -163,14 +163,18 @@ def ivf_centroids(
     """Deterministic IVF codebook ``(cid, __cv array<double>)``.
 
     Seeds = the ``n_centroids`` corpus vectors with the smallest
-    ``xxhash64(id, seed)`` (a deterministic sample, no RNG state),
+    portable ``hash60(id|seed)`` (the md5-affine convention every
+    deterministic op uses — a deterministic sample, no RNG state, and
+    replayable in ANSI SQL so the codebook itself is oracle-checkable),
     refined by ``lloyd_iters`` synchronous k-means steps — assignment
     is a broadcast scoring pass, the new centroid is the element-wise
     mean via ``posexplode``/``groupBy(cid, pos)`` (map-side partial
     agg; JVM-side throughout).  Empty clusters drop out.
     """
+    from ..functions.hashing import hash60_keyed
+
     seeds = (
-        base.select("__id", "__v", F.xxhash64("__id", F.lit(seed)).alias("__h"))
+        base.select("__id", "__v", hash60_keyed("__id", F.lit(seed)).alias("__h"))
         .orderBy("__h")
         .limit(n_centroids)
     )
@@ -321,10 +325,11 @@ def embedding_clusters(
     steps, JVM-side throughout) surfaced for the pipeline uses beyond
     ANN — semantic sharding of a corpus, diversity sampling, topic
     bucketing before dedup.  Deterministic in (data, seed): seeds are
-    the ``n_clusters`` vectors with the smallest ``xxhash64(id, seed)``
-    (hash-based, so a driver value check would need Spark's xxhash64 in
-    SQL — the driver records rows-only; exactness properties are pinned
-    in pytest instead).  Scale: every pass is a broadcast of the tiny
+    the ``n_clusters`` vectors with the smallest portable
+    ``hash60(id|seed)``, so the WHOLE pipeline (seed pick, each Lloyd
+    step, the final assignment) replays in ANSI SQL and the driver
+    value-checks it end-to-end (``_embed_clusters_sql`` in
+    ``__spark_entry__``).  Scale: every pass is a broadcast of the tiny
     centroid table against the corpus + one posexplode mean — linear in
     corpus size, no corpus x corpus term anywhere.
     """

@@ -14,10 +14,12 @@ SQL-checkable and downstream ops (packing, windowing) can reuse the
 rows without re-tokenizing.
 
 Scale shape: one tokenize-explode pass; the vocab build is one token
-groupBy (map-side combined) + a row_number over the vocabulary only
-(vocabulary ≪ corpus by Heaps' law — the single-partition window sees
-|V| rows, not the token stream); the id rewrite is a broadcast join
-against that small vocab.  No per-row Python anywhere.
+groupBy (map-side combined) + an ``orderBy().limit(max_vocab)``
+(TakeOrdered — per-partition top-V then a merge of V-row heads, never
+a full sort) so the one-partition ranking window sees only the
+``max_vocab`` survivors, not the whole vocabulary (which at web scale
+is 10^8-10^9 noisy types); the id rewrite is a broadcast join against
+that small vocab.  No per-row Python anywhere.
 """
 
 from __future__ import annotations
@@ -48,12 +50,14 @@ def vocab_table(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # TakeOrdered to the top max_vocab FIRST (same (count desc, token
+    # asc) order as the ranking window) so the single-partition
+    # row_number window ranks max_vocab rows, never the full
+    # vocabulary — identical output to ranking-then-filtering.
+    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(max_vocab)
     w = Window.orderBy(F.col("n").desc(), F.col("tok"))
-    return (
-        counts.select(
-            "tok", (F.row_number().over(w) - 1).cast("long").alias("tid"), "n"
-        )
-        .where(F.col("tid") < max_vocab)
+    return top.select(
+        "tok", (F.row_number().over(w) - 1).cast("long").alias("tid"), "n"
     )
 
 
@@ -158,7 +162,9 @@ def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     slope = F.covar_pop("x", "y") / F.var_pop("x")
     return pts.agg(
         F.count(F.lit(1)).alias("n_types"),
-        F.lit(total).alias("n_tokens"),
+        # cast: a Python-int literal under 2^31 infers IntegerType and
+        # the schema would silently flip to long past 2^31 tokens
+        F.lit(total).cast("long").alias("n_tokens"),
         F.round(slope, 6).alias("beta"),
         F.round(F.exp(F.avg("y") - slope * F.avg("x")), 6).alias("k"),
         F.round(

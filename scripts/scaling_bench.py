@@ -82,6 +82,18 @@ MOTIF_VERTICES = _env("SCALING_MOTIF_VERTICES", 4_000_000, int)
 MOTIF_EDGES = _env("SCALING_MOTIF_EDGES", 16_000_000, int)
 MOTIF_WINDOW = _env("SCALING_MOTIF_WINDOW", 80.0, float)
 MOTIF_WINDOWS = _env("SCALING_MOTIF_WINDOWS", 5, int)
+# Third workload (r3, VERDICT item 10): a SURVEY §2.7 pipeline op —
+# the portable-md5 MinHash dedup (128 min-aggregates + banded
+# bucket-join), windowed exactly like motif (complete runs counted
+# inside fixed walls).  The corpus is the sf0.1 documents table
+# replicated with shifted doc_ids so the N-leg run is long enough to
+# amortize fixed stage-scheduling cost.
+DEDUP_DOCS = _env(
+    "SCALING_DEDUP_DOCS", "/root/testdata/sf0.1/documents.parquet", str
+)
+DEDUP_REPL = _env("SCALING_DEDUP_REPL", 2, int)
+DEDUP_WINDOW = _env("SCALING_DEDUP_WINDOW", 90.0, float)
+DEDUP_WINDOWS = _env("SCALING_DEDUP_WINDOWS", 4, int)
 N_LEG = 2
 N4_LEG = 8
 TRIALS = _env("SCALING_TRIALS", 1, int)
@@ -196,6 +208,42 @@ def run_leg(cpus: int, sync_dir: str | None = None) -> dict:
         _signal(sync_dir, f"done_motif_{k}_{cpus}")
     out["motif_windows"] = mwins
 
+    # ---- Dedup (§2.7 pipeline op): MinHash windows -------------------
+    # Park until BOTH legs finished their motif windows so the corpus
+    # build below never pollutes the sibling's last exclusive window.
+    _wait(sync_dir, "go_dedup_build")
+    gm.unpersist()
+    from grandiso_networkx_spark.operators.dedup import minhash_lsh_pairs
+
+    docs0 = spark.read.parquet(DEDUP_DOCS)
+    docs = docs0
+    other = [c for c in docs0.columns if c != "doc_id"]
+    for r in range(1, DEDUP_REPL):
+        docs = docs.unionByName(
+            docs0.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                *other,
+            )
+        )
+    docs = docs.persist()
+    out["dedup_docs"] = docs.count()
+    out["dedup_pairs"] = minhash_lsh_pairs(docs, threshold=0.5).count()  # warm
+    _signal(sync_dir, f"ready_dedup_{cpus}")
+    dwins: list[dict] = []
+    for k in range(DEDUP_WINDOWS):
+        _wait(sync_dir, f"go_dedup_{k}_{cpus}")
+        t0 = time.monotonic()
+        runs = 0
+        while True:
+            minhash_lsh_pairs(docs, threshold=0.5).count()
+            runs += 1
+            el = time.monotonic() - t0
+            if el >= DEDUP_WINDOW:
+                break
+        dwins.append({"runs": runs, "sec": round(el, 2)})
+        _signal(sync_dir, f"done_dedup_{k}_{cpus}")
+    out["dedup_windows"] = dwins
+
     spark.stop()
     return out
 
@@ -254,6 +302,13 @@ def _orchestrate(sync_dir: str, procs: dict) -> None:
         for c in legs:
             psignal(f"go_motif_{k}_{c}")
             pwait(f"done_motif_{k}_{c}", c)
+    psignal("go_dedup_build")
+    for c in legs:
+        pwait(f"ready_dedup_{c}", c)
+    for k in range(DEDUP_WINDOWS):
+        for c in legs:
+            psignal(f"go_dedup_{k}_{c}")
+            pwait(f"done_dedup_{k}_{c}", c)
 
 
 def _collect(proc: subprocess.Popen, out_path: str, cpus: int) -> dict:
@@ -305,6 +360,7 @@ def main() -> None:
     # the adjacent-in-time exclusive pair.  PR window 0 is warm-up.
     pr_pairs: list[dict] = []
     mo_pairs: list[dict] = []
+    de_pairs: list[dict] = []
     for tr in trials:
         e = tr["N"]["pr_edges"]
         for k in range(1, min(len(tr["N"]["pr_windows"]), len(tr["4N"]["pr_windows"]))):
@@ -321,6 +377,16 @@ def main() -> None:
             tn = _tput(tr["N"]["motif_windows"][k], mm)
             t4 = _tput(tr["4N"]["motif_windows"][k], mm)
             mo_pairs.append(
+                {"trial": tr["trial"], "window": k, "N_tput": round(tn, 1),
+                 "4N_tput": round(t4, 1), "eff": round(t4 / tn / 4, 3)}
+            )
+        dd = tr["N"]["dedup_docs"]
+        for k in range(
+            min(len(tr["N"]["dedup_windows"]), len(tr["4N"]["dedup_windows"]))
+        ):
+            tn = _tput(tr["N"]["dedup_windows"][k], dd)
+            t4 = _tput(tr["4N"]["dedup_windows"][k], dd)
+            de_pairs.append(
                 {"trial": tr["trial"], "window": k, "N_tput": round(tn, 1),
                  "4N_tput": round(t4, 1), "eff": round(t4 / tn / 4, 3)}
             )
@@ -343,10 +409,19 @@ def main() -> None:
         / 4,
         3,
     )
+    eff_de = round(
+        statistics.median(p["4N_tput"] for p in de_pairs)
+        / statistics.median(p["N_tput"] for p in de_pairs)
+        / 4,
+        3,
+    )
     e32 = leg32["pr_edges"]
     pr32 = statistics.median(_tput(w, e32) for w in leg32["pr_windows"][1:])
     mo32 = statistics.median(
         _tput(w, leg32["motif_matches"]) for w in leg32["motif_windows"]
+    )
+    de32 = statistics.median(
+        _tput(w, leg32["dedup_docs"]) for w in leg32["dedup_windows"]
     )
     report = {
         "N_cpus": N_LEG,
@@ -357,14 +432,19 @@ def main() -> None:
         "local32": leg32,
         "pr_pairs": pr_pairs,
         "motif_pairs": mo_pairs,
+        "dedup_pairs": de_pairs,
         "median_N_pagerank_tput": statistics.median(p["N_tput"] for p in pr_pairs),
         "median_4N_pagerank_tput": statistics.median(p["4N_tput"] for p in pr_pairs),
         "median_N_motif_tput": statistics.median(p["N_tput"] for p in mo_pairs),
         "median_4N_motif_tput": statistics.median(p["4N_tput"] for p in mo_pairs),
+        "median_N_dedup_tput": statistics.median(p["N_tput"] for p in de_pairs),
+        "median_4N_dedup_tput": statistics.median(p["4N_tput"] for p in de_pairs),
         "local32_pagerank_tput": round(pr32, 1),
         "local32_motif_tput": round(mo32, 1),
+        "local32_dedup_tput": round(de32, 1),
         "pagerank_scaling_efficiency": round(eff_pr, 3),
         "motif_scaling_efficiency": round(eff_mo, 3),
+        "dedup_scaling_efficiency": round(eff_de, 3),
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
@@ -419,6 +499,15 @@ tput = edge-traversals/sec. local[32]: {report['local32_pagerank_tput']:,}/s.
 
 **median scaling efficiency (N->4N) = {eff_mo:.3f}** (target >= 0.8);
 tput = matches/sec. local[32]: {report['local32_motif_tput']:,}/s.
+
+## MinHash dedup (SURVEY §2.7 pipeline op: portable-md5 128-perm signatures + banded LSH bucket-join, {trials[0]['N']['dedup_docs']:,} docs, {trials[0]['N']['dedup_pairs']:,} candidate pairs; window {DEDUP_WINDOW:.0f}s; work unit = 1 full corpus pass)
+
+| trial.window | N tput | 4N tput | efficiency |
+|---|---|---|---|
+{rows(de_pairs)}
+
+**median scaling efficiency (N->4N) = {eff_de:.3f}** (target >= 0.8);
+tput = docs/sec. local[32]: {report['local32_dedup_tput']:,}/s.
 
 Raw JSON: `BENCH/scaling.json`. Reproduce: `python scripts/scaling_bench.py`.
 

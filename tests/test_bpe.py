@@ -1,0 +1,118 @@
+"""BPE merge induction + encoding vs a pure-Python Sennrich-style
+reference (greedy left-to-right pair merging, most-frequent pair per
+round, ties lexicographic)."""
+
+import pytest
+
+from grandiso_networkx_spark.operators.bpe import bpe_encode, bpe_merges
+
+DOCS = [
+    (0, "low low low low low"),
+    (1, "lower lower newest newest newest"),
+    (2, "newest newest newest widest widest"),
+    (3, "aaa aaab banana"),
+    (4, ""),
+    (5, "LOW Low lOw"),
+]
+
+
+def _ref_word_counts(docs):
+    from collections import Counter
+
+    c = Counter()
+    for _, text in docs:
+        for w in text.strip().lower().split():
+            if w:
+                c[w] += 1
+    return c
+
+
+def _ref_merge_word(syms, left, right):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(docs, n_merges):
+    from collections import Counter
+
+    vocab = {w: (list(w), n) for w, n in _ref_word_counts(docs).items()}
+    merges = []
+    for idx in range(n_merges):
+        pc = Counter()
+        for syms, n in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        merges.append((idx, l, r, cnt))
+        vocab = {
+            w: (_ref_merge_word(s, l, r), n) for w, (s, n) in vocab.items()
+        }
+    return merges
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bpe_merges_match_reference(spark, docs_df):
+    got = [
+        (r.merge_idx, r.left, r.right, r.pair_count)
+        for r in bpe_merges(docs_df, n_merges=8).orderBy("merge_idx").collect()
+    ]
+    assert got == _ref_bpe(DOCS, 8)
+
+
+def test_bpe_merges_overlapping_runs(spark):
+    """'aaaa' under merge (a,a) must yield ['aa','aa'] (greedy run
+    parity), and 'aaa' -> ['aa','a']."""
+    df = spark.createDataFrame(
+        [(0, "aaaa aaa aa")], "doc_id long, text string"
+    )
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in bpe_merges(df, n_merges=2).orderBy("merge_idx").collect()
+    ]
+    want = [(m[1], m[2], m[3]) for m in _ref_bpe([(0, "aaaa aaa aa")], 2)]
+    assert got == want
+
+
+def test_bpe_encode_matches_reference(spark, docs_df):
+    merges = bpe_merges(docs_df, n_merges=6)
+    enc = bpe_encode(docs_df, merges)
+    got = {}
+    for r in enc.collect():
+        got.setdefault((r.doc_id, r.widx), []).append((r.pos, r.piece))
+    ref_merges = [(m[1], m[2]) for m in _ref_bpe(DOCS, 6)]
+    for did, text in DOCS:
+        words = [w for w in text.strip().lower().split() if w]
+        for wi, w in enumerate(words):
+            syms = list(w)
+            for l, r in ref_merges:
+                syms = _ref_merge_word(syms, l, r)
+            pieces = [p for _, p in sorted(got.get((did, wi), []))]
+            assert pieces == syms, (did, wi, w, pieces, syms)
+
+
+def test_bpe_encode_accepts_literal_list(spark, docs_df):
+    enc = bpe_encode(docs_df, [("l", "o"), ("lo", "w")])
+    pieces = [
+        r.piece
+        for r in enc.where("doc_id = 0 AND widx = 0").orderBy("pos").collect()
+    ]
+    assert pieces == ["low"]
+
+
+def test_validation(spark, docs_df):
+    with pytest.raises(ValueError):
+        bpe_merges(docs_df, 0)

@@ -77,7 +77,9 @@ def test_bigram_logprob_self_scoring(spark, docs_df):
 
 
 def test_bigram_heldout_floor(spark, docs_df):
-    """Unseen pairs score the add-k floor; unseen contexts ln(1/V)."""
+    """Unseen pairs score the model's own add-k floor (training V rides
+    the model via __v/__k, NOT the bigram support); unseen contexts
+    ln(1/V)."""
     m = bigram_model(docs_df)
     target = spark.createDataFrame(
         [(100, "the zebra"), (101, "qq zz")], "doc_id long, text string"
@@ -87,8 +89,10 @@ def test_bigram_heldout_floor(spark, docs_df):
         for r in bigram_logprob(target, model=m).collect()
     }
     model = _ref_bigram_model(DOCS)
-    mv = {w for a, b in model for w in (a, b)}
-    V = len(mv)
+    # V = the TRAINING corpus unigram vocabulary — includes tokens that
+    # never enter a bigram ("single"), so it exceeds the bigram support.
+    V = len({t for _, text in DOCS for t in _toks(text)})
+    assert V > len({w for a, b in model for w in (a, b)})
     c1 = Counter()
     for (a, _), (n, _) in model.items():
         c1[a] += n
@@ -96,6 +100,20 @@ def test_bigram_heldout_floor(spark, docs_df):
     assert got[100] == (1, pytest.approx(math.log(1.0 / (c1["the"] + V)), abs=1e-12))
     # ("qq","zz"): context unseen
     assert got[101] == (1, pytest.approx(math.log(1.0 / V), abs=1e-12))
+
+
+def test_bigram_heldout_floor_bare_model_fallback(spark, docs_df):
+    """A model frame stripped of __v/__k falls back to the documented
+    support-derived V."""
+    m = bigram_model(docs_df).select("w1", "w2", "n", "logp")
+    target = spark.createDataFrame([(101, "qq zz")], "doc_id long, text string")
+    got = {
+        r.doc_id: r.mean_logp
+        for r in bigram_logprob(target, model=m).collect()
+    }
+    model = _ref_bigram_model(DOCS)
+    V = len({w for a, b in model for w in (a, b)})
+    assert got[101] == pytest.approx(math.log(1.0 / V), abs=1e-12)
 
 
 def test_vocab_table_ranking(spark, docs_df):

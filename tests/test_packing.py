@@ -225,7 +225,11 @@ def test_pack_single_exchange_plan(spark, docs_df):
     single-partition sort, no cartesian."""
     plan = pack_sequences(docs_df, 8, n_shards=4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "SinglePartition" not in plan.split("Exchange hashpartitioning")[0] or True
+    # No global single-partition sort/exchange anywhere upstream of the
+    # one shard hash-partition exchange.
+    assert "Exchange hashpartitioning" in plan
+    before_shard = plan.split("Exchange hashpartitioning")[0]
+    assert "SinglePartition" not in before_shard
     assert plan.count("Exchange") == 1
 
 
