@@ -67,6 +67,25 @@ def test_dense_vertex_index_parallel_ranking(spark):
             assert "SinglePartition" not in l, plan
 
 
+def test_bpe_windows_are_word_partitioned(spark):
+    """Every window in the BPE merge pass is partitioned by the word
+    key — parallel across words, never a global single-partition
+    window; no cartesian anywhere."""
+    from grandiso_networkx_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest") for i in range(6)],
+        "doc_id long, text string",
+    )
+    df = bpe_encode(docs, [("l", "o"), ("lo", "w")])
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line and "widx" in line, line
+
+
 def test_dense_vertex_index_values(spark):
     """__i is exactly the 1-based global rank by id under any nparts."""
     from grandiso_networkx_spark.operators.sampling import (
