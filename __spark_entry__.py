@@ -1547,11 +1547,75 @@ SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
 
 
 def q_pagerank_invoke_graph(spark, sf_dir):
+    """CONVERGENCE-mode PageRank (tol=1e-6) on the weighted invoke
+    graph, top-50 by rank.  VALUE-checked (r3): the oracle unrolls the
+    power iteration far past the data-dependent convergence round,
+    computes every round's L1 delta, selects the FIRST round with
+    err < n*tol exactly as the engine's loop does, and poisons if no
+    round within the cap converges (_pagerank_tol_sql) — so even the
+    convergence-mode variant has an independent SQL replay."""
     e = _event_invoke_edges(spark, sf_dir).select("src", "dst", "weight")
     pr = pagerank(e, weight_col="weight", tol=1e-6)
     return pr.select("id", F.round("rank", 8).alias("rank")).orderBy(
         F.desc("rank"), F.asc("id")
     ).limit(50)
+
+
+def _pagerank_tol_sql(max_rounds: int = 80, tol: float = 1e-6,
+                      topk: int = 50) -> str:
+    """SQL replay of q_pagerank_invoke_graph: the _pagerank_fixed_sql
+    recurrence unrolled ``max_rounds`` deep, one L1-delta scalar per
+    round, output = the FIRST round whose delta < n*tol (the engine's
+    stopping rule), ranked/limited exactly like the query.  Cap guard:
+    poison row when no unrolled round converges.  Validated at
+    sf0.01: converges in well under 80 rounds (alpha^r decay)."""
+    parts = [
+        f"""WITH e AS ({_INVOKE_EDGES_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS c FROM verts),
+outw AS (SELECT src, sum(weight * 1.0) AS w FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT c FROM nn) AS rank FROM verts)"""
+    ]
+    for i in range(max_rounds):
+        parts.append(
+            f""",
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i}
+         WHERE id NOT IN (SELECT src FROM outw)),
+g{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS g
+         FROM e JOIN r{i} r ON r.id = e.src JOIN outw o ON o.src = e.src
+         GROUP BY e.dst),
+r{i + 1} AS MATERIALIZED (SELECT v.id,
+    0.85 * (coalesce(g.g, 0) + (SELECT dm FROM d{i}) / (SELECT c FROM nn))
+    + 0.15 / (SELECT c FROM nn) AS rank
+  FROM verts v LEFT JOIN g{i} g ON v.id = g.id),
+err{i + 1} AS (SELECT sum(abs(a.rank - b.rank)) AS err
+  FROM r{i + 1} a JOIN r{i} b USING (id))"""
+        )
+    err_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, (SELECT err FROM err{i}) AS err"
+        for i in range(1, max_rounds + 1)
+    )
+    rank_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, id, rank FROM r{i}"
+        for i in range(1, max_rounds + 1)
+    )
+    parts.append(
+        f""",
+errs AS ({err_union}),
+conv AS (SELECT min(i) AS w FROM errs
+         WHERE err < (SELECT c FROM nn) * {tol}),
+allr AS ({rank_union}),
+picked AS (
+  SELECT id, round(rank, 8) AS rank
+  FROM allr WHERE i = (SELECT w FROM conv)
+  ORDER BY round(rank, 8) DESC, id ASC LIMIT {topk})
+SELECT id, rank FROM picked
+UNION ALL
+SELECT 'ORACLE_CAP_EXCEEDED (_pagerank_tol_sql {max_rounds} rounds)' AS id,
+       -1.0 AS rank
+FROM (SELECT 1 AS one WHERE (SELECT w FROM conv) IS NULL)"""
+    )
+    return "".join(parts)
 
 
 def q_pagerank_fixed(spark, sf_dir):
@@ -6771,6 +6835,7 @@ def _standalone_oracles() -> dict[str, str]:
         "semantic_dedup_keep_lsh": _semantic_lsh_keep_sql(),
         "embedding_clusters": _embed_clusters_sql(),
         "truss_numbers": _truss_sql(),
+        "pagerank_invoke_graph": _pagerank_tol_sql(),
         "closeness_centrality": _CLOSENESS_SQL,
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,
@@ -6959,7 +7024,10 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
         "connected_components", "connected_components_star", "bfs_levels",
         "strongly_connected_components",
     ],
-    "fused_spectral": ["katz_fixed", "eigenvector_fixed", "pagerank_fixed"],
+    "fused_spectral": [
+        "katz_fixed", "eigenvector_fixed", "pagerank_fixed",
+        "pagerank_invoke_graph",
+    ],
     "fused_distance_centrality": [
         "harmonic_centrality", "closeness_centrality", "eccentricity",
         "double_sweep", "landmark_distances",
@@ -7026,9 +7094,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
 # slots are now value-checked.
 _FUSED_ROWS_ONLY: dict[str, list[str]] = {
     "fused_media_rows": ["media_features", "media_resize", "compression_ratio"],
-    "fused_graph_rows": [
-        "pagerank_invoke_graph", "louvain_communities", "minhash_dedup_pairs",
-    ],
+    "fused_graph_rows": ["louvain_communities", "minhash_dedup_pairs"],
 }
 
 # Headline standalone queries promoted into driver slots 41-50 so the
