@@ -3601,12 +3601,17 @@ l{i + 1} AS MATERIALIZED (SELECT l.id, coalesce(mv.lb, l.label) AS label
 def q_louvain_communities(spark, sf_dir):
     """Full deterministic synchronous multilevel Louvain over the
     weighted user↔event-type invoke graph: ``(id, community)``,
-    community = min original member id.  Iterative multilevel
-    contraction is not SQL-expressible in one oracle, so this is a
-    rows-check; exactness is pinned by the pytest bit-for-bit
-    differential against the single-node replica
-    (tests/test_community.py::TestLouvain) and the level-1 phase's
-    value check (``louvain_round``)."""
+    community = min original member id.  VALUE-checked (r3): the
+    engine's max_levels=5 / max_rounds=10 are FIXED budgets (its
+    early-break conditions — no change in a round, no move in a
+    level, m=0 — make the remaining iterations exact no-ops), so the
+    whole multilevel contraction unrolls into one CTE chain
+    (_louvain_multilevel_sql): per level the sym/deg/m build, 10 move
+    rounds, min-id canonicalization, mapping composition, and the
+    quotient-graph rebuild.  All sums are integer-valued doubles, so
+    every gain compares bit-for-bit.  Exactness additionally pinned by
+    the pytest bit-for-bit differential against the single-node
+    replica (tests/test_community.py::TestLouvain)."""
     from grandiso_networkx_spark.operators.community import (
         louvain_communities,
     )
@@ -3614,6 +3619,103 @@ def q_louvain_communities(spark, sf_dir):
     return louvain_communities(
         _event_invoke_edges(spark, sf_dir), weight_col="weight"
     )
+
+
+def _louvain_multilevel_sql(levels: int = 5, rounds: int = 10,
+                            tol: float = 1e-12) -> str:
+    """SQL replay of q_louvain_communities (see its docstring).  Each
+    level replays _louvain_graph (sym with self-loops, deg counting
+    self-loops twice, m = offdiag/2 + selfloops), the _louvain_round
+    chain (previous-round gains, strictly positive, min-label
+    tie-break, mutual-swap guard — kin over the OFF-diagonal
+    adjacency only), then contracts: community = min member id,
+    mapping composed by inner join, quotient edges = label-attach +
+    groupBy sum over the level's DIRECTED edge table (self-loops
+    carry absorbed intra-community weight).  Unrolled no-op rounds
+    and levels reproduce the engine's early breaks exactly."""
+    parts = [
+        f"""WITH re AS MATERIALIZED ({_INVOKE_EDGES_SQL}),
+cur0 AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM re)"""
+    ]
+    for L in range(levels):
+        p = f"v{L}"  # level prefix
+        parts.append(
+            f""",
+sym{p} AS MATERIALIZED (SELECT u, v, sum(w) AS w FROM (
+    SELECT src AS u, dst AS v, w FROM cur{L} WHERE src <> dst
+    UNION ALL SELECT dst AS u, src AS v, w FROM cur{L} WHERE src <> dst
+    UNION ALL SELECT src AS u, dst AS v, w FROM cur{L} WHERE src = dst)
+  GROUP BY u, v),
+so{p} AS MATERIALIZED (SELECT u, v, w FROM sym{p} WHERE u <> v),
+deg{p} AS MATERIALIZED (SELECT u AS id,
+    sum(CASE WHEN u = v THEN 2 * w ELSE w END) AS k
+  FROM sym{p} GROUP BY u),
+mm{p} AS MATERIALIZED (SELECT
+    coalesce(sum(CASE WHEN u <> v THEN w END), 0) / 2.0
+    + coalesce(sum(CASE WHEN u = v THEN w END), 0) AS m
+  FROM sym{p}),
+l{p}_0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym{p})"""
+        )
+        for i in range(rounds):
+            parts.append(
+                f""",
+kin{p}_{i} AS MATERIALIZED (SELECT s.u AS id, l.label AS lv, sum(s.w) AS kin
+           FROM so{p} s JOIN l{p}_{i} l ON l.id = s.v GROUP BY 1, 2),
+stot{p}_{i} AS MATERIALIZED (SELECT l.label, sum(d.k) AS stot
+            FROM l{p}_{i} l JOIN deg{p} d ON d.id = l.id GROUP BY 1),
+base{p}_{i} AS MATERIALIZED (SELECT l.id, l.label AS la, d.k,
+                   st.stot AS stot_a, coalesce(ka.kin, 0.0) AS kin_a
+            FROM l{p}_{i} l JOIN deg{p} d ON d.id = l.id
+            JOIN stot{p}_{i} st ON st.label = l.label
+            LEFT JOIN kin{p}_{i} ka ON ka.id = l.id AND ka.lv = l.label),
+mvz{p}_{i} AS MATERIALIZED (SELECT b.id, b.la, kk.lv AS lb,
+                  (kk.kin - b.kin_a) / mm.m
+                  - 1.0 * b.k * (st2.stot - (b.stot_a - b.k))
+                    / (2.0 * mm.m * mm.m) AS gain
+           FROM kin{p}_{i} kk JOIN base{p}_{i} b ON b.id = kk.id
+           JOIN stot{p}_{i} st2 ON st2.label = kk.lv
+           CROSS JOIN mm{p} mm
+           WHERE kk.lv <> b.la),
+mv{p}_{i} AS MATERIALIZED (SELECT id, la, lb FROM (
+            SELECT id, la, lb, gain,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY gain DESC, lb ASC) AS rn
+            FROM mvz{p}_{i}) t WHERE rn = 1 AND gain > {tol}),
+bad{p}_{i} AS MATERIALIZED (SELECT DISTINCT a.la, a.lb FROM mv{p}_{i} a
+           JOIN (SELECT DISTINCT la, lb FROM mv{p}_{i}) r
+             ON a.la = r.lb AND a.lb = r.la
+           WHERE a.lb > a.la),
+l{p}_{i + 1} AS MATERIALIZED (SELECT l.id, coalesce(mv.lb, l.label) AS label
+             FROM l{p}_{i} l LEFT JOIN (
+                 SELECT m0.id, m0.lb FROM mv{p}_{i} m0
+                 WHERE NOT EXISTS (SELECT 1 FROM bad{p}_{i} b
+                                   WHERE b.la = m0.la AND b.lb = m0.lb)
+             ) mv ON mv.id = l.id)"""
+            )
+        parts.append(
+            f""",
+canon{L} AS MATERIALIZED (
+  SELECT l.id, mn.community FROM l{p}_{rounds} l
+  JOIN (SELECT label, min(id) AS community FROM l{p}_{rounds} GROUP BY label) mn
+  USING (label)),
+map{L} AS MATERIALIZED ("""
+            + (
+                f"SELECT id, community FROM canon{L})"
+                if L == 0
+                else f"""
+  SELECT m.id, c.community
+  FROM map{L - 1} m JOIN canon{L} c ON c.id = m.community)"""
+            )
+            + f""",
+cur{L + 1} AS MATERIALIZED (
+  SELECT cs.community AS src, cd.community AS dst, sum(e.w) AS w
+  FROM cur{L} e
+  JOIN canon{L} cs ON cs.id = e.src
+  JOIN canon{L} cd ON cd.id = e.dst
+  GROUP BY 1, 2)"""
+        )
+    parts.append(f"\nSELECT id, community FROM map{levels - 1}")
+    return "".join(parts)
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -6836,6 +6938,7 @@ def _standalone_oracles() -> dict[str, str]:
         "embedding_clusters": _embed_clusters_sql(),
         "truss_numbers": _truss_sql(),
         "pagerank_invoke_graph": _pagerank_tol_sql(),
+        "louvain_communities": _louvain_multilevel_sql(),
         "closeness_centrality": _CLOSENESS_SQL,
         "rect_motif_count": _RECT_MOTIF_SQL,
         "motif_attr_bindings": _MOTIF_ATTR_SQL,
@@ -7052,7 +7155,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     "fused_communities": [
         "label_propagation", "label_propagation_weighted", "louvain_round",
-        "seeded_lpa", "local_community",
+        "seeded_lpa", "local_community", "louvain_communities",
     ],
     "fused_community_quality": [
         "modularity", "partition_quality", "attr_assortativity",
@@ -7092,9 +7195,15 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
 # fused_ann_rows' remaining member folded into fused_graph_rows, its
 # slot reused for the new value bundle fused_bpe — 48/50 official
 # slots are now value-checked.
+# r3 (late): louvain_communities and pagerank_invoke_graph graduated
+# too (multilevel / past-convergence unrolls) — ONE rows-only slot
+# remains, holding every genuinely SQL-unportable op: the numpy
+# MinHash family, zlib, and the stubbed media codecs.
 _FUSED_ROWS_ONLY: dict[str, list[str]] = {
-    "fused_media_rows": ["media_features", "media_resize", "compression_ratio"],
-    "fused_graph_rows": ["louvain_communities", "minhash_dedup_pairs"],
+    "fused_rows_only": [
+        "media_features", "media_resize", "compression_ratio",
+        "minhash_dedup_pairs",
+    ],
 }
 
 # Headline standalone queries promoted into driver slots 41-50 so the
@@ -7110,6 +7219,10 @@ _FLAGSHIP_ORDER = [
     "betweenness_centrality",
     "hyperball_sketches",
     "ppr_multi_seed",
+    # r3: full multilevel Louvain, individually value-checked via the
+    # unrolled contraction oracle — promoted into the slot freed by
+    # collapsing the rows-only bundles to one.
+    "louvain_communities",
 ]
 
 
