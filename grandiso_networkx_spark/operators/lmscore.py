@@ -87,21 +87,53 @@ def lm_quality_buckets(
     bucket)`` where bucket 1 = most-typical ``1/n_buckets`` of the
     corpus (head), ``n_buckets`` = tail.
 
-    Uses ``ntile`` over a global ordering — a single-partition window
-    at the very end, over one row per document (already reduced), the
-    same cost class as any global ranking; for 100 TB switch to
-    ``approxQuantile`` cutpoints + a join, which this function's
-    bucket semantics deliberately match (equal-frequency bins).
+    Equal-frequency bins with ``ntile``'s exact rule (bucket sizes
+    differ by at most 1, the larger buckets first), but WITHOUT
+    ``ntile``'s single-partition window: the global rank comes from
+    the parallel range-partition + offset machinery
+    (:func:`..functions.rank.global_dense_rank` — the
+    ``(mean_logp desc, doc_id)`` order is total), and the bucket is a
+    closed-form expression of (rank, N) with N one scalar count — so
+    the per-document frame is never forced through one task, and the
+    output is bit-identical to the ntile formulation at any
+    partitioning.
     """
-    from pyspark.sql import Window
+    from ..functions.rank import global_dense_rank
 
-    scored = unigram_logprob(docs, text_col)
-    w = Window.orderBy(F.col("mean_logp").desc(), F.col("doc_id"))
-    return scored.select(
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    scored = unigram_logprob(docs, text_col).persist()
+    n = scored.count()
+    if n == 0:
+        scored.unpersist()
+        return scored.select(
+            "doc_id", "n_tokens", "mean_logp",
+            F.lit(1).alias("bucket"),
+        )
+    spark = docs.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ranked = global_dense_rank(
+        scored,
+        [F.col("mean_logp").desc(), F.col("doc_id")],
+        nparts,
+    )
+    # global_dense_rank localCheckpoints eagerly, so the scored cache
+    # can be released immediately
+    scored.unpersist()
+    q, rem = divmod(n, n_buckets)
+    head = rem * (q + 1)
+    r = F.col("__rank")
+    # ntile's exact assignment: the first (n % k) buckets hold
+    # floor(n/k)+1 rows, the rest floor(n/k).
+    bucket = (
+        F.when(r <= F.lit(head), F.floor((r - 1) / F.lit(q + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((r - 1 - head) / F.lit(max(q, 1))) + 1)
+    )
+    return ranked.select(
         "doc_id",
         "n_tokens",
         "mean_logp",
-        F.ntile(n_buckets).over(w).alias("bucket"),
+        bucket.cast("int").alias("bucket"),
     )
 
 

@@ -84,25 +84,14 @@ def _dense_vertex_index(verts: DataFrame, nparts: int) -> DataFrame:
     sum over the partition-count frame (``nparts`` rows), the
     heaps_fit doc-offset pattern.
 
-    The partitioned input is ``localCheckpoint``-ed (one eager job) to
-    pin the sampled range boundaries, so the size pass and the rank
-    pass see identical partitions; its blocks are reclaimed by the
-    ContextCleaner once unreferenced.
+    Delegates to the shared :func:`..functions.rank.global_dense_rank`
+    (range-partition + in-partition rank + broadcast offsets; the
+    partitioned input is ``localCheckpoint``-ed to pin boundaries).
     """
-    parted = (
-        verts.repartitionByRange(max(nparts, 1), "id")
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    sizes = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
-    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = sizes.select(
-        "__pid", F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off")
-    )
-    wrank = Window.partitionBy("__pid").orderBy("id")
-    return parted.join(F.broadcast(offs), "__pid").select(
-        "id",
-        (F.col("__off") + F.row_number().over(wrank)).cast("long").alias("__i"),
+    from ..functions.rank import global_dense_rank
+
+    return global_dense_rank(verts, [F.col("id")], nparts, out="__i").select(
+        "id", "__i"
     )
 
 

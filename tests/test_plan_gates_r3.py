@@ -67,6 +67,53 @@ def test_dense_vertex_index_parallel_ranking(spark):
             assert "SinglePartition" not in l, plan
 
 
+def test_lm_quality_buckets_match_ntile_exactly(spark):
+    """The parallel-rank bucket formula must be bit-identical to the
+    ntile formulation it replaced, for bucket counts that divide the
+    corpus evenly and not."""
+    from pyspark.sql import Window
+
+    from grandiso_networkx_spark.operators.lmscore import (
+        lm_quality_buckets,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} common word") for i in range(23)],
+        "doc_id long, text string",
+    )
+    for k in (2, 3, 5, 23, 40):
+        got = {
+            r.doc_id: r.bucket
+            for r in lm_quality_buckets(docs, n_buckets=k).collect()
+        }
+        scored = unigram_logprob(docs)
+        w = Window.orderBy(F.col("mean_logp").desc(), F.col("doc_id"))
+        want = {
+            r.doc_id: r.bucket
+            for r in scored.select(
+                "doc_id", F.ntile(k).over(w).alias("bucket")
+            ).collect()
+        }
+        assert got == want, k
+
+
+def test_lm_quality_buckets_rank_window_is_partitioned(spark):
+    """No single-partition window over the per-document frame: the
+    rank window is partitioned by the range-partition id."""
+    from grandiso_networkx_spark.operators.lmscore import (
+        lm_quality_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(lm_quality_buckets(docs))
+    rn_lines = [l for l in plan.splitlines() if "row_number" in l]
+    assert rn_lines and all("__pid" in l for l in rn_lines), plan
+    assert "ntile" not in plan
+
+
 def test_bpe_windows_are_word_partitioned(spark):
     """Every window in the BPE merge pass is partitioned by the word
     key — parallel across words, never a global single-partition
