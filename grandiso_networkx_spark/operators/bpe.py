@@ -172,9 +172,15 @@ def bpe_encode(
         .where(F.length("word") > 0)
     )
     sym = _char_symbols(words, ["doc_id", "widx"])
+    # All merge passes chain in ONE plan: every window is partitioned
+    # by (doc_id, widx) or a superset of it, and a ClusteredDistribution
+    # on a superset is satisfied by the existing hash partitioning on
+    # the subset — so the whole chain runs with a SINGLE exchange plus
+    # per-window local sorts (pinned by the plan gate).  No per-merge
+    # checkpoint: unlike bpe_merges' training loop there is no driver
+    # scalar between rounds, so nothing forces materialization.
     for left, right in mlist:
         sym = _merge_round(sym, ["doc_id", "widx"], left, right)
-        sym = sym.localCheckpoint()
     return sym.select(
         "doc_id",
         F.col("widx").cast("int").alias("widx"),
