@@ -1912,7 +1912,13 @@ def _core_number_sql(kmax: int = 5, rounds: int = 6) -> str:
     Vertices appearing only in self-loops get core 0 (the engine keeps
     the vertex, drops the loop).  Every peel CTE is referenced twice
     (both join endpoints), so they are AS MATERIALIZED — DuckDB 1.0
-    inlines plain CTEs, which would expand the chain 2^rounds."""
+    inlines plain CTEs, which would expand the chain 2^rounds.
+
+    Cap guards (r3, poison rows): an extra SENTINEL phase kmax+1 is
+    peeled and must empty (proves kmax >= the true max core — a
+    non-empty (kmax+1)-core means higher cores were silently
+    truncated), and no phase may still remove vertices in its LAST
+    unrolled round (per-phase fixpoint reached)."""
     parts = [
         f"""WITH raw AS MATERIALIZED (SELECT src, dst FROM ({_REPLY_EDGES_SQL})),
 verts AS (SELECT DISTINCT id FROM (
@@ -1923,7 +1929,7 @@ sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
 a1_0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)"""
     ]
     prev = "a1_0"
-    for k in range(1, kmax + 1):
+    for k in range(1, kmax + 2):  # kmax+1 is the sentinel phase
         if k > 1:
             parts.append(
                 f",\na{k}_0 AS MATERIALIZED (SELECT id FROM {prev})"
@@ -1942,11 +1948,22 @@ a{k}_{r} AS MATERIALIZED (
     member = " UNION ALL ".join(
         f"SELECT id, {k} AS k FROM a{k}_{rounds}" for k in range(1, kmax + 1)
     )
+    fixpoint_arms = " UNION ALL ".join(
+        f"SELECT 1 AS one FROM (SELECT id FROM a{k}_{rounds - 1} "
+        f"EXCEPT SELECT id FROM a{k}_{rounds})"
+        for k in range(1, kmax + 2)
+    )
     parts.append(
         f""",
-core AS (SELECT id, max(k) AS core FROM ({member}) GROUP BY id)
+core AS (SELECT id, max(k) AS core FROM ({member}) GROUP BY id),
+capviol AS (SELECT 1 AS one FROM a{kmax + 1}_{rounds}
+            UNION ALL {fixpoint_arms})
 SELECT v.id, CAST(coalesce(c.core, 0) AS INT) AS core
-FROM verts v LEFT JOIN core c ON c.id = v.id"""
+FROM verts v LEFT JOIN core c ON c.id = v.id
+UNION ALL
+SELECT 'ORACLE_CAP_EXCEEDED (_core_number_sql kmax={kmax} rounds={rounds})'
+         AS id, -1 AS core
+FROM (SELECT 1 FROM capviol LIMIT 1)"""
     )
     return "".join(parts)
 
@@ -1968,7 +1985,11 @@ def _ktruss_sql(k: int = 3, rounds: int = 5) -> str:
     neighbors inside round r-1's survivors.  ``rounds`` must be >= the
     peel depth — at a fixpoint extra rounds recompute the same edge
     set, so overshooting is safe.  Peel CTEs are referenced three
-    times per round (edge + both wedge arms) → AS MATERIALIZED."""
+    times per round (edge + both wedge arms) → AS MATERIALIZED.
+
+    Cap guard (r3, poison row): the LAST unrolled round must remove
+    nothing — a still-shrinking edge set at the cap means the peel
+    was truncated mid-flight."""
     need = k - 2
     parts = [
         f"""WITH raw AS MATERIALIZED (SELECT src, dst FROM ({_REPLY_EDGES_SQL})),
@@ -1989,7 +2010,13 @@ e{r + 1} AS MATERIALIZED (
         )
     parts.append(
         f"""
-SELECT a AS src, b AS dst FROM e{rounds}"""
+SELECT a AS src, b AS dst FROM e{rounds}
+UNION ALL
+SELECT 'ORACLE_CAP_EXCEEDED' AS src,
+       '_ktruss_sql rounds={rounds} too small' AS dst
+FROM (SELECT 1 AS one FROM (
+        SELECT a, b FROM e{rounds - 1} EXCEPT SELECT a, b FROM e{rounds})
+      LIMIT 1)"""
     )
     return "".join(parts)
 

@@ -94,7 +94,7 @@ from .operators.lmscore import (
     unigram_logprob,
 )
 from .operators.tokenize import heaps_fit, token_ids, vocab_table, zipf_fit
-from .operators.bpe import bpe_encode, bpe_merges
+from .operators.bpe import bpe_encode, bpe_merges, bpe_vocab
 from .operators.sparsify import sparsify_similarity
 from .operators.matching import maximal_matching, vertex_cover_2approx
 from .operators.pagerank import pagerank
@@ -151,6 +151,7 @@ __all__ = [
     "heaps_fit",
     "bpe_encode",
     "bpe_merges",
+    "bpe_vocab",
     "landmark_distances",
     "local_community",
     "lm_quality_buckets",

@@ -107,14 +107,19 @@ def bpe_merges(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    min_frequency: int = 1,
 ) -> DataFrame:
     """Learn the BPE merge table: ``(merge_idx int, left, right,
     pair_count long)`` — merge_idx 0 is the first (most frequent)
     merge; ``pair_count`` is the frequency that won the round
     (weighted by word count).  Stops early (fewer rows) when no pair
-    occurs anywhere."""
+    occurs anywhere, or — Sennrich's ``--min-frequency`` rule — when
+    the best pair's count falls below ``min_frequency`` (merges below
+    it would overfit singleton junk)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if min_frequency < 1:
+        raise ValueError("min_frequency must be >= 1")
     spark = docs.sparkSession
     words = _word_counts(docs, text_col).withColumn(
         "wid", F.monotonically_increasing_id()
@@ -136,7 +141,7 @@ def bpe_merges(
             .limit(1)
             .collect()
         )
-        if not pairs:
+        if not pairs or pairs[0]["c"] < min_frequency:
             break
         left, right, cnt = pairs[0]["sym"], pairs[0]["__nxt"], pairs[0]["c"]
         merges.append((i, left, right, int(cnt)))
@@ -186,4 +191,20 @@ def bpe_encode(
         F.col("widx").cast("int").alias("widx"),
         F.col("pos").cast("int").alias("pos"),
         F.col("sym").alias("piece"),
+    )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The trained tokenizer's piece vocabulary over the corpus:
+    ``(piece, n long)`` — every subword the merge list produces, with
+    its corpus occurrence count (the vocab file next to the merges
+    file).  One groupBy over :func:`bpe_encode`'s piece stream."""
+    return (
+        bpe_encode(docs, merges, text_col)
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -113,6 +113,50 @@ def test_bpe_encode_accepts_literal_list(spark, docs_df):
     assert pieces == ["low"]
 
 
+def test_min_frequency_stops_early(spark, docs_df):
+    """Sennrich's --min-frequency: no merge with a winning count below
+    the floor is emitted, and the cut is a prefix of the unfloored
+    merge list."""
+    full = [
+        (r.merge_idx, r.left, r.right, r.pair_count)
+        for r in bpe_merges(docs_df, n_merges=8).orderBy("merge_idx").collect()
+    ]
+    floor = 5
+    cut = [
+        (r.merge_idx, r.left, r.right, r.pair_count)
+        for r in bpe_merges(docs_df, n_merges=8, min_frequency=floor)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    want = []
+    for m in full:
+        if m[3] < floor:
+            break
+        want.append(m)
+    assert cut == want
+    assert all(m[3] >= floor for m in cut)
+    assert len(cut) < len(full)
+
+
+def test_bpe_vocab(spark, docs_df):
+    from grandiso_networkx_spark.operators.bpe import bpe_vocab
+
+    merges = [("l", "o"), ("lo", "w")]
+    got = {r.piece: r.n for r in bpe_vocab(docs_df, merges).collect()}
+    from collections import Counter
+
+    want = Counter()
+    for _, text in DOCS:
+        for w in text.strip().lower().split():
+            syms = list(w)
+            for l, r in merges:
+                syms = _ref_merge_word(syms, l, r)
+            want.update(syms)
+    assert got == dict(want)
+
+
 def test_validation(spark, docs_df):
     with pytest.raises(ValueError):
         bpe_merges(docs_df, 0)
+    with pytest.raises(ValueError):
+        bpe_merges(docs_df, 4, min_frequency=0)

@@ -81,6 +81,40 @@ def test_onion_guard_silent_at_validated_cap(con):
     assert not _poisoned(df)
 
 
+def test_core_number_guard_fires_when_kmax_too_small(con):
+    # kmax=1 with a sentinel 2-core still present on the sf graph
+    df = con.execute(entry._core_number_sql(kmax=1, rounds=1)).df()
+    assert _poisoned(df)
+
+
+def test_core_number_guard_silent_at_validated_cap(con):
+    df = con.execute(entry._core_number_sql(5, 6)).df()
+    assert not _poisoned(df)
+
+
+def test_ktruss_guard_silent_at_validated_cap(con):
+    df = con.execute(entry._ktruss_sql(3, 5)).df()
+    assert not _poisoned(df)
+
+
+def test_ktruss_guard_fires_at_depth_one():
+    """rounds=1 must poison whenever round 1 removes anything — with
+    no later round, the fixpoint is unproven.  Graph: a triangle plus
+    a pendant chain whose edges all drop in round 1."""
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW events AS "
+        "SELECT CAST(i AS BIGINT) AS event_id, "
+        "TIMESTAMP '2024-01-01' + INTERVAL (i) SECOND AS ts, "
+        "CAST(1 AS BIGINT) AS user_id, e AS event_type, "
+        "1.0 AS value, '' AS props FROM (VALUES "
+        "(0,'t0'),(1,'t1'),(2,'t2'),(3,'t0'),(4,'t2'),(5,'t3'),(6,'t4'),"
+        "(7,'t5'),(8,'t6')) v(i, e)"
+    )
+    df = c.execute(entry._ktruss_sql(3, rounds=1)).df()
+    assert _poisoned(df)
+
+
 def test_landmark_and_double_sweep_guard_silent(con):
     for sql in (entry._LANDMARK_SQL, entry._DOUBLE_SWEEP_SQL):
         assert not _poisoned(con.execute(sql).df())
