@@ -86,13 +86,16 @@ MOTIF_WINDOWS = _env("SCALING_MOTIF_WINDOWS", 5, int)
 # the portable-md5 MinHash dedup (128 min-aggregates + banded
 # bucket-join), windowed exactly like motif (complete runs counted
 # inside fixed walls).  The corpus is the sf0.1 documents table
-# replicated with shifted doc_ids so the N-leg run is long enough to
-# amortize fixed stage-scheduling cost.
+# replicated with shifted doc_ids; sized so one full pass takes >=60s
+# on the N leg — at the first attempt's 10k docs a pass took 3.4s/1.9s
+# (N/4N) and the ~1s fixed stage-scheduling cost alone capped measured
+# efficiency near 0.45, saying nothing about the dataflow (same Amdahl
+# note as the motif sizing above).
 DEDUP_DOCS = _env(
     "SCALING_DEDUP_DOCS", "/root/testdata/sf0.1/documents.parquet", str
 )
-DEDUP_REPL = _env("SCALING_DEDUP_REPL", 2, int)
-DEDUP_WINDOW = _env("SCALING_DEDUP_WINDOW", 90.0, float)
+DEDUP_REPL = _env("SCALING_DEDUP_REPL", 40, int)
+DEDUP_WINDOW = _env("SCALING_DEDUP_WINDOW", 120.0, float)
 DEDUP_WINDOWS = _env("SCALING_DEDUP_WINDOWS", 4, int)
 N_LEG = 2
 N4_LEG = 8
@@ -217,13 +220,23 @@ def run_leg(cpus: int, sync_dir: str | None = None) -> dict:
 
     docs0 = spark.read.parquet(DEDUP_DOCS)
     docs = docs0
-    other = [c for c in docs0.columns if c != "doc_id"]
+    other = [c for c in docs0.columns if c not in ("doc_id", "text")]
+    alpha = "abcdefghijklmnopqrstuvwxyz"
     for r in range(1, DEDUP_REPL):
+        # rotate the letter alphabet per replica: identical shingle
+        # STRUCTURE (lengths/counts — same computational shape) but
+        # disjoint shingle VALUES, so near-dup pairs stay linear in
+        # the replication factor instead of exploding quadratically
+        # across identical copies
+        rot = r % 25 + 1
         docs = docs.unionByName(
             docs0.select(
                 (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                F.translate("text", alpha, alpha[rot:] + alpha[:rot]).alias(
+                    "text"
+                ),
                 *other,
-            )
+            ).select(*docs0.columns)
         )
     docs = docs.persist()
     out["dedup_docs"] = docs.count()

@@ -133,6 +133,22 @@ def test_bpe_windows_are_word_partitioned(spark):
             assert "doc_id" in line and "widx" in line, line
 
 
+def test_bpe_encode_single_exchange(spark):
+    """All chained merge passes share ONE hash partitioning: every
+    window's required clustering (doc_id, widx[, derived]) is
+    satisfied by the existing (doc_id, widx) partitioning, so the
+    whole 4-merge chain plans exactly one exchange."""
+    from grandiso_networkx_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, "low lower aaaa") for i in range(8)],
+        "doc_id long, text string",
+    )
+    df = bpe_encode(docs, [("l", "o"), ("lo", "w"), ("a", "a"), ("aa", "aa")])
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_dense_vertex_index_values(spark):
     """__i is exactly the 1-based global rank by id under any nparts."""
     from grandiso_networkx_spark.operators.sampling import (
