@@ -7213,19 +7213,17 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_bpe": ["bpe_merges", "bpe_encode"],
 }
 
-# 3 rows-only bundles: members have no SQL oracle (hash-seeded kernels,
-# zlib, stubbed codecs, probabilistic-recall LSH); exactness for each is
-# pinned by the pytest suite instead (see the member docstrings).
-# r3: semantic_dedup_keep_lsh, embedding_clusters, and truss_numbers
-# graduated to value-checked bundles (plane-literal replay /
-# portable-hash60 codebook derived in SQL / guarded unrolled peel);
-# fused_ann_rows' remaining member folded into fused_graph_rows, its
-# slot reused for the new value bundle fused_bpe — 48/50 official
-# slots are now value-checked.
-# r3 (late): louvain_communities and pagerank_invoke_graph graduated
-# too (multilevel / past-convergence unrolls) — ONE rows-only slot
-# remains, holding every genuinely SQL-unportable op: the numpy
-# MinHash family, zlib, and the stubbed media codecs.
+# The ONE rows-only slot: members have no SQL oracle; exactness for
+# each is pinned by the pytest suite instead (see member docstrings).
+# r1-r2 carried 3 such bundles (9 queries); r3 graduated
+# semantic_dedup_keep_lsh + embedding_clusters (plane-literal replay /
+# portable-hash60 codebook derived in SQL), truss_numbers (guarded
+# unrolled peel), pagerank_invoke_graph (unroll past convergence,
+# select the engine's stopping round), and louvain_communities (fixed
+# level/round budgets unroll exactly), and reused the freed slots for
+# the fused_bpe value bundle + the louvain flagship — leaving exactly
+# the genuinely SQL-unportable set here (numpy MinHash kernel, zlib,
+# stubbed media codecs): 49/50 official slots are value-checked.
 _FUSED_ROWS_ONLY: dict[str, list[str]] = {
     "fused_rows_only": [
         "media_features", "media_resize", "compression_ratio",
