@@ -6269,6 +6269,49 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, bpe_merges(docs, n_merges=6))
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """BPE piece vocabulary (operators/bpe.py bpe_vocab): the trained
+    tokenizer's subword vocab with corpus occurrence counts — one
+    groupBy over the oracled encode stream, so the whole train +
+    encode + count pipeline is value-checked end-to-end."""
+    from grandiso_networkx_spark.operators.bpe import bpe_merges, bpe_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_vocab(docs, bpe_merges(docs, n_merges=6))
+
+
+def q_lm_quality_buckets(spark, sf_dir):
+    """CCNet-style quality terciles (operators/lmscore.py
+    lm_quality_buckets): per-doc unigram score bucketed into
+    equal-frequency bins via the parallel global-rank helper — exact
+    ntile semantics without a single-partition window."""
+    from grandiso_networkx_spark.operators.lmscore import lm_quality_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    out = lm_quality_buckets(d, n_buckets=3)
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logp", 6).alias("mean_logp"),
+        "bucket",
+    )
+
+
+_LM_QUALITY_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+model AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n) AS t FROM model),
+scored AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_tokens, avg(ln(n / t)) AS mean_logp
+  FROM toks JOIN model USING (tok), tot GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(mean_logp, 6) AS mean_logp,
+       CAST(ntile(3) OVER (ORDER BY mean_logp DESC, doc_id) AS INT) AS bucket
+FROM scored
+"""
+
+
 def _bpe_train_ctes(n_merges: int) -> str:
     """Shared unrolled BPE-training CTE chain: s0..s{n} symbol tables
     over the word-frequency vocab + b0..b{n-1} per-round winning
@@ -6329,9 +6372,9 @@ def _bpe_merges_sql(n_merges: int = 6) -> str:
     return f"WITH {_bpe_train_ctes(n_merges)}\n{arms}"
 
 
-def _bpe_encode_sql(n_merges: int = 6) -> str:
+def _bpe_encode_ctes(n_merges: int) -> str:
     """Training chain + the same merge passes unrolled over the
-    per-document word-slot symbol stream."""
+    per-document word-slot symbol stream (final table ``d{n}``)."""
     parts = [
         f"WITH {_bpe_train_ctes(n_merges)}",
         r""",
@@ -6371,10 +6414,23 @@ d{i + 1} AS MATERIALIZED (
         FROM dsel{i})
   WHERE NOT dropme)"""
         )
-    parts.append(
-        f"\nSELECT doc_id, widx, pos, sym AS piece FROM d{n_merges}"
-    )
     return "".join(parts)
+
+
+def _bpe_encode_sql(n_merges: int = 6) -> str:
+    return (
+        _bpe_encode_ctes(n_merges)
+        + f"\nSELECT doc_id, widx, pos, sym AS piece FROM d{n_merges}"
+    )
+
+
+def _bpe_vocab_sql(n_merges: int = 6) -> str:
+    """Encode chain + the vocab groupBy (operators/bpe.py bpe_vocab)."""
+    return (
+        _bpe_encode_ctes(n_merges)
+        + f"\nSELECT sym AS piece, CAST(count(*) AS BIGINT) AS n"
+        f" FROM d{n_merges} GROUP BY sym"
+    )
 
 
 _HEAPS_SQL = r"""
@@ -6708,6 +6764,8 @@ def _standalone_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "heaps_fit": q_heaps_fit,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "bpe_vocab": q_bpe_vocab,
+        "lm_quality_buckets": q_lm_quality_buckets,
         "edge_embeddedness": q_edge_embeddedness,
         "rich_club": q_rich_club,
         "clique4_motif_count": q_clique4_motif_count,
@@ -6877,6 +6935,8 @@ def _standalone_oracles() -> dict[str, str]:
         "heaps_fit": _HEAPS_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "bpe_vocab": _bpe_vocab_sql(),
+        "lm_quality_buckets": _LM_QUALITY_BUCKETS_SQL,
         "edge_embeddedness": _EDGE_EMBED_SQL,
         "rich_club": _RICH_CLUB_SQL,
         "clique4_motif_count": _CLIQUE4_SQL,
@@ -7121,7 +7181,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_token_stats": [
         "token_counts", "token_quantiles", "token_entropy", "vocab_coverage",
         "unigram_logprob", "bigram_logprob", "vocab_table", "token_ids",
-        "zipf_fit", "heaps_fit",
+        "zipf_fit", "heaps_fit", "lm_quality_buckets",
     ],
     "fused_quality": [
         "quality_features", "repetition_features", "lang_guess",
@@ -7210,7 +7270,7 @@ _FUSED_BUNDLES: dict[str, list[str]] = {
     ],
     # r3: BPE trainer + encoder (new §2.7 ops), in the slot freed by
     # folding fused_ann_rows into fused_graph_rows.
-    "fused_bpe": ["bpe_merges", "bpe_encode"],
+    "fused_bpe": ["bpe_merges", "bpe_encode", "bpe_vocab"],
 }
 
 # The ONE rows-only slot: members have no SQL oracle; exactness for

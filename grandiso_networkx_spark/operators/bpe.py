@@ -115,7 +115,18 @@ def bpe_merges(
     (weighted by word count).  Stops early (fewer rows) when no pair
     occurs anywhere, or — Sennrich's ``--min-frequency`` rule — when
     the best pair's count falls below ``min_frequency`` (merges below
-    it would overfit singleton junk)."""
+    it would overfit singleton junk).
+
+    Scale contract: this is the fully-distributed, SQL-replayable
+    trainer — per round it runs one window + one map-side-combined
+    pair groupBy over the (Heaps-small) vocab symbol frame, so the
+    per-merge cost is O(vocab chars), NOT O(corpus).  That is fine
+    for oracle-sized merge budgets but a production budget (30k-50k
+    merges) would still mean 30k shuffled vocab passes; use
+    :func:`bpe_merges_fast` for production training — it produces the
+    IDENTICAL merge table (pinned by ``tests/test_bpe.py``) from ONE
+    distributed corpus pass plus an incremental-delta driver loop
+    over the collected word-frequency table."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if min_frequency < 1:
