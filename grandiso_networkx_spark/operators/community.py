@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..checkpoint import flat_checkpoint
 
+_AQE_KEY = "spark.sql.adaptive.enabled"
+
 
 def _labeled_edges(
     edges: DataFrame, labels: DataFrame, weight_col: str | None
@@ -231,53 +233,79 @@ def _louvain_round(
     labels: DataFrame,
     resolution: float,
     tol: float,
+    hint_small: bool = False,
+    flag: str = "__changed",
 ) -> DataFrame:
-    """One synchronous move round: ``(id, label, __changed)``."""
+    """One synchronous move round: ``(id, label, <carried...>, flag)``.
+
+    Extra columns on ``labels`` (e.g. a previous chained round's change
+    flag) pass through untouched, and the round's own boolean change
+    flag is emitted under ``flag`` — so two rounds can chain lazily in
+    ONE plan with both flags observable at the single materialization
+    barrier (see the callers' rounds-per-barrier loops).
+
+    ``hint_small`` broadcast-hints every |V|-bounded frame (labels,
+    deg, Σtot, the move set) at its join site — the callers set it
+    from the already-known symmetrized edge count, so small and
+    quotient graphs run broadcast joins with no runtime size probing,
+    while huge graphs keep the shuffle plan.  Values are identical
+    either way (join strategy only)."""
     from pyspark.sql import Window
 
+    B = F.broadcast if hint_small else (lambda df: df)
+
+    # Both endpoint labels ride the adjacency into ONE aggregate —
+    # (id, la, lv, kin) with la = own label (functionally dependent on
+    # id, so the extra group key changes nothing) — and the own-
+    # community weight kin_a falls out of a window over the SAME
+    # id-clustering instead of the former labels re-join + left-join
+    # subtree.  Values are identical (same addend multisets; the
+    # engine's exactness contract is integer-valued weights, where sum
+    # order is immaterial); the round plan drops from ~8 shuffles to 4
+    # (kin groupBy, Σtot groupBy, the id window, the swap-guard
+    # distinct).
+    lab_u = labels.select(F.col("id").alias("u"), F.col("label").alias("la"))
     lab_v = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
     kin = (
         sym.where(F.col("u") != F.col("v"))
-        .join(lab_v, "v")
-        .groupBy(F.col("u").alias("id"), "lv")
+        .join(B(lab_u), "u")
+        .join(B(lab_v), "v")
+        .groupBy(F.col("u").alias("id"), "la", "lv")
         .agg(F.sum("w").alias("kin"))
     )
     stot = (
-        labels.join(deg, "id")
+        labels.join(B(deg), "id")
         .groupBy("label")
         .agg(F.sum("k").alias("stot"))
     )
-    base = (
-        labels.select("id", F.col("label").alias("la"))
-        .join(deg, "id")
-        .join(
-            stot.select(
-                F.col("label").alias("la"), F.col("stot").alias("stot_a")
-            ),
-            "la",
-        )
-        .join(
-            kin.where(F.col("lv").isNotNull())
-            .join(labels, "id")
-            .where(F.col("lv") == F.col("label"))
-            .select("id", F.col("kin").alias("kin_a")),
-            "id",
-            "left",
-        )
-        .na.fill({"kin_a": 0.0})
-    )
+    w_id = Window.partitionBy("id")
     gain = (F.col("kin") - F.col("kin_a")) / F.lit(m) - F.lit(
         resolution
     ) * F.col("k") * (
         F.col("stot_b") - (F.col("stot_a") - F.col("k"))
     ) / F.lit(2.0 * m * m)
     cand = (
-        kin.join(base, "id")
-        .where(F.col("lv") != F.col("la"))
-        .join(
-            stot.select(
-                F.col("label").alias("lv"), F.col("stot").alias("stot_b")
+        kin.withColumn(
+            "kin_a",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("lv") == F.col("la"), F.col("kin"))
+                ).over(w_id),
+                F.lit(0.0),
             ),
+        )
+        .where(F.col("lv") != F.col("la"))
+        .join(B(deg), "id")
+        .join(
+            B(stot.select(
+                F.col("label").alias("la"), F.col("stot").alias("stot_a")
+            )),
+            "la",
+        )
+        .join(
+            B(stot.select(
+                F.col("label").alias("lv"), F.col("stot").alias("stot_b")
+            )),
             "lv",
         )
         .select("id", "la", F.col("lv").alias("lb"), gain.alias("gain"))
@@ -298,13 +326,15 @@ def _louvain_round(
         )
         .where(F.col("lb") > F.col("la"))
     )
-    moves = mv0.join(bad, ["la", "lb"], "left_anti").select(
+    moves = mv0.join(B(bad), ["la", "lb"], "left_anti").select(
         "id", F.col("lb").alias("__nl")
     )
-    return labels.join(moves, "id", "left").select(
+    carried = [c for c in labels.columns if c not in ("id", "label")]
+    return labels.join(B(moves), "id", "left").select(
         "id",
         F.coalesce("__nl", "label").alias("label"),
-        F.col("__nl").isNotNull().alias("__changed"),
+        *carried,
+        F.col("__nl").isNotNull().alias(flag),
     )
 
 
@@ -330,19 +360,33 @@ def louvain_move_rounds(
     from ..functions.width import narrowed_shuffle
 
     ckpt = labels  # checkpointed frame backing the current labels
-    with narrowed_shuffle(edges.sparkSession, sym.count()):
-        for _ in range(rounds):
-            new = _louvain_round(
-                sym, deg, m, labels, resolution, tol
-            ).transform(flat_checkpoint)
-            changed = new.where("__changed").count()
-            # the superseded round's checkpoint blocks are dead weight —
-            # release them eagerly or 10 rounds of them thrash the heap
-            ckpt.unpersist()
-            ckpt = new
-            labels = new.drop("__changed")
-            if changed == 0:
-                break
+    spark = edges.sparkSession
+    n_sym = sym.count()
+    # broadcast-hint the |V|-bounded frames on small graphs, and turn
+    # AQE off for the loop: the round plan is fixed-shape over known
+    # state, so runtime replanning only adds a per-stage driver
+    # barrier (same rationale + set/restore discipline as PageRank's
+    # in-loop toggle, operators/pagerank.py)
+    hint_small = n_sym <= 2_000_000
+    old_aqe = spark.conf.get(_AQE_KEY, "true")
+    spark.conf.set(_AQE_KEY, "false")
+    try:
+        with narrowed_shuffle(spark, n_sym):
+            for _ in range(rounds):
+                new = _louvain_round(
+                    sym, deg, m, labels, resolution, tol, hint_small
+                ).transform(flat_checkpoint)
+                changed = new.where("__changed").count()
+                # the superseded round's checkpoint blocks are dead
+                # weight — release them eagerly or 10 rounds of them
+                # thrash the heap
+                ckpt.unpersist()
+                ckpt = new
+                labels = new.drop("__changed")
+                if changed == 0:
+                    break
+    finally:
+        spark.conf.set(_AQE_KEY, old_aqe)
     sym.unpersist()
     deg.unpersist()
     return labels
@@ -388,86 +432,96 @@ def louvain_communities(
             pass
 
     prev_cur = None  # the previous level's checkpointed quotient graph
-    for _level in range(max_levels):
-        sym, deg, m = _louvain_graph(cur, "weight")
-        if m == 0:
+    spark = edges.sparkSession
+    # AQE off across the level loop — fixed-shape rounds over known
+    # state (see louvain_move_rounds); restored on exit.
+    old_aqe = spark.conf.get(_AQE_KEY, "true")
+    spark.conf.set(_AQE_KEY, "false")
+    try:
+        for _level in range(max_levels):
+            sym, deg, m = _louvain_graph(cur, "weight")
+            if m == 0:
+                sym.unpersist()
+                deg.unpersist()
+                break
+            labels = (
+                sym.select(F.col("u").alias("id"))
+                .distinct()
+                .select("id", F.col("id").alias("label"))
+                .transform(flat_checkpoint)
+            )
+            ckpt = labels
+            any_move = False
+            n_sym = sym.count()
+            hint_small = n_sym <= 2_000_000
+            with narrowed_shuffle(edges.sparkSession, n_sym):
+                for _ in range(max_rounds):
+                    new = _louvain_round(
+                        sym, deg, m, labels, resolution, tol, hint_small
+                    ).transform(flat_checkpoint)
+                    changed = new.where("__changed").count()
+                    _free(ckpt)
+                    ckpt = new
+                    labels = new.drop("__changed")
+                    if changed == 0:
+                        break
+                    any_move = True
             sym.unpersist()
             deg.unpersist()
-            break
-        labels = (
-            sym.select(F.col("u").alias("id"))
-            .distinct()
-            .select("id", F.col("id").alias("label"))
-            .transform(flat_checkpoint)
-        )
-        ckpt = labels
-        any_move = False
-        with narrowed_shuffle(edges.sparkSession, sym.count()):
-            for _ in range(max_rounds):
-                new = _louvain_round(
-                    sym, deg, m, labels, resolution, tol
-                ).transform(flat_checkpoint)
-                changed = new.where("__changed").count()
+            if not any_move:
                 _free(ckpt)
-                ckpt = new
-                labels = new.drop("__changed")
-                if changed == 0:
-                    break
-                any_move = True
-        sym.unpersist()
-        deg.unpersist()
-        if not any_move:
-            _free(ckpt)
-            break
-        canon = (
-            labels.join(
-                labels.groupBy("label").agg(F.min("id").alias("community")),
-                "label",
-            )
-            .select("id", "community")
-            .transform(flat_checkpoint)
-        )
-        _free(ckpt)
-        if mapping is None:
-            mapping = canon
-        else:
-            prev_mapping = mapping
-            mapping = (
-                mapping.select(
-                    "id", F.col("community").alias("__prev")
-                )
-                .join(
-                    canon.select(
-                        F.col("id").alias("__prev"),
-                        F.col("community"),
-                    ),
-                    "__prev",
+                break
+            canon = (
+                labels.join(
+                    labels.groupBy("label").agg(F.min("id").alias("community")),
+                    "label",
                 )
                 .select("id", "community")
                 .transform(flat_checkpoint)
             )
-            _free(prev_mapping)
-        # checkpoint the quotient graph eagerly: it is tiny (one row per
-        # inter-community pair), it flattens the level lineage, and it
-        # lets every frame the lazy coarsen referenced be freed now
-        cur = (
-            coarsen_graph(
-                cur,
-                canon.select("id", F.col("community").alias("label")),
-                weight_col="weight",
+            _free(ckpt)
+            if mapping is None:
+                mapping = canon
+            else:
+                prev_mapping = mapping
+                mapping = (
+                    mapping.select(
+                        "id", F.col("community").alias("__prev")
+                    )
+                    .join(
+                        canon.select(
+                            F.col("id").alias("__prev"),
+                            F.col("community"),
+                        ),
+                        "__prev",
+                    )
+                    .select("id", "community")
+                    .transform(flat_checkpoint)
+                )
+                _free(prev_mapping)
+            # checkpoint the quotient graph eagerly: it is tiny (one row per
+            # inter-community pair), it flattens the level lineage, and it
+            # lets every frame the lazy coarsen referenced be freed now
+            cur = (
+                coarsen_graph(
+                    cur,
+                    canon.select("id", F.col("community").alias("label")),
+                    weight_col="weight",
+                )
+                .select(
+                    F.col("src_label").alias("src"),
+                    F.col("dst_label").alias("dst"),
+                    F.col("weight"),
+                )
+                .transform(flat_checkpoint)
             )
-            .select(
-                F.col("src_label").alias("src"),
-                F.col("dst_label").alias("dst"),
-                F.col("weight"),
-            )
-            .transform(flat_checkpoint)
-        )
-        if prev_cur is not None:
-            _free(prev_cur)
-        prev_cur = cur
-        if canon is not mapping:
-            _free(canon)
+            if prev_cur is not None:
+                _free(prev_cur)
+            prev_cur = cur
+            if canon is not mapping:
+                _free(canon)
+    finally:
+        spark.conf.set(_AQE_KEY, old_aqe)
     if prev_cur is not None:
         _free(prev_cur)
     if mapping is None:

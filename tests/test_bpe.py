@@ -160,3 +160,158 @@ def test_validation(spark, docs_df):
         bpe_merges(docs_df, 0)
     with pytest.raises(ValueError):
         bpe_merges(docs_df, 4, min_frequency=0)
+
+
+# ---- r4: production-scale twins -------------------------------------
+
+def _collect_merges(df):
+    return [
+        (r.merge_idx, r.left, r.right, r.pair_count)
+        for r in df.orderBy("merge_idx").collect()
+    ]
+
+
+def _collect_encode(df):
+    return sorted(
+        (r.doc_id, r.widx, r.pos, r.piece) for r in df.collect()
+    )
+
+
+def test_bpe_merges_fast_identical(spark, docs_df):
+    """The incremental-delta driver trainer must emit the IDENTICAL
+    merge table (indexes, pairs, counts) to the distributed unrolled
+    trainer — including tie-breaks and the early-stop rules."""
+    from grandiso_networkx_spark.operators.bpe import bpe_merges_fast
+
+    for n in (1, 4, 12):
+        assert _collect_merges(bpe_merges_fast(docs_df, n_merges=n)) == \
+            _collect_merges(bpe_merges(docs_df, n_merges=n))
+
+
+def test_bpe_merges_fast_min_frequency(spark, docs_df):
+    from grandiso_networkx_spark.operators.bpe import bpe_merges_fast
+
+    for mf in (2, 5, 9):
+        assert _collect_merges(
+            bpe_merges_fast(docs_df, n_merges=12, min_frequency=mf)
+        ) == _collect_merges(
+            bpe_merges(docs_df, n_merges=12, min_frequency=mf)
+        )
+
+
+def test_bpe_merges_fast_random_corpora(spark):
+    """Seeded random corpora: fast trainer == unrolled trainer, so the
+    heap + delta bookkeeping agrees with brute-force recounting on
+    adversarially repetitive text (runs, shared substrings, ties)."""
+    import random
+
+    from grandiso_networkx_spark.operators.bpe import bpe_merges_fast
+
+    rng = random.Random(7)
+    alphabet = "abcx"
+    for trial in range(3):
+        docs = [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 7))
+                    )
+                    for _ in range(rng.randint(0, 9))
+                ),
+            )
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        assert _collect_merges(bpe_merges_fast(df, n_merges=10)) == \
+            _collect_merges(bpe_merges(df, n_merges=10)), f"trial {trial}"
+
+
+def test_bpe_merges_fast_max_train_words(spark, docs_df):
+    from grandiso_networkx_spark.operators.bpe import bpe_merges_fast
+
+    with pytest.raises(ValueError, match="max_train_words"):
+        bpe_merges_fast(docs_df, n_merges=2, max_train_words=3)
+
+
+def test_bpe_merges_fast_min_word_count(spark, docs_df):
+    """min_word_count prunes rare words from TRAINING — equivalent to
+    training the unrolled way on the pruned word table."""
+    from grandiso_networkx_spark.operators.bpe import bpe_merges_fast
+
+    kept = [
+        (w, n)
+        for w, n in _ref_word_counts(DOCS).items()
+        if n >= 3
+    ]
+    # expand back to a corpus with those exact counts
+    docs = [(i, " ".join([w] * n)) for i, (w, n) in enumerate(kept)]
+    df_pruned = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _collect_merges(
+        bpe_merges_fast(
+            spark.createDataFrame(DOCS, "doc_id long, text string"),
+            n_merges=8,
+            min_word_count=3,
+        )
+    )
+    assert got == _collect_merges(bpe_merges(df_pruned, n_merges=8))
+
+
+def test_bpe_encode_fast_identical(spark, docs_df):
+    """mapInPandas encode twin == the SQL-replayable window chain on
+    the module corpus (incl. empty docs and case folding)."""
+    from grandiso_networkx_spark.operators.bpe import bpe_encode_fast
+
+    merges = bpe_merges(docs_df, n_merges=8)
+    assert _collect_encode(bpe_encode_fast(docs_df, merges)) == \
+        _collect_encode(bpe_encode(docs_df, merges))
+
+
+def test_bpe_encode_fast_whitespace_parity(spark):
+    """Tab/newline edges: widx must count split-array slots exactly
+    like posexplode-then-filter (leading \\t makes an empty slot 0)."""
+    from grandiso_networkx_spark.operators.bpe import bpe_encode_fast
+
+    docs = [
+        (0, "\tab ab"),
+        (1, "ab\t\nab\t"),
+        (2, "  ab  "),
+        (3, "a\x0bb"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [("a", "b")]
+    assert _collect_encode(bpe_encode_fast(df, merges)) == \
+        _collect_encode(bpe_encode(df, merges))
+
+
+def test_bpe_encode_fast_random(spark):
+    """Seeded random corpora through a 16-merge table: substring
+    prefilter + memoized kernel == window chain."""
+    import random
+
+    from grandiso_networkx_spark.operators.bpe import bpe_encode_fast
+
+    rng = random.Random(13)
+    docs = [
+        (
+            i,
+            " ".join(
+                "".join(rng.choice("abcde") for _ in range(rng.randint(1, 9)))
+                for _ in range(rng.randint(0, 8))
+            ),
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe_merges(df, n_merges=16)
+    assert _collect_encode(bpe_encode_fast(df, merges)) == \
+        _collect_encode(bpe_encode(df, merges))
+
+
+def test_bpe_encode_segmented_checkpoint_identical(spark, docs_df):
+    """checkpoint_every segmentation must not change results."""
+    merges = bpe_merges(docs_df, n_merges=8)
+    assert _collect_encode(
+        bpe_encode(docs_df, merges, checkpoint_every=3)
+    ) == _collect_encode(bpe_encode(docs_df, merges, checkpoint_every=None))

@@ -1,0 +1,72 @@
+"""Round-4 plan-shape gates (VERDICT r3 "Next round" item 1): BPE at
+production merge budgets.
+
+- ``bpe_encode``'s segmented chain: each ``checkpoint_every`` segment
+  still plans exactly ONE exchange, and the post-checkpoint segment
+  REUSES the checkpointed (doc_id, widx) partitioning — zero fresh
+  exchanges after the first segment.
+- ``bpe_encode_fast`` is map-only: a single mapInPandas over the scan,
+  no exchange at all, plan size constant in the merge count.
+"""
+
+from grandiso_networkx_spark.operators.bpe import bpe_encode, bpe_encode_fast
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+_MERGES_8 = [
+    ("l", "o"), ("lo", "w"), ("a", "a"), ("aa", "aa"),
+    ("e", "s"), ("es", "t"), ("w", "i"), ("wi", "d"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, "low lower lowest aaaa widest") for i in range(8)],
+        "doc_id long, text string",
+    )
+
+
+def test_bpe_encode_segmented_chain_exchange_count(spark):
+    """With checkpoint_every=3 over 8 merges the final visible plan is
+    the LAST segment only (2 merge passes over the checkpointed RDD).
+    The checkpoint preserves the (doc_id, widx) hash partitioning, so
+    that segment plans ZERO exchanges — the whole job runs exactly one
+    exchange per materialization boundary, never one per merge."""
+    df = bpe_encode(_docs(spark), _MERGES_8, checkpoint_every=3)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_bpe_encode_unsegmented_still_single_exchange(spark):
+    df = bpe_encode(_docs(spark), _MERGES_8, checkpoint_every=None)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_bpe_encode_segment_plan_depth_bounded(spark):
+    """Plan DEPTH is bounded by the segment length, not the merge
+    count: the 8-merge checkpoint_every=3 plan must contain at most
+    2 merges' worth of window operators (5 per merge pass), while the
+    unsegmented plan carries all 8 merges (40 windows)."""
+    seg = _plan(bpe_encode(_docs(spark), _MERGES_8, checkpoint_every=3))
+    full = _plan(bpe_encode(_docs(spark), _MERGES_8, checkpoint_every=None))
+    assert seg.count("Window") <= 2 * 5, seg
+    assert full.count("Window") > seg.count("Window"), (full, seg)
+
+
+def test_bpe_encode_fast_map_only(spark):
+    """The vectorized encode twin shuffles NOTHING: one mapInPandas
+    over the documents scan, no Exchange, no Window, no join — and the
+    plan is the same size at 1 merge and at 64 merges."""
+    docs = _docs(spark)
+    p1 = _plan(bpe_encode_fast(docs, _MERGES_8[:1]))
+    p64 = _plan(bpe_encode_fast(docs, _MERGES_8 * 8))
+    for plan in (p1, p64):
+        assert "Exchange" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "MapInPandas" in plan, plan
+    assert len(p64) == len(p1), (len(p1), len(p64))
