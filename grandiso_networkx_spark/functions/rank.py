@@ -1,8 +1,11 @@
 """Parallel global ranking — the engine's replacement for
 single-partition `row_number() OVER (ORDER BY ...)` windows.
 
-``global_dense_rank`` computes each row's 1-based rank under a TOTAL
-order without ever forcing the data through one task: range-partition
+``global_row_number`` computes each row's 1-based ROW NUMBER (a
+1..N total-order rank — equal keys would get distinct positions,
+which is why the caller contract below demands a unique tie-break;
+it is NOT dense_rank) without ever forcing the data through one
+task: range-partition
 by the order expressions (equal keys never straddle a range
 boundary), rank WITHIN each partition in parallel, then add
 per-partition offsets — a running sum over the tiny partition-count
@@ -20,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def global_dense_rank(
+def global_row_number(
     df: DataFrame,
     order_exprs: list,
     nparts: int,

@@ -91,14 +91,14 @@ def lm_quality_buckets(
     differ by at most 1, the larger buckets first), but WITHOUT
     ``ntile``'s single-partition window: the global rank comes from
     the parallel range-partition + offset machinery
-    (:func:`..functions.rank.global_dense_rank` — the
+    (:func:`..functions.rank.global_row_number` — the
     ``(mean_logp desc, doc_id)`` order is total), and the bucket is a
     closed-form expression of (rank, N) with N one scalar count — so
     the per-document frame is never forced through one task, and the
     output is bit-identical to the ntile formulation at any
     partitioning.
     """
-    from ..functions.rank import global_dense_rank
+    from ..functions.rank import global_row_number
 
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -112,12 +112,12 @@ def lm_quality_buckets(
         )
     spark = docs.sparkSession
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
-    ranked = global_dense_rank(
+    ranked = global_row_number(
         scored,
         [F.col("mean_logp").desc(), F.col("doc_id")],
         nparts,
     )
-    # global_dense_rank localCheckpoints eagerly, so the scored cache
+    # global_row_number localCheckpoints eagerly, so the scored cache
     # can be released immediately
     scored.unpersist()
     q, rem = divmod(n, n_buckets)

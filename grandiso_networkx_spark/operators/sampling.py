@@ -84,13 +84,13 @@ def _dense_vertex_index(verts: DataFrame, nparts: int) -> DataFrame:
     sum over the partition-count frame (``nparts`` rows), the
     heaps_fit doc-offset pattern.
 
-    Delegates to the shared :func:`..functions.rank.global_dense_rank`
+    Delegates to the shared :func:`..functions.rank.global_row_number`
     (range-partition + in-partition rank + broadcast offsets; the
     partitioned input is ``localCheckpoint``-ed to pin boundaries).
     """
-    from ..functions.rank import global_dense_rank
+    from ..functions.rank import global_row_number
 
-    return global_dense_rank(verts, [F.col("id")], nparts, out="__i").select(
+    return global_row_number(verts, [F.col("id")], nparts, out="__i").select(
         "id", "__i"
     )
 

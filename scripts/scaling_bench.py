@@ -244,19 +244,21 @@ def _run_dedup_phase(spark, out: dict, cpus: int, sync_dir: str | None) -> None:
     docs = docs0
     other = [c for c in docs0.columns if c not in ("doc_id", "text")]
     alpha = "abcdefghijklmnopqrstuvwxyz"
+    import random as _rnd
+
     for r in range(1, DEDUP_REPL):
-        # rotate the letter alphabet per replica: identical shingle
-        # STRUCTURE (lengths/counts — same computational shape) but
-        # disjoint shingle VALUES, so near-dup pairs stay linear in
-        # the replication factor instead of exploding quadratically
-        # across identical copies
-        rot = r % 25 + 1
+        # permute the letter alphabet per replica (seeded, distinct
+        # for EVERY r — a Caesar rotation would alias r and r+25):
+        # identical shingle STRUCTURE (lengths/counts — same
+        # computational shape) but disjoint shingle VALUES, so
+        # near-dup pairs stay linear in the replication factor
+        # instead of exploding quadratically across identical copies
+        perm = list(alpha)
+        _rnd.Random(1000 + r).shuffle(perm)
         docs = docs.unionByName(
             docs0.select(
                 (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
-                F.translate("text", alpha, alpha[rot:] + alpha[:rot]).alias(
-                    "text"
-                ),
+                F.translate("text", alpha, "".join(perm)).alias("text"),
                 *other,
             ).select(*docs0.columns)
         )

@@ -1,6 +1,6 @@
 """Hypothesis property tests for the round-3 machinery: the BPE
 trainer/encoder against the pure-Python Sennrich reference on random
-corpora, and global_dense_rank against sorted-enumerate on random
+corpora, and global_row_number against sorted-enumerate on random
 frames.  Example counts are small (each example runs Spark jobs) but
 the generators cover the adversarial shapes: repeated-symbol runs
 ("aaaa"), ties in pair counts, empty/1-char words, duplicate rank
@@ -103,16 +103,16 @@ def test_bpe_encode_property(spark, texts):
     nparts=st.integers(min_value=1, max_value=9),
 )
 @settings(**PROP_SETTINGS)
-def test_global_dense_rank_property(spark, vals, nparts):
+def test_global_row_number_property(spark, vals, nparts):
     from pyspark.sql import functions as F
 
-    from grandiso_networkx_spark.functions.rank import global_dense_rank
+    from grandiso_networkx_spark.functions.rank import global_row_number
 
     rows = [(i, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "id long, v long")
     ranked = {
         r["id"]: r["__rank"]
-        for r in global_dense_rank(
+        for r in global_row_number(
             df, [F.col("v").desc(), F.col("id")], nparts
         ).collect()
     }
