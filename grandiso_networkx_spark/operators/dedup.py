@@ -829,13 +829,19 @@ def setsim_jaccard_pairs(
     1. rank every token by global document frequency ascending (ties by
        token), giving one total order shared by all documents;
     2. per document, sort its distinct tokens by that order and keep
-       only the *prefix* — the ``|s| - floor(t*|s|)`` rarest tokens.
-       Prefix-filter lemma: if ``J(A,B) >= t`` then ``|A∩B| >=
-       ceil(t*max(|A|,|B|))``, and the globally smallest common token
-       must sit inside BOTH prefixes of length ``|s| - ceil(t*|s|) + 1``
-       (everything before it in either document is non-shared).  The
-       ``floor`` form is one token longer — immune to float wobble in
-       ``t*|s|``, never lossy;
+       only the *prefix* — the ``|s| - floor(t*|s|) + 1`` rarest
+       tokens.  Prefix-filter lemma: if ``J(A,B) >= t`` then ``|A∩B|
+       >= ceil(t*max(|A|,|B|))``, and the globally smallest common
+       token must sit inside BOTH prefixes of length ``|s| -
+       ceil(t*|s|) + 1`` (everything before it in either document is
+       non-shared).  The ``floor + 1`` form equals that bound when
+       ``t*|s|`` is integral and is one token longer otherwise — never
+       lossy, and immune to float wobble in ``t*|s|`` (a wobble either
+       way leaves ``plen`` >= the required length).  The earlier
+       ``|s| - floor(t*|s|)`` form WAS lossy exactly at integral
+       ``t*|s|`` (at t=1.0 the prefix was empty — even identical
+       documents were missed; caught by
+       ``tests/test_property_r4.py::test_setsim_prefix_filter_complete``);
     3. candidates = equi-join on shared prefix token, pruned by the
        length filter ``min(|A|,|B|) >= t*max(|A|,|B|)``, deduplicated;
     4. exact verify on the candidate pairs only, via
@@ -869,7 +875,14 @@ def setsim_jaccard_pairs(
         )
         .withColumn(
             "plen",
-            (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz"))).cast("int"),
+            F.least(
+                (
+                    F.col("sz")
+                    - F.floor(F.lit(threshold) * F.col("sz"))
+                    + F.lit(1)
+                ).cast("int"),
+                F.col("sz").cast("int"),
+            ),
         )
     )
     pref = ordered.select(

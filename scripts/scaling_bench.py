@@ -95,6 +95,10 @@ DEDUP_DOCS = _env(
     "SCALING_DEDUP_DOCS", "/root/testdata/sf0.1/documents.parquet", str
 )
 DEDUP_REPL = _env("SCALING_DEDUP_REPL", 40, int)
+# signature width — 128 is the production default; the r4 intensity
+# sweep re-runs the leg at 256 to separate compute scaling from the
+# shared-memory-bus ceiling (more arithmetic per byte shuffled)
+DEDUP_PERMS = _env("SCALING_DEDUP_PERMS", 128, int)
 DEDUP_WINDOW = _env("SCALING_DEDUP_WINDOW", 120.0, float)
 DEDUP_WINDOWS = _env("SCALING_DEDUP_WINDOWS", 4, int)
 # Dedup-only mode: skip the PR/motif phases in both legs and the
@@ -264,7 +268,10 @@ def _run_dedup_phase(spark, out: dict, cpus: int, sync_dir: str | None) -> None:
         )
     docs = docs.persist()
     out["dedup_docs"] = docs.count()
-    out["dedup_pairs"] = minhash_lsh_pairs(docs, threshold=0.5).count()  # warm
+    out["dedup_perms"] = DEDUP_PERMS
+    out["dedup_pairs"] = minhash_lsh_pairs(
+        docs, num_perm=DEDUP_PERMS, bands=DEDUP_PERMS // 8, threshold=0.5
+    ).count()  # warm
     _signal(sync_dir, f"ready_dedup_{cpus}")
     dwins: list[dict] = []
     for k in range(DEDUP_WINDOWS):
@@ -272,7 +279,12 @@ def _run_dedup_phase(spark, out: dict, cpus: int, sync_dir: str | None) -> None:
         t0 = time.monotonic()
         runs = 0
         while True:
-            minhash_lsh_pairs(docs, threshold=0.5).count()
+            minhash_lsh_pairs(
+                docs,
+                num_perm=DEDUP_PERMS,
+                bands=DEDUP_PERMS // 8,
+                threshold=0.5,
+            ).count()
             runs += 1
             el = time.monotonic() - t0
             if el >= DEDUP_WINDOW:
