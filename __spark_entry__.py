@@ -7159,8 +7159,10 @@ def _canon_sql(tag: str, sql: str) -> str:
     )
 
 
-# 37 value-checked bundles covering 115 of the 116 oracled standalone
-# queries (ppr_multi_seed keeps its own flagship slot instead).
+# 38 value-checked bundles covering 159 of the 160 oracled standalone
+# queries (ppr_multi_seed keeps its own flagship slot instead; r4
+# added bpe_vocab to fused_bpe and lm_quality_buckets to
+# fused_token_stats).
 _FUSED_BUNDLES: dict[str, list[str]] = {
     "fused_transcript_edges": ["reply_edges", "invoke_edges", "degree_table"],
     "fused_motif_paths": [

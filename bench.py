@@ -146,6 +146,22 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0, reps: int = 3) -> dict:
         1, min(max(cpus * 2, 16), -(-pr_edges // _EDGES_PER_PARTITION))
     )
 
+    # r4: auto-pick the scatter kernel for THIS environment — a
+    # 4-round probe call (2 jvm + 2 arrow, real iterations, second of
+    # each pair compared) resolves the backend; the timed leg then
+    # runs the winner.  One-line report lands in counters.
+    _kc: list = []
+    pagerank(
+        pr_g,
+        fixed_iterations=4,
+        kernel="auto",
+        unroll=1,
+        num_partitions=pr_width,
+        kernel_choice=_kc,
+    ).agg(F.sum("rank")).collect()
+    pr_kernel = _kc[-1] if _kc else "jvm"
+    counters["pagerank_kernel"] = pr_kernel
+
     def _pagerank_leg():
         # fresh per-iteration list each rep: steady-state metrics come
         # from the LAST (warmest) rep
@@ -156,6 +172,7 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0, reps: int = 3) -> dict:
                 fixed_iterations=PR_ITERS,
                 iter_seconds=pr_iters,
                 num_partitions=pr_width,
+                kernel=pr_kernel,
             )
             .agg(F.sum("rank"))
             .collect()

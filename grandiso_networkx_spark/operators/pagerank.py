@@ -227,6 +227,7 @@ def pagerank(
     iter_seconds: list | None = None,
     round_hook=None,
     unroll: int | None = None,
+    kernel_choice: list | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge DataFrame ``(src, dst[, weight])``.
 
@@ -263,6 +264,17 @@ def pagerank(
     session's ``spark.sql.shuffle.partitions`` — identical to the
     configured width at cluster scale, narrower on small graphs where
     per-task dispatch would dominate each round.
+
+    ``kernel="auto"`` (r4): probe both scatter backends ON the live
+    loop — rounds 0-1 run the jvm kernel, rounds 2-3 the Arrow kernel
+    (results are kernel-independent: same IEEE per-edge arithmetic
+    feeding the same gather aggregate), and the SECOND round of each
+    pair (the first absorbs codegen JIT / Python-worker spin-up)
+    decides the backend for every remaining round.  No probe work is
+    wasted — all four rounds are real iterations.  Auto needs
+    ``unroll == 1`` and ``max_iter >= 4``; otherwise it resolves to
+    ``jvm``.  ``kernel_choice``: caller-supplied list; the resolved
+    backend name is appended once (the bench's one-line report).
 
     ``iter_seconds``: caller-supplied list; each round's wall seconds
     (covering that round's materializing jobs) is appended — the
@@ -516,6 +528,17 @@ def pagerank(
     unroll = max(1, int(unroll))
     if round_hook is not None or checkpoint is not None:
         unroll = 1  # per-round hooks/saves need per-round materialization
+    # kernel="auto": see the docstring — per-round probe, decided
+    # after round 3.  Windowed (unroll > 1) plans probe poorly (walls
+    # are per-window, JIT attribution is ambiguous), so auto falls
+    # back to jvm there.
+    auto_kernel = kernel == "auto"
+    if auto_kernel and (unroll > 1 or max_iter < 4):
+        kernel = "jvm"
+        auto_kernel = False
+        if kernel_choice is not None:
+            kernel_choice.append(kernel)
+    probe_wall: list[float] = []
     # With unroll > 1 the intra-window dangling mass is not knowable on
     # the driver, so it is computed IN-PLAN (mass-conservation window)
     # for every round; the carried-forward literal is the unroll=1 path.
@@ -535,6 +558,8 @@ def pagerank(
         it = start_iter
         while it < max_iter:
             _t_round = time.monotonic()
+            if auto_kernel and it < 4:
+                kernel = "jvm" if it < 2 else "arrow"
             k = min(unroll, max_iter - it)
             blocks_r = blocks.select(
                 F.col("s").alias("vid"),
@@ -732,10 +757,19 @@ def pagerank(
                 p_df.unpersist()
             prev = [new_state]
             ranks = new_state
+            window_sec = time.monotonic() - _t_round
             if iter_seconds is not None:
-                window_sec = time.monotonic() - _t_round
                 iter_seconds.extend([window_sec / k] * k)
+            if auto_kernel:
+                probe_wall.append(window_sec)
             it += k
+            if auto_kernel and it >= 4:
+                kernel = (
+                    "jvm" if probe_wall[1] <= probe_wall[3] else "arrow"
+                )
+                auto_kernel = False
+                if kernel_choice is not None:
+                    kernel_choice.append(kernel)
             if (
                 round_hook is not None
                 and fixed_iterations is not None

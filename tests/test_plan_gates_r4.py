@@ -70,3 +70,52 @@ def test_bpe_encode_fast_map_only(spark):
         assert "Window" not in plan, plan
         assert "MapInPandas" in plan, plan
     assert len(p64) == len(p1), (len(p1), len(p64))
+
+
+def test_pagerank_auto_kernel_resolves_and_matches(spark):
+    """kernel='auto' probes both scatter backends on live rounds and
+    must (a) append exactly one resolved name, (b) produce the same
+    ranks as an explicit-jvm run (kernel choice changes execution
+    strategy only; per-edge arithmetic is identical)."""
+    from grandiso_networkx_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(40)]
+        + [(i, (i + 1) % 40) for i in range(40)],
+        "src long, dst long",
+    )
+    kc: list = []
+    auto = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges,
+            fixed_iterations=6,
+            kernel="auto",
+            unroll=1,
+            kernel_choice=kc,
+        ).collect()
+    }
+    assert kc and kc[0] in ("jvm", "arrow"), kc
+    jvm = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges, fixed_iterations=6, kernel="jvm", unroll=1
+        ).collect()
+    }
+    assert auto.keys() == jvm.keys()
+    for k in jvm:
+        assert abs(auto[k] - jvm[k]) < 1e-9, k
+
+
+def test_pagerank_auto_kernel_falls_back_on_unroll(spark):
+    """auto + windowed unroll resolves to jvm immediately."""
+    from grandiso_networkx_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src long, dst long"
+    )
+    kc: list = []
+    pagerank(
+        edges, fixed_iterations=4, kernel="auto", unroll=2, kernel_choice=kc
+    ).collect()
+    assert kc == ["jvm"]
