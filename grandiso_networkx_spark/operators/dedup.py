@@ -381,19 +381,33 @@ def minhash_lsh_pairs(
         F.struct(F.lit(i).alias("band"), _bucket(i).alias("bucket"))
         for i in range(bands)
     ]
+    # The band self-join carries IDS ONLY — never the signatures.  The
+    # bucket frame is |docs|·bands rows; dragging the num_perm-long sig
+    # arrays through it multiplies shuffle bytes by the signature width
+    # AND mis-feeds the join-side size estimator (arrays are badly
+    # underestimated → Spark broadcast-builds a multi-hundred-MB side
+    # and dies on maxResultSize — observed live at num_perm=256 on a
+    # 200k-doc corpus).  Signatures re-attach AFTER the candidate
+    # dedup, one |pairs|-row equi join per side against the persisted
+    # |docs|-row sig frame.
     buckets = sigs.select(
-        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "sig", "bk.band", "bk.bucket")
-    left = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")
-    )
-    right = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")
-    )
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.bucket")
+    left = buckets.select("band", "bucket", F.col("doc_id").alias("a"))
+    right = buckets.select("band", "bucket", F.col("doc_id").alias("b"))
     pairs = (
         left.join(right, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+        .join(
+            sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")),
+            "a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")),
+            "b",
+        )
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
