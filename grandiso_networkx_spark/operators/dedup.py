@@ -400,12 +400,24 @@ def minhash_lsh_pairs(
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
+        # The re-attach joins are hinted sort-merge: Catalyst's size
+        # estimate for the aggregate-derived sig frame ignores the
+        # array payload (num_perm longs/row), so left to itself it
+        # broadcast-builds this side — ~700MB shipped at 700k docs
+        # (maxResultSize death), and the 128-min aggregate computes
+        # INSIDE the 300s broadcast thread (timeout on small
+        # executors; both observed live).  SMJ on the id key is the
+        # correct unconditional strategy at any corpus size.
         .join(
-            sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")),
+            sigs.select(
+                F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")
+            ).hint("merge"),
             "a",
         )
         .join(
-            sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")),
+            sigs.select(
+                F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")
+            ).hint("merge"),
             "b",
         )
     )

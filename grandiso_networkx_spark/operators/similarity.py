@@ -121,24 +121,44 @@ def embedding_near_pairs(
     a pair is missed iff it collides in no table; more tables / fewer
     bits raise recall at higher candidate cost.
     """
+    # Bucket self-joins carry IDS ONLY; vectors re-attach per deduped
+    # candidate pair via hinted sort-merge joins.  Dragging the dim-
+    # float arrays through tables× bucket replicas multiplies shuffle
+    # bytes by the vector width, and Catalyst's array-blind size
+    # estimate invites a broadcast build of the vector side (the
+    # maxResultSize / broadcast-timeout failure mode measured on the
+    # MinHash twin — see dedup.minhash_lsh_pairs).
     parts = []
     base = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     for t in range(tables):
-        b = hyperplane_signs(base, "__v", dim, bits, seed + 131 * t)
-        left = b.select(
-            "bucket", F.col("__id").alias("a"), F.col("__v").alias("__va")
+        b = hyperplane_signs(base, "__v", dim, bits, seed + 131 * t).select(
+            "bucket", "__id"
         )
-        right = b.select(
-            "bucket", F.col("__id").alias("b"), F.col("__v").alias("__vb")
-        )
+        left = b.select("bucket", F.col("__id").alias("a"))
+        right = b.select("bucket", F.col("__id").alias("b"))
         parts.append(
             left.join(right, "bucket").where(F.col("a") < F.col("b")).drop("bucket")
         )
     cands = parts[0]
     for p in parts[1:]:
         cands = cands.unionByName(p)
+    cands = (
+        cands.dropDuplicates(["a", "b"])
+        .join(
+            base.select(
+                F.col("__id").alias("a"), F.col("__v").alias("__va")
+            ).hint("merge"),
+            "a",
+        )
+        .join(
+            base.select(
+                F.col("__id").alias("b"), F.col("__v").alias("__vb")
+            ).hint("merge"),
+            "b",
+        )
+    )
     return (
-        with_cosine(cands.dropDuplicates(["a", "b"]), "__va", "__vb")
+        with_cosine(cands, "__va", "__vb")
         .where(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
@@ -282,21 +302,33 @@ def lsh_bucketed_topk(
     a pair is scored iff it collides in at least one table.  The final
     window dedups and keeps the best k per query.
     """
+    # Same id-only bucket-join discipline as embedding_near_pairs:
+    # the corpus vectors never ride the tables× bucket replicas; both
+    # sides' vectors re-attach after the candidate dedup (query side
+    # is usually broadcast-small — Spark may still pick BHJ there from
+    # honest row counts; the hint only pins the corpus side).
+    cbase = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
     parts = []
     for t in range(tables):
-        cb = hyperplane_signs(
-            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")),
-            "__cv", dim, bits, seed + 131 * t,
+        cb = hyperplane_signs(cbase, "__cv", dim, bits, seed + 131 * t).select(
+            "bucket", "vec_id"
         )
-        qb = hyperplane_signs(
-            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-            "__qv", dim, bits, seed + 131 * t,
+        qb = hyperplane_signs(qbase, "__qv", dim, bits, seed + 131 * t).select(
+            "bucket", "query_id"
         )
         parts.append(cb.join(qb, "bucket").drop("bucket"))
     cands = parts[0]
     for p in parts[1:]:
         cands = cands.unionByName(p)
-    cands = cands.dropDuplicates(["query_id", "vec_id"]).where(
+    cands = (
+        cands.dropDuplicates(["query_id", "vec_id"])
+        .join(cbase.hint("merge"), "vec_id")
+        .join(qbase, "query_id")
+    )
+    cands = cands.where(
         F.col("query_id") != F.col("vec_id")
     )
     scored = with_cosine(cands, "__qv", "__cv")
