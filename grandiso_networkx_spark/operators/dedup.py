@@ -396,7 +396,12 @@ def minhash_lsh_pairs(
     left = buckets.select("band", "bucket", F.col("doc_id").alias("a"))
     right = buckets.select("band", "bucket", F.col("doc_id").alias("b"))
     pairs = (
-        left.join(right, ["band", "bucket"])
+        # the self-join is hinted too: its |docs|·bands build side is
+        # estimator-invisible (derived through the same aggregate), and
+        # a broadcast build would compute the whole signature pass
+        # inside the broadcast thread — the same two failure modes as
+        # the re-attach joins below, measured live at 700k docs
+        left.join(right.hint("merge"), ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])

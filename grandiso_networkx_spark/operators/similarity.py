@@ -136,8 +136,13 @@ def embedding_near_pairs(
         )
         left = b.select("bucket", F.col("__id").alias("a"))
         right = b.select("bucket", F.col("__id").alias("b"))
+        # hinted SMJ like the MinHash band join: both sides are |corpus|
+        # rows behind an estimator-blind projection — a broadcast build
+        # here computes the whole sign pass inside the broadcast thread
         parts.append(
-            left.join(right, "bucket").where(F.col("a") < F.col("b")).drop("bucket")
+            left.join(right.hint("merge"), "bucket")
+            .where(F.col("a") < F.col("b"))
+            .drop("bucket")
         )
     cands = parts[0]
     for p in parts[1:]:

@@ -119,3 +119,40 @@ def test_pagerank_auto_kernel_falls_back_on_unroll(spark):
         edges, fixed_iterations=4, kernel="auto", unroll=2, kernel_choice=kc
     ).collect()
     assert kc == ["jvm"]
+
+
+def test_lsh_pair_generators_never_broadcast_corpus_sides(spark):
+    """MinHash band joins, signature re-attach joins, and embedding
+    bucket joins must never broadcast-build a corpus-derived side:
+    Catalyst's size estimate is array-blind there, and a broadcast
+    build computes the whole signature pass inside the 300s broadcast
+    thread (both failure modes observed live at 700k docs).  The
+    query-side broadcast in lsh_bucketed_topk is legitimate (probe
+    sets are small) and stays."""
+    from grandiso_networkx_spark.operators.dedup import minhash_lsh_pairs
+    from grandiso_networkx_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} alpha beta gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        minhash_lsh_pairs(docs, num_perm=8, bands=4, threshold=0.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan2 = (
+        embedding_near_pairs(emb, dim=3, threshold=0.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan2, plan2
