@@ -147,13 +147,14 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0, reps: int = 3) -> dict:
     )
 
     # r4: auto-pick the scatter kernel for THIS environment — a
-    # 4-round probe call (2 jvm + 2 arrow, real iterations, second of
-    # each pair compared) resolves the backend; the timed leg then
-    # runs the winner.  One-line report lands in counters.
+    # 6-round probe call (3 jvm + 3 arrow, real iterations; each
+    # backend's first round absorbs JIT/worker spin-up and the min of
+    # the remaining two is compared) resolves the backend; the timed
+    # leg then runs the winner.  One-line report lands in counters.
     _kc: list = []
     pagerank(
         pr_g,
-        fixed_iterations=4,
+        fixed_iterations=6,
         kernel="auto",
         unroll=1,
         num_partitions=pr_width,

@@ -538,6 +538,11 @@ def pagerank(
         auto_kernel = False
         if kernel_choice is not None:
             kernel_choice.append(kernel)
+    # 3+3 rounds when the budget allows (compare the MIN of each
+    # backend's two warm rounds — a single-sample compare mis-picks
+    # under tenancy noise; measured once picking arrow into a 26%
+    # slower leg), else 2+2.
+    probe_half = 3 if max_iter >= 6 else 2
     probe_wall: list[float] = []
     # With unroll > 1 the intra-window dangling mass is not knowable on
     # the driver, so it is computed IN-PLAN (mass-conservation window)
@@ -558,8 +563,8 @@ def pagerank(
         it = start_iter
         while it < max_iter:
             _t_round = time.monotonic()
-            if auto_kernel and it < 4:
-                kernel = "jvm" if it < 2 else "arrow"
+            if auto_kernel and it < 2 * probe_half:
+                kernel = "jvm" if it < probe_half else "arrow"
             k = min(unroll, max_iter - it)
             blocks_r = blocks.select(
                 F.col("s").alias("vid"),
@@ -763,10 +768,10 @@ def pagerank(
             if auto_kernel:
                 probe_wall.append(window_sec)
             it += k
-            if auto_kernel and it >= 4:
-                kernel = (
-                    "jvm" if probe_wall[1] <= probe_wall[3] else "arrow"
-                )
+            if auto_kernel and it >= 2 * probe_half:
+                jvm_best = min(probe_wall[1:probe_half])
+                arrow_best = min(probe_wall[probe_half + 1 : 2 * probe_half])
+                kernel = "jvm" if jvm_best <= arrow_best else "arrow"
                 auto_kernel = False
                 if kernel_choice is not None:
                     kernel_choice.append(kernel)
