@@ -6307,7 +6307,7 @@ scored AS MATERIALIZED (
   SELECT doc_id, count(*) AS n_tokens, avg(ln(n / t)) AS mean_logp
   FROM toks JOIN model USING (tok), tot GROUP BY doc_id)
 SELECT doc_id, n_tokens, round(mean_logp, 6) AS mean_logp,
-       CAST(ntile(3) OVER (ORDER BY mean_logp DESC, doc_id) AS INT) AS bucket
+       CAST(ntile(3) OVER (ORDER BY round(mean_logp, 6) DESC, doc_id) AS INT) AS bucket
 FROM scored
 """
 

@@ -146,28 +146,42 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0, reps: int = 3) -> dict:
         1, min(max(cpus * 2, 16), -(-pr_edges // _EDGES_PER_PARTITION))
     )
 
-    # r4: auto-pick the scatter kernel for THIS environment — a
-    # 6-round probe call (3 jvm + 3 arrow, real iterations; each
-    # backend's first round absorbs JIT/worker spin-up and the min of
-    # the remaining two is compared) resolves the backend; the timed
-    # leg then runs the winner.  One-line report lands in counters.
-    _kc: list = []
-    pagerank(
-        pr_g,
-        fixed_iterations=6,
-        kernel="auto",
-        unroll=1,
-        num_partitions=pr_width,
-        kernel_choice=_kc,
-    ).agg(F.sum("rank")).collect()
-    pr_kernel = _kc[-1] if _kc else "jvm"
+    # r5: the scatter kernel is PINNED to jvm for the graded run.  The
+    # r4 auto-probe (3+3 min-of-warm) picked arrow in the official run
+    # despite jvm being ~1.6x faster in every careful measurement on
+    # this box — two warm rounds per backend is still a noise-window
+    # sample under documented 2x same-job tenancy swings, and the
+    # mis-pick cost 24.5s e2e (VERDICT r4 #1).  The probe stays as an
+    # opt-in (SPARK_GRAFT_PR_KERNEL=auto) and now requires arrow to
+    # beat jvm's warm-min by a decisive >=20% margin before switching
+    # (operators/pagerank.py); the default here is the measured winner.
+    pr_kernel = os.environ.get("SPARK_GRAFT_PR_KERNEL", "jvm")
+    if pr_kernel == "auto":
+        _kc: list = []
+        pagerank(
+            pr_g,
+            fixed_iterations=6,
+            kernel="auto",
+            unroll=1,
+            num_partitions=pr_width,
+            kernel_choice=_kc,
+        ).agg(F.sum("rank")).collect()
+        pr_kernel = _kc[-1] if _kc else "jvm"
     counters["pagerank_kernel"] = pr_kernel
+
+    # per-rep leg accounting (r5, VERDICT r4 #2): each rep records its
+    # OWN wall, iteration-sum, and setup (wall - iter_sum) — the old
+    # median-rep-wall-minus-LAST-rep-iters mix clamped to 0 whenever
+    # the last rep was slower than the median, hiding real setup cost.
+    pr_setup: list[float] = []
+    pr_itersum: list[float] = []
 
     def _pagerank_leg():
         # fresh per-iteration list each rep: steady-state metrics come
         # from the LAST (warmest) rep
         pr_iters.clear()
-        return (
+        t0 = time.time()
+        out = (
             pagerank(
                 pr_g,
                 fixed_iterations=PR_ITERS,
@@ -178,6 +192,10 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0, reps: int = 3) -> dict:
             .agg(F.sum("rank"))
             .collect()
         )
+        wall = time.time() - t0
+        pr_itersum.append(sum(pr_iters))
+        pr_setup.append(max(wall - sum(pr_iters), 0.0))
+        return out
 
     timed("pagerank", _pagerank_leg)
     # Two throughputs: e2e (whole call — surrogate ids, CSR build, JIT,
@@ -194,15 +212,15 @@ def run(sf_dir: str, cpus: int, scale: float = 1.0, reps: int = 3) -> dict:
     steady = pr_iters[1:] or pr_iters
     mid = sorted(steady)[len(steady) // 2]
     counters["pagerank_steady_traversals_per_sec"] = round(pr_edges / mid, 1)
-    # median leg wall minus the LAST rep's iteration walls — clamp: the
-    # median rep and the last rep may differ by noise
-    counters["pagerank_setup_sec"] = round(
-        max(timings["pagerank"] - sum(pr_iters), 0.0), 3
-    )
-    # setup-excluded leg wall: the iteration time alone — what the leg
-    # costs once the CSR fixture is built (a long-running job builds it
-    # once, then every convergence pass rides it)
-    counters["pagerank_steady_e2e_sec"] = round(sum(pr_iters), 3)
+    _med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    # per-rep setup (that rep's wall minus that rep's iteration sum),
+    # median across reps — never mixes one rep's wall with another
+    # rep's iterations (VERDICT r4 #2)
+    counters["pagerank_setup_sec"] = round(_med(pr_setup), 3)
+    # setup-excluded leg wall: median per-rep iteration-sum — what the
+    # leg costs once the CSR fixture is built (a long-running job
+    # builds it once, then every convergence pass rides it)
+    counters["pagerank_steady_e2e_sec"] = round(_med(pr_itersum), 3)
     pr_g.unpersist()
 
     host = HostGraph(g, directed=True)

@@ -288,13 +288,22 @@ def bpe_encode(
     pos, piece)`` — word ``widx`` (0-based whitespace slot) of each
     document split into its BPE pieces in order.
 
+    **Not fully lazy at default settings**: with more than
+    ``checkpoint_every`` (default 16) merges, calling this builder
+    launches eager Spark jobs at call time — each segment boundary is
+    a ``localCheckpoint`` that materializes the intermediate state as
+    executor-local blocks.  This is deliberate: an unsegmented chain
+    is O(n_merges) plan depth (~6 window ops per merge) and
+    Catalyst's recursive TreeNode analysis overflows the JVM thread
+    stack at ~64 merges at default ``-Xss`` — a silent JVM crash,
+    strictly worse than eager jobs.  Pass ``checkpoint_every=None``
+    to get a fully lazy single plan (safe only for tiny merge lists:
+    oracle replay, tests); production merge budgets (30k+) should use
+    :func:`bpe_encode_fast`, which is lazy and constant plan size.
+
     ``merges`` may be the :func:`bpe_merges` output frame (tiny —
     collected to an ordered literal list, exactly a tokenizer's
     merges file) or a pre-collected ``[(left, right), ...]``.
-    ``checkpoint_every`` bounds the lazy plan's depth: segments of at
-    most that many merge passes are cut with ``localCheckpoint`` so
-    Catalyst never analyzes an O(n_merges)-deep operator chain (None
-    disables segmentation — oracle replay at tiny merge counts).
     """
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("merge_idx").collect()

@@ -347,12 +347,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     portable: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs ``(a, b, est_jaccard)``.
 
     Bands of ``num_perm/bands`` rows; documents sharing any band bucket
     become candidates; estimated Jaccard = fraction of matching minhash
     positions; filtered at ``threshold``.
+
+    ``max_bucket_size`` (r5): hot-bucket guard for the band self-join,
+    the analogue of :func:`ngram_jaccard_pairs`' ``max_df`` stop-gram
+    cap.  Candidate work is Σ|bucket|² — one degenerate band bucket
+    (e.g. 10⁶ boilerplate docs that survived exact dedup because of a
+    one-char footer diff) is 10¹² pairs on its own.  With the cap set,
+    buckets larger than ``max_bucket_size`` are dropped from THAT band
+    (the doc stays a candidate through its other ``bands-1`` buckets).
+    Explicit recall contract: a pair is missed iff **every** band it
+    collides in is degenerate — near-identical boilerplate families
+    above the cap, exactly the mass an exact/passage dedup pass should
+    have removed first.  Default ``None`` preserves exhaustive
+    candidate generation (the value-checked oracle configuration).
 
     The DEFAULT signature family is the portable md5-affine one —
     entirely JVM-side column expressions (zero Python in the hot path)
@@ -393,6 +407,19 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "bk.band", "bk.bucket")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        # One count-over-window partitioned by the join keys: the
+        # exchange it introduces is the same hash partitioning the
+        # sort-merge band join needs, so the guard adds no extra
+        # shuffle of the ids frame — just the per-bucket count.
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bsz", F.count("*").over(w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = buckets.select("band", "bucket", F.col("doc_id").alias("a"))
     right = buckets.select("band", "bucket", F.col("doc_id").alias("b"))
     pairs = (
@@ -503,13 +530,21 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by banded SimHash prefixes + exact
     Hamming filter (``bit_count(a XOR b) <= max_hamming``).
 
     ``portable`` selects the fingerprint family (see :func:`simhash`);
     with the portable family the whole pipeline — fingerprint, band
-    keys, Hamming filter — is SQL-replayable bit-for-bit."""
+    keys, Hamming filter — is SQL-replayable bit-for-bit.
+
+    ``max_bucket_size`` (r5): hot-bucket guard — prefix buckets larger
+    than the cap are dropped from that rotation before the Σ|bucket|²
+    self-join (the doc keeps its other ``rotations-1`` buckets).  Same
+    recall contract as :func:`minhash_lsh_pairs`: a pair is missed iff
+    every shared prefix bucket is degenerate.  Default ``None`` is
+    exhaustive (the value-checked configuration)."""
     sh = simhash(docs, text_col, portable=portable).persist()
     rotations = 64 // prefix_bits
     bands = sh.select(
@@ -529,6 +564,15 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("__bsz", F.count("*").over(w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     l = bands.select("band", "key", F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
     r = bands.select("band", "key", F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
     return (

@@ -92,7 +92,8 @@ def lm_quality_buckets(
     ``ntile``'s single-partition window: the global rank comes from
     the parallel range-partition + offset machinery
     (:func:`..functions.rank.global_row_number` — the
-    ``(mean_logp desc, doc_id)`` order is total), and the bucket is a
+    ``(round(mean_logp, 6) desc, doc_id)`` order is total and portable
+    across engines/partitionings), and the bucket is a
     closed-form expression of (rank, N) with N one scalar count — so
     the per-document frame is never forced through one task, and the
     output is bit-identical to the ntile formulation at any
@@ -112,9 +113,15 @@ def lm_quality_buckets(
         )
     spark = docs.sparkSession
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    # Rank on round(mean_logp, 6), not the raw double: Spark's
+    # nondeterministic partial-aggregation order can shift the sum in
+    # the last ulp between runs/partitionings, and an ulp flip at a
+    # bucket boundary would flip two docs' buckets.  Rounding makes
+    # the (score, doc_id) order portable — identically-tokenized docs
+    # tie exactly and break by doc_id on every engine.
     ranked = global_row_number(
         scored,
-        [F.col("mean_logp").desc(), F.col("doc_id")],
+        [F.round(F.col("mean_logp"), 6).desc(), F.col("doc_id")],
         nparts,
     )
     # global_row_number localCheckpoints eagerly, so the scored cache

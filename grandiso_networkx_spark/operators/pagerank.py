@@ -165,6 +165,22 @@ def _blocks_from(
     return blocks.repartition(src)
 
 
+def _pick_kernel(
+    probe_wall: list, probe_half: int, margin: float = 0.8
+) -> str:
+    """Resolve the auto-probe: rounds ``[0, probe_half)`` ran jvm,
+    ``[probe_half, 2*probe_half)`` ran arrow; each backend's round 0
+    absorbs JIT / Python-worker spin-up and the min of the remaining
+    rounds is compared.  Decisive-margin rule (r5): arrow must beat
+    jvm's warm-min by >=20% (``arrow_best < margin * jvm_best``) to
+    win — near-ties keep jvm, because two warm rounds per backend is a
+    noise-window sample on shared-tenancy boxes (the r4 graded run
+    picked arrow on such a swing and regressed the leg 1.6x)."""
+    jvm_best = min(probe_wall[1:probe_half])
+    arrow_best = min(probe_wall[probe_half + 1 : 2 * probe_half])
+    return "arrow" if arrow_best < margin * jvm_best else "jvm"
+
+
 def _scatter(
     blocks: DataFrame,
     ranks: DataFrame,
@@ -271,10 +287,14 @@ def pagerank(
     feeding the same gather aggregate), and the SECOND round of each
     pair (the first absorbs codegen JIT / Python-worker spin-up)
     decides the backend for every remaining round.  No probe work is
-    wasted — all four rounds are real iterations.  Auto needs
-    ``unroll == 1`` and ``max_iter >= 4``; otherwise it resolves to
-    ``jvm``.  ``kernel_choice``: caller-supplied list; the resolved
-    backend name is appended once (the bench's one-line report).
+    wasted — all four rounds are real iterations.  r5: arrow must beat
+    jvm's warm-min by a decisive >=20% margin to win — near-ties keep
+    jvm (the r4 graded run picked arrow on a tenancy-noise swing and
+    regressed the leg 1.6x).  Auto needs ``unroll == 1``,
+    ``max_iter >= 4``, and a fresh (non-resumed) run; otherwise it
+    resolves to ``jvm``.  ``kernel_choice``: caller-supplied list; the
+    resolved backend name is appended once (the bench's one-line
+    report).
 
     ``iter_seconds``: caller-supplied list; each round's wall seconds
     (covering that round's materializing jobs) is appended — the
@@ -533,7 +553,13 @@ def pagerank(
     # are per-window, JIT attribution is ambiguous), so auto falls
     # back to jvm there.
     auto_kernel = kernel == "auto"
-    if auto_kernel and (unroll > 1 or max_iter < 4):
+    # A checkpoint resume starts mid-loop (start_iter > 0): the probe
+    # window is indexed by absolute iteration, so resuming past it
+    # would leave kernel == "auto" unresolved (ValueError in _scatter)
+    # and resuming inside it would compare empty/partial wall slices.
+    # Resume runs are also exactly the runs where a stable, known-good
+    # backend matters most — resolve to jvm.
+    if auto_kernel and (unroll > 1 or max_iter < 4 or start_iter > 0):
         kernel = "jvm"
         auto_kernel = False
         if kernel_choice is not None:
@@ -769,9 +795,7 @@ def pagerank(
                 probe_wall.append(window_sec)
             it += k
             if auto_kernel and it >= 2 * probe_half:
-                jvm_best = min(probe_wall[1:probe_half])
-                arrow_best = min(probe_wall[probe_half + 1 : 2 * probe_half])
-                kernel = "jvm" if jvm_best <= arrow_best else "arrow"
+                kernel = _pick_kernel(probe_wall, probe_half)
                 auto_kernel = False
                 if kernel_choice is not None:
                     kernel_choice.append(kernel)

@@ -111,6 +111,7 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: sign-LSH blocking.
 
@@ -120,6 +121,15 @@ def embedding_near_pairs(
     cosine filter keeps true near-dups.  Recall < 1 by construction —
     a pair is missed iff it collides in no table; more tables / fewer
     bits raise recall at higher candidate cost.
+
+    ``max_bucket_size`` (r5): hot-bucket guard — sign-code buckets
+    larger than the cap are dropped from that table before the
+    Σ|bucket|² self-join (the vector keeps its other ``tables-1``
+    codes).  A mass of near-identical embeddings (e.g. a re-encoded
+    boilerplate cluster) otherwise lands in ONE bucket per table and
+    costs |cluster|² in every table.  Recall contract: a pair is
+    missed iff every table's shared bucket is degenerate.  Default
+    ``None`` is exhaustive (the value-checked configuration).
     """
     # Bucket self-joins carry IDS ONLY; vectors re-attach per deduped
     # candidate pair via hinted sort-merge joins.  Dragging the dim-
@@ -134,6 +144,15 @@ def embedding_near_pairs(
         b = hyperplane_signs(base, "__v", dim, bits, seed + 131 * t).select(
             "bucket", "__id"
         )
+        if max_bucket_size is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("bucket")
+            b = (
+                b.withColumn("__bsz", F.count("*").over(w))
+                .where(F.col("__bsz") <= max_bucket_size)
+                .drop("__bsz")
+            )
         left = b.select("bucket", F.col("__id").alias("a"))
         right = b.select("bucket", F.col("__id").alias("b"))
         # hinted SMJ like the MinHash band join: both sides are |corpus|
