@@ -178,8 +178,27 @@ def expand_step(
     col_of: dict,
     bound: list[Hashable],
     preds: MatchPredicates | None = None,
+    hub_salt: int | None = None,
+    hub_degree_threshold: int = 100_000,
 ) -> DataFrame:
-    """One expansion round: bind ``step.node`` on every frontier row."""
+    """One expansion round: bind ``step.node`` on every frontier row.
+
+    ``hub_salt`` (r5): selective skew salting for the first
+    required-edge join.  The expansion join's OUTPUT explodes as
+    |frontier rows keyed at v| x deg(v); for a hub vertex the whole
+    product lands in ONE sort-merge partition, and AQE's skew split
+    cannot help — it detects oversized shuffle INPUT partitions, and
+    the hub's input rows are tiny (measured: a deg-10k hub makes the
+    K3 round-1 join 12x slower at 16 cores while frontier row counts
+    stay trivial — scripts/motif_hub_stress.py).  With ``hub_salt=R``,
+    adjacency rows whose join key has total degree >=
+    ``hub_degree_threshold`` get a salt ``pmod(xxhash64(candidate),
+    R)`` and frontier rows keyed at such vertices replicate across all
+    R salts, splitting the hub product over R tasks.  Cold keys keep
+    salt 0 — no replication, identical join cardinality, bit-identical
+    output (pinned by tests).  Off (``None``) by default: plans are
+    unchanged unless a caller opts in for hub-heavy hosts.
+    """
     new_col = col_of[step.node]
     if not step.required:
         raise ValueError(
@@ -207,9 +226,48 @@ def expand_step(
         preds,
         min_cand_deg=step.min_degree if inline_deg else None,
     )
-    out = frontier.join(
-        ef, ef["__oth"] == frontier[col_of[step.required[0].other]], "inner"
-    )
+    key_col = col_of[step.required[0].other]
+    if hub_salt is not None and hub_salt > 1:
+        r = int(hub_salt)
+        hot = F.broadcast(
+            host.degrees.where(
+                F.col("degree") >= F.lit(hub_degree_threshold)
+            ).select(F.col("id").alias("__hot"))
+        )
+        ef = (
+            ef.join(hot, ef["__oth"] == F.col("__hot"), "left")
+            .withColumn(
+                "__esalt",
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.pmod(F.xxhash64(F.col("__cand")), F.lit(r)),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("__hot")
+        )
+        fr = (
+            frontier.join(hot, frontier[key_col] == F.col("__hot"), "left")
+            .withColumn(
+                "__fsalt",
+                F.explode(
+                    F.when(
+                        F.col("__hot").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(r - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("__hot")
+        )
+        out = fr.join(
+            ef,
+            (ef["__oth"] == fr[key_col])
+            & (ef["__esalt"] == fr["__fsalt"]),
+            "inner",
+        ).drop("__esalt", "__fsalt")
+    else:
+        out = frontier.join(
+            ef, ef["__oth"] == frontier[key_col], "inner"
+        )
     out = out.withColumnRenamed("__cand", new_col).drop("__oth")
 
     # Remaining required edges are set-intersection → left-semi joins.

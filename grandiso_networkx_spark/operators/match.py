@@ -82,6 +82,8 @@ def find_motifs_df(
     is_node_attr_match=None,
     is_node_structural_match=None,
     is_edge_attr_match=None,
+    hub_salt: int | None = None,
+    hub_degree_threshold: int = 100_000,
 ) -> DataFrame:
     """Build the complete-bindings DataFrame (lazy unless checkpointed).
 
@@ -95,6 +97,11 @@ def find_motifs_df(
     kwargs (``grandiso/__init__.py:363-365``) as Column factories — see
     :class:`~grandiso_networkx_spark.operators.frontier.MatchPredicates`
     for the signatures.
+
+    ``hub_salt`` / ``hub_degree_threshold``: selective skew salting of
+    the expansion joins for hub-heavy hosts (off by default; see
+    :func:`~grandiso_networkx_spark.operators.frontier.expand_step` —
+    the join-product skew AQE cannot split).
     """
     motif = _as_motif(motif)
     if directed is None:
@@ -193,7 +200,16 @@ def find_motifs_df(
         for s in plan.steps[: len(plan.steps) - len(steps)]:
             bound.append(s.node)  # nodes bound by the fused seed, if any
         for rnd, step in enumerate(steps):
-            frontier = expand_step(frontier, step, host, col_of, bound, preds)
+            frontier = expand_step(
+                frontier,
+                step,
+                host,
+                col_of,
+                bound,
+                preds,
+                hub_salt=hub_salt,
+                hub_degree_threshold=hub_degree_threshold,
+            )
             bound.append(step.node)
             if checkpoint is not None:
                 frontier = checkpoint.save(rnd, frontier, {"step": str(step.node)})
