@@ -303,6 +303,15 @@ def find_motifs(
 ):
     """Materialize matches: list of dicts, or an exact count.
 
+    **API-parity surface, not the scale surface**: the no-limit list
+    mode ``df.collect()``s every match onto the driver — fine for the
+    reference-shaped workloads this mirrors, but a large host can
+    yield more matches than driver memory.  At scale use
+    :func:`find_motifs_df` (stay distributed), ``count_only=True``
+    (one scalar), ``limit=`` (bounded collect), or
+    :func:`find_motifs_iter` (``toLocalIterator`` — one partition in
+    driver memory at a time).
+
     ``limit`` semantics follow the reference (``grandiso/__init__.py:
     479-487``): falsy limit = unlimited; both modes return
     min(limit, total).  On Spark the limit short-circuits inside the
